@@ -1,0 +1,497 @@
+"""Deterministic span-level fixture generator.
+
+Mirrors the reference's synthetic-corpus semantics (ground truth *by
+construction*: /root/reference/src/pdf_parse_bench/synth_pdf/content.py:36-115,
+interleaved text/inline-formula runs synth_pdf/latex.py:337-364, seeded config
+synth_pdf/latex_config.py:127-163) without LaTeX: every fixture row is derived
+deterministically from the driver tables at /root/testdata/sf*/ (seed mixing
+doc_id, so the corpus is stable across runs and platforms).
+
+Generated per scale-factor directory (``fixtures/<sfname>/``):
+
+  spans_documents.parquet    the BASELINE.json `input_hint` table:
+                             (doc_id, spans: array<struct<kind,text,media_ref,offset>>)
+  golden_spans.parquet       exploded oracle (doc_id, offset, kind, text,
+                             media_ref, complexity)
+  parsed_markdown.parquet    per-doc markdown with *recoverable* parser-style
+                             perturbations (delimiter swaps $$<->\\[..\\],
+                             whitespace churn, grouped formulas, boilerplate
+                             header/footer lines) — the extraction pipeline
+                             must invert these exactly
+  layout_blocks.parquet      shuffled dots.ocr-style blocks (doc_id, page_no,
+                             bbox, category, text); only XY-cut recovers order
+  golden_layout_spans.parquet  expected output of the layout path
+  pdf_docs.parquet           (doc_id, pdf_bytes) minimal single-page PDFs
+  golden_pdf_text.parquet    expected text of the PDF tokenizer path
+  extraction_scores.parquet  scores fixture for aggregates/leaderboard
+
+All perturbation classes are bounded so the deterministic kernels can recover
+the golden sequence exactly (the reference's 15% edit-distance tolerance,
+segment_extractor.py:631, is exercised separately in unit tests).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+GLOBAL_SEED = 20260816
+FIXTURE_VERSION = "v4"  # bump to force regeneration
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+FIXTURES_ROOT = REPO_ROOT / "fixtures"
+
+# Markdown rendering of grouped display-formula runs (reference groups
+# consecutive formulas in aligned/gathered envs; segment_extractor.py:433-604
+# splits them back). Our deterministic split inverts exactly these forms.
+_ALIGNED_OPEN = "\\begin{aligned}"
+_ALIGNED_CLOSE = "\\end{aligned}"
+
+# Safe LaTeX inline-formula templates (no '$', no '\\\\' row separators so the
+# grouped split on '\\\\' is unambiguous; cf. content.py:54-72 emission).
+_INLINE_TEMPLATES = (
+    "x_{{{a}}}^{{{b}}}",
+    "\\alpha _{{{a}}}+\\beta _{{{b}}}",
+    "e^{{-{a}\\lambda }}",
+    "{{\\frac {{a_{{{a}}}}}{{b_{{{b}}}}}}}",
+    "\\sum _{{k=0}}^{{{a}}}k^{{{b}}}",
+    "\\langle \\sigma _{{{a}}}\\rangle ",
+    "o(h_{{{a}}})/h\\rightarrow {b}",
+    "Z\\cup \\{{x_{{{a}}}\\}}\\cup \\{{y_{{{b}}}\\}}",
+)
+
+_DISPLAY_TEMPLATES = (
+    "\\sum _{{i=0}}^{{{a}}}w_{{i}}x^{{i}}={b}",
+    "\\int _{{0}}^{{{a}}}f(t)\\,dt=F({a})-F(0)+{b}",
+    "\\lim _{{n\\to \\infty }}\\left(1+{{\\frac {{{a}}}{{n}}}}\\right)^{{n}}=e^{{{a}}}_{{{b}}}",
+    "\\prod _{{j=1}}^{{{a}}}(1-q^{{j}})^{{{b}}}",
+    "\\nabla \\cdot \\mathbf {{E}} ={{\\frac {{\\rho _{{{a}}}}}{{\\varepsilon _{{{b}}}}}}}",
+)
+
+
+def _doc_rng(doc_id: int) -> np.random.Generator:
+    return np.random.default_rng([GLOBAL_SEED, int(doc_id)])
+
+
+def _mk_text(words: list[str], rng: np.random.Generator) -> str:
+    n = int(rng.integers(5, 13))
+    start = int(rng.integers(0, max(1, len(words))))
+    picked = [words[(start + i) % len(words)] for i in range(n)]
+    s = " ".join(picked)
+    return s[0].upper() + s[1:] + "."
+
+
+def _mk_inline(rng: np.random.Generator) -> str:
+    t = _INLINE_TEMPLATES[int(rng.integers(0, len(_INLINE_TEMPLATES)))]
+    return "$" + t.format(a=int(rng.integers(0, 10)), b=int(rng.integers(0, 10))) + "$"
+
+
+def _mk_display(rng: np.random.Generator) -> str:
+    t = _DISPLAY_TEMPLATES[int(rng.integers(0, len(_DISPLAY_TEMPLATES)))]
+    return "$$" + t.format(a=int(rng.integers(0, 10)), b=int(rng.integers(0, 10))) + "$$"
+
+
+def _mk_table(rng: np.random.Generator, words: list[str]) -> tuple[str, str]:
+    n_rows = int(rng.integers(2, 9))
+    n_cols = int(rng.integers(2, 5))
+    spec = "l" + "c" * (n_cols - 1)
+    header = " & ".join(
+        "\\textbf{%s}" % words[int(rng.integers(0, len(words)))].capitalize()
+        for _ in range(n_cols)
+    )
+    rows = []
+    for _ in range(n_rows):
+        cells = [words[int(rng.integers(0, len(words)))].capitalize()]
+        cells += [str(int(rng.integers(0, 1000))) for _ in range(n_cols - 1)]
+        rows.append(" & ".join(cells) + " \\\\")
+    body = "\n".join(rows)
+    tab = (
+        "\\begin{tabular}{%s}\n\\hline\n%s \\\\\n\\hline\n%s\n\\hline\n\\end{tabular}"
+        % (spec, header, body)
+    )
+    complexity = "simple" if n_rows <= 3 else ("moderate" if n_rows <= 6 else "complex")
+    return tab, complexity
+
+
+def _mk_image(rng: np.random.Generator) -> str:
+    # olmOCR figure-ref convention: page_<x>_<y>_<w>_<h>.png
+    # (/root/reference/parsers/olmocr/__main__.py:59-61)
+    x, y = int(rng.integers(0, 500)), int(rng.integers(0, 700))
+    w, h = int(rng.integers(50, 400)), int(rng.integers(50, 300))
+    return f"page_{x}_{y}_{w}_{h}.png"
+
+
+_KIND_CODES = ("text", "inline-formula", "display-formula", "table", "image")
+_KIND_P = np.array([0.46, 0.24, 0.14, 0.09, 0.07])
+
+
+def generate_doc_spans(doc_id: int, text: str) -> list[dict]:
+    """Ordered span sequence for one document (ground truth by construction)."""
+    rng = _doc_rng(doc_id)
+    words = text.split() or ["lorem"]
+    n = int(rng.integers(10, 41))
+    if doc_id % 101 == 0:  # skew fixture: ~1% of docs get ~50x the median
+        n = int(rng.integers(1150, 1350))
+    spans = []
+    for i in range(n):
+        kind = "text" if i == 0 else str(rng.choice(_KIND_CODES, p=_KIND_P))
+        if kind == "text":
+            spans.append({"kind": kind, "text": _mk_text(words, rng),
+                          "media_ref": "", "complexity": None})
+        elif kind == "inline-formula":
+            spans.append({"kind": kind, "text": _mk_inline(rng),
+                          "media_ref": "", "complexity": None})
+        elif kind == "display-formula":
+            spans.append({"kind": kind, "text": _mk_display(rng),
+                          "media_ref": "", "complexity": None})
+        elif kind == "table":
+            tab, cx = _mk_table(rng, words)
+            spans.append({"kind": kind, "text": tab,
+                          "media_ref": "", "complexity": cx})
+        else:
+            spans.append({"kind": kind, "text": "",
+                          "media_ref": _mk_image(rng), "complexity": None})
+    for i, s in enumerate(spans):
+        s["offset"] = i
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# Markdown rendering with recoverable perturbations
+# ---------------------------------------------------------------------------
+
+def _boilerplate_lines(source: str) -> tuple[str, str]:
+    header = f"{source} preprint series — working draft"
+    footer = f"page 1 · {source} · all rights reserved"
+    return header, footer
+
+
+def render_markdown(doc_id: int, spans: list[dict], source: str) -> str:
+    """Render spans to parser-style markdown; every perturbation is invertible
+    by the extraction kernel (delimiter normalization M7, grouped split J5,
+    boilerplate strip P2, whitespace churn F2/F3)."""
+    rng = np.random.default_rng([GLOBAL_SEED, 7, int(doc_id)])
+    blocks: list[str] = []
+    i = 0
+    n = len(spans)
+    while i < n:
+        s = spans[i]
+        k = s["kind"]
+        if k == "text":
+            # paragraph: text followed by alternating inline/text run
+            parts = [s["text"]]
+            j = i + 1
+            while j < n:
+                kj = spans[j]["kind"]
+                prev = spans[j - 1]["kind"]
+                joinable = (
+                    (prev == "text" and kj == "inline-formula")
+                    or (prev == "inline-formula" and kj in ("inline-formula", "text"))
+                )
+                if not joinable:
+                    break
+                parts.append(spans[j]["text"])
+                j += 1
+            blocks.append(" ".join(parts))
+            i = j
+        elif k == "inline-formula":
+            blocks.append(s["text"])  # own paragraph
+            i += 1
+        elif k == "display-formula":
+            # collect the run of consecutive display formulas
+            j = i
+            while j < n and spans[j]["kind"] == "display-formula":
+                j += 1
+            run = [sp["text"][2:-2] for sp in spans[i:j]]  # inner content
+            if len(run) >= 2 and rng.random() < 0.5:
+                # grouped (reference: aligned/gathered envs, J5)
+                joined = " \\\\ ".join(run)
+                if rng.random() < 0.5:
+                    joined = f"{_ALIGNED_OPEN} {joined} {_ALIGNED_CLOSE}"
+                blocks.append(_render_display(joined, rng))
+            else:
+                for content in run:
+                    blocks.append(_render_display(content, rng))
+            i = j
+        elif k == "table":
+            blocks.append(s["text"])
+            i += 1
+        else:  # image
+            alt = "figure" if rng.random() < 0.7 else ""
+            blocks.append(f"![{alt}]({s['media_ref']})")
+            i += 1
+    header, footer = _boilerplate_lines(source)
+    body_blocks = []
+    if rng.random() < 0.8:
+        body_blocks.append(header)
+    body_blocks.extend(blocks)
+    if rng.random() < 0.8:
+        body_blocks.append(footer)
+    seps = ["\n\n", "\n\n\n", "\n \n"]
+    out = []
+    for b in body_blocks:
+        out.append(b)
+        out.append(seps[int(rng.integers(0, 3))])
+    return "".join(out).rstrip() + "\n"
+
+
+def _render_display(content: str, rng: np.random.Generator) -> str:
+    """Perturbed display-math rendering: \\[..\\] vs $$..$$, padding churn."""
+    pad = " " if rng.random() < 0.5 else "\n"
+    if rng.random() < 0.4:
+        return f"\\[{pad}{content}{pad}\\]"
+    return f"$${pad}{content}{pad}$$" if rng.random() < 0.5 else f"$${content}$$"
+
+
+# ---------------------------------------------------------------------------
+# Layout-block fixture (dots.ocr block model + XY-cut recoverable geometry)
+# ---------------------------------------------------------------------------
+
+PAGE_W, PAGE_H = 595.0, 842.0  # A4 pt (reference synth_pdf/latex.py:239)
+_TEXT_CATS = ("Text", "List-item", "Caption", "Section-header")
+
+CATEGORY_TO_KIND = {
+    "Caption": "text", "Footnote": "text", "Formula": "display-formula",
+    "List-item": "text", "Picture": "image", "Section-header": "text",
+    "Table": "table", "Text": "text", "Title": "text",
+}
+
+
+def generate_layout(doc_id: int, spans: list[dict], source: str):
+    """Blocks (shuffled) + golden ordered spans for the layout path.
+
+    Geometry guarantees XY-cut recoverability: one-column pages have >=8pt
+    y-gaps between blocks; two-column pages have a 20pt mid gutter (wider
+    than any y-gap, so the vertical cut wins first).
+    """
+    rng = np.random.default_rng([GLOBAL_SEED, 13, int(doc_id)])
+    content = [s for s in spans if s["kind"] in ("text", "display-formula", "table", "image")]
+    content = content[:120]  # cap pages for skew docs
+    two_col = bool(rng.random() < 0.4)
+    header, footer = _boilerplate_lines(source)
+
+    blocks = []   # (page_no, bbox, category, text)
+    golden = []   # ordered kept spans
+    page_no, y = 0, 60.0
+    col = 0
+    col_x = [(50.0, 287.0), (307.0, 545.0)] if two_col else [(50.0, 545.0)]
+
+    def new_page_chrome(p):
+        blocks.append((p, [50.0, 18.0, 545.0, 34.0], "Page-header", header))
+        blocks.append((p, [50.0, 806.0, 545.0, 820.0], "Page-footer", footer))
+
+    new_page_chrome(0)
+    for idx, s in enumerate(content):
+        h = float(rng.integers(14, 40))
+        if y + h > 780.0:
+            if two_col and col == 0:
+                col, y = 1, 60.0
+            else:
+                page_no += 1
+                col, y = 0, 60.0
+                new_page_chrome(page_no)
+        x1, x2 = col_x[col]
+        if s["kind"] == "text":
+            cat = "Title" if idx == 0 else str(
+                rng.choice(_TEXT_CATS + ("Footnote",), p=[0.6, 0.15, 0.1, 0.1, 0.05]))
+            txt = s["text"]
+        elif s["kind"] == "display-formula":
+            cat, txt = "Formula", s["text"]
+        elif s["kind"] == "table":
+            cat, txt = "Table", s["text"]
+        else:
+            cat, txt = "Picture", s["media_ref"]
+        blocks.append((page_no, [x1, y, x2, y + h], cat, txt))
+        golden.append({"kind": CATEGORY_TO_KIND[cat],
+                       "text": s["text"] if cat != "Picture" else "",
+                       "media_ref": s["media_ref"]})
+        y += h + 8.0 + float(rng.integers(0, 5))
+    for i, g in enumerate(golden):
+        g["offset"] = i
+    # shuffle so only geometry can recover reading order
+    order = list(range(len(blocks)))
+    random.Random(doc_id * 7919 + 11).shuffle(order)
+    blocks = [blocks[i] for i in order]
+    return blocks, golden
+
+
+# ---------------------------------------------------------------------------
+# Minimal single-page(ish) PDF fixture (uncompressed content streams)
+# ---------------------------------------------------------------------------
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
+    """Tiny uncompressed PDF from the doc's text spans + expected text.
+
+    Lines are laid out top-down (PDF y is bottom-up); ~40% of docs are
+    two-column so the tokenizer's XY-cut path is exercised.
+    """
+    rng = np.random.default_rng([GLOBAL_SEED, 29, int(doc_id)])
+    lines = [s["text"] for s in spans if s["kind"] == "text"][:50]
+    two_col = bool(rng.random() < 0.4) and len(lines) >= 6
+    ops, golden_lines = [], []
+    if two_col:
+        half = (len(lines) + 1) // 2
+        cols = [(72.0, lines[:half]), (310.0, lines[half:])]
+    else:
+        cols = [(72.0, lines)]
+    for x, col_lines in cols:
+        y = 770.0
+        for ln in col_lines:
+            ops.append(f"BT /F1 12 Tf 1 0 0 1 {x:.1f} {y:.1f} Tm ({_pdf_escape(ln)}) Tj ET")
+            y -= 14.0
+    golden_lines = [ln for _, cl in cols for ln in cl]
+    stream = "\n".join(ops).encode("latin-1", errors="replace")
+    objs = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    objs.append(
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+    )
+    objs.append(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream))
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out), "\n".join(golden_lines)
+
+
+# ---------------------------------------------------------------------------
+# Scores fixture (eval/llm_judge.py result-row model)
+# ---------------------------------------------------------------------------
+
+_PARSERS = ("engine-a", "engine-b", "engine-c")
+_JUDGES = ("judge-x", "judge-y")
+
+
+def generate_scores(doc_id: int, spans: list[dict]) -> list[dict]:
+    rng = np.random.default_rng([GLOBAL_SEED, 31, int(doc_id)])
+    rows = []
+    scored = [s for s in spans if s["kind"] in ("inline-formula", "display-formula", "table")]
+    for parser in _PARSERS:
+        for idx, s in enumerate(scored):
+            for judge in _JUDGES:
+                raw = int(rng.integers(-2, 14))  # exercises clamp (llm_judge.py:139)
+                score = max(0, min(10, raw))
+                errs = ["minor-spacing"] if rng.random() < 0.15 else []
+                rows.append({
+                    "doc_id": f"{doc_id:09d}", "index": idx, "kind": s["kind"],
+                    "complexity": s["complexity"], "parser_name": parser,
+                    "judge_model": judge, "score": score,
+                    "raw_response": f"Score: {raw} — alignment rationale.",
+                    "errors": errs,
+                })
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+_SPAN_T = pa.struct([
+    ("kind", pa.string()), ("text", pa.string()),
+    ("media_ref", pa.string()), ("offset", pa.int32()),
+])
+
+
+def ensure_fixtures(sf_dir: str) -> Path:
+    """Generate (once) and return the fixture dir for a testdata sf dir."""
+    sf_name = Path(sf_dir).name
+    out = FIXTURES_ROOT / sf_name
+    marker = out / "_COMPLETE"
+    if marker.exists() and marker.read_text().strip() == FIXTURE_VERSION:
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+    base = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"]).to_pandas()
+
+    docs_rows, golden_rows, md_rows = [], [], []
+    blocks_rows, golden_layout_rows = [], []
+    pdf_rows, pdf_text_rows, score_rows = [], [], []
+    for rec in base.itertuples(index=False):
+        did = int(rec.doc_id)
+        doc_id = f"{did:09d}"
+        spans = generate_doc_spans(did, rec.text)
+        docs_rows.append({
+            "doc_id": doc_id,
+            "spans": [{"kind": s["kind"], "text": s["text"],
+                       "media_ref": s["media_ref"], "offset": s["offset"]}
+                      for s in spans],
+        })
+        for s in spans:
+            golden_rows.append({"doc_id": doc_id, "offset": s["offset"],
+                                "kind": s["kind"], "text": s["text"],
+                                "media_ref": s["media_ref"],
+                                "complexity": s["complexity"]})
+        md_rows.append({"doc_id": doc_id,
+                        "markdown": render_markdown(did, spans, rec.source)})
+        blocks, golden_layout = generate_layout(did, spans, rec.source)
+        for (pg, bbox, cat, txt) in blocks:
+            blocks_rows.append({"doc_id": doc_id, "page_no": pg, "bbox": bbox,
+                                "category": cat, "text": txt})
+        for g in golden_layout:
+            golden_layout_rows.append({"doc_id": doc_id, **g})
+        pdf_bytes, pdf_text = generate_pdf(did, spans)
+        pdf_rows.append({"doc_id": doc_id, "pdf_bytes": pdf_bytes})
+        pdf_text_rows.append({"doc_id": doc_id, "text": pdf_text})
+        score_rows.extend(generate_scores(did, spans))
+
+    def _write(name: str, rows: list[dict], schema: pa.Schema):
+        tbl = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(tbl, out / name, compression="zstd")
+
+    _write("spans_documents.parquet", docs_rows,
+           pa.schema([("doc_id", pa.string()), ("spans", pa.list_(_SPAN_T))]))
+    _write("golden_spans.parquet", golden_rows,
+           pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
+                      ("kind", pa.string()), ("text", pa.string()),
+                      ("media_ref", pa.string()), ("complexity", pa.string())]))
+    _write("parsed_markdown.parquet", md_rows,
+           pa.schema([("doc_id", pa.string()), ("markdown", pa.string())]))
+    _write("layout_blocks.parquet", blocks_rows,
+           pa.schema([("doc_id", pa.string()), ("page_no", pa.int32()),
+                      ("bbox", pa.list_(pa.float64())),
+                      ("category", pa.string()), ("text", pa.string())]))
+    _write("golden_layout_spans.parquet", golden_layout_rows,
+           pa.schema([("doc_id", pa.string()), ("kind", pa.string()),
+                      ("text", pa.string()), ("media_ref", pa.string()),
+                      ("offset", pa.int32())]))
+    _write("pdf_docs.parquet", pdf_rows,
+           pa.schema([("doc_id", pa.string()), ("pdf_bytes", pa.binary())]))
+    _write("golden_pdf_text.parquet", pdf_text_rows,
+           pa.schema([("doc_id", pa.string()), ("text", pa.string())]))
+    _write("extraction_scores.parquet", score_rows,
+           pa.schema([("doc_id", pa.string()), ("index", pa.int32()),
+                      ("kind", pa.string()), ("complexity", pa.string()),
+                      ("parser_name", pa.string()), ("judge_model", pa.string()),
+                      ("score", pa.int32()), ("raw_response", pa.string()),
+                      ("errors", pa.list_(pa.string()))]))
+    marker.write_text(FIXTURE_VERSION)
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+    for sf in sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        p = ensure_fixtures(sf)
+        print("fixtures ready:", p)

@@ -1,0 +1,115 @@
+"""String/scalar normalization kernels.
+
+Reference semantics reproduced here:
+  - M7 formula delimiter normalization   parsers/dots_ocr/__main__.py:35-57
+  - F5 delimiter detect/strip/re-wrap    extraction/segment_extractor.py:378-381,515-527,596-602
+  - F1 unicode→LaTeX sub/superscripts    utilities/formula_renderer.py:33-65
+  - F2 escaped-char unescape             extraction/segment_extractor.py:654-657
+  - F3 normalization for fuzzy matching  extraction/segment_extractor.py:660-661
+  - J5 grouped-formula split             extraction/segment_extractor.py:433-604
+"""
+
+from __future__ import annotations
+
+import re
+
+# Ordered delimiter pairs, checked longest-first
+# (extraction/segment_extractor.py:378-381).
+DELIMITER_PAIRS = (("$$", "$$"), ("$", "$"), ("\\[", "\\]"), ("\\(", "\\)"))
+
+_SUBSCRIPT_MAP = {
+    "₀": "_0", "₁": "_1", "₂": "_2", "₃": "_3", "₄": "_4",
+    "₅": "_5", "₆": "_6", "₇": "_7", "₈": "_8", "₉": "_9",
+}
+_SUPERSCRIPT_MAP = {
+    "⁰": "^0", "¹": "^1", "²": "^2", "³": "^3", "⁴": "^4",
+    "⁵": "^5", "⁶": "^6", "⁷": "^7", "⁸": "^8", "⁹": "^9",
+}
+
+_WS_BACKSLASH_RE = re.compile(r"[\s\\]+")
+_ESCAPED_NL_RE = re.compile(r"\\n(?![a-zA-Z])")
+_ESCAPED_TAB_RE = re.compile(r"\\t(?![a-zA-Z])")
+
+_ALIGNED_ENV_RE = re.compile(
+    r"^\\begin\{(aligned|gathered|align\*?|gather\*?)\}(.*)\\end\{\1\}$", re.S
+)
+
+
+def strip_delimiters(text: str) -> tuple[str, str, str]:
+    """Return (open, inner, close); empty delimiters if none matched."""
+    for o, c in DELIMITER_PAIRS:
+        if text.startswith(o) and text.endswith(c) and len(text) >= len(o) + len(c):
+            return o, text[len(o):len(text) - len(c)], c
+    return "", text, ""
+
+
+def normalize_display_formula(raw: str) -> str:
+    """Canonicalize a display-math block to ``$$<content>$$``.
+
+    Accepts ``$$..$$`` and ``\\[..\\]`` with arbitrary inner padding
+    (M7: parsers/dots_ocr/__main__.py:44-53).
+    """
+    s = raw.strip()
+    if s.startswith("\\[") and s.endswith("\\]"):
+        inner = s[2:-2]
+    elif s.startswith("$$") and s.endswith("$$"):
+        inner = s[2:-2]
+    else:
+        inner = s
+    return "$$" + inner.strip() + "$$"
+
+
+def split_grouped_formula(content: str) -> list[str]:
+    r"""Deterministic replacement for the reference's LLM grouped-formula
+    split (segment_extractor.py:493-604): strip an aligned/gathered env if
+    present, then split on ``\\`` row separators, preserving order."""
+    c = content.strip()
+    m = _ALIGNED_ENV_RE.match(c)
+    if m:
+        c = m.group(2).strip()
+    parts = [p.strip() for p in c.split("\\\\")]
+    return [p for p in parts if p]
+
+
+def preprocess_unicode(text: str) -> str:
+    """Unicode sub/superscript digits → LaTeX (formula_renderer.py:38-46)."""
+    for k, v in _SUBSCRIPT_MAP.items():
+        text = text.replace(k, v)
+    for k, v in _SUPERSCRIPT_MAP.items():
+        text = text.replace(k, v)
+    return text
+
+
+def unescape_control(text: str) -> str:
+    r"""Unescape ``\n``/``\t`` unless a LaTeX command follows
+    (negative lookahead, segment_extractor.py:654-657)."""
+    return _ESCAPED_TAB_RE.sub("\t", _ESCAPED_NL_RE.sub("\n", text))
+
+
+def normalize_for_matching(text: str) -> str:
+    """Strip all whitespace and backslashes (segment_extractor.py:660-661)."""
+    return _WS_BACKSLASH_RE.sub("", text)
+
+
+def formula_delimiter_bonus(text: str) -> float:
+    """Boundary-refinement bonus for intact delimiters
+    (segment_extractor.py:609-625): +2.5 for $$/\\[..\\], +1.5 for $/\\(..\\)."""
+    s = text.strip()
+    if (s.startswith("$$") and s.endswith("$$") and len(s) >= 4) or (
+        s.startswith("\\[") and s.endswith("\\]")
+    ):
+        return 2.5
+    if (s.startswith("$") and s.endswith("$") and len(s) >= 2) or (
+        s.startswith("\\(") and s.endswith("\\)")
+    ):
+        return 1.5
+    return 0.0
+
+
+def parse_score(text: str) -> int:
+    """First integer in a judge response, clamped to [0, 10]
+    (eval/llm_judge.py:133-140, :202)."""
+    m = re.search(r"-?\d+", text)
+    if not m:
+        return 0
+    return max(0, min(10, int(m.group())))

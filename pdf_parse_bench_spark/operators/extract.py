@@ -1,0 +1,188 @@
+"""DataFrame-native extraction pipeline (the engine's core path).
+
+Stages (all vectorized — kernels run inside Arrow batches on executors,
+never per-row at the driver; north_rule):
+
+  markdown corpus ──► compute_boilerplate (corpus-level repeated first/last
+                      line aggregation — the distributed analog of the
+                      reference's per-page y-cluster header/footer strip, P2)
+                 ──► extract_spans (mapInPandas over size-rebalanced rows)
+  layout blocks  ──► extract_spans_from_layout (applyInPandas per doc_id:
+                      XY-cut reading order + category strip)
+  pdf bytes      ──► parse_pdfs (mapInPandas byte-stream tokenizer, M2)
+  golden+markdown──► align_extractions (cogrouped applyInPandas, the
+                      GT-guided "extract" stage J1/J2/J5/J6)
+
+Reference lifecycle being replaced: pipeline/pipeline.py:62-139 (per-doc
+thread pools → Spark task parallelism, SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from pdf_parse_bench_spark import schemas
+from pdf_parse_bench_spark.kernels.alignment import align_spans
+from pdf_parse_bench_spark.kernels.layout import blocks_to_spans
+from pdf_parse_bench_spark.kernels.markdown import parse_markdown
+from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_text
+from pdf_parse_bench_spark.operators.skew import rebalance_by_size
+
+_SPAN_COLS = ["doc_id", "offset", "kind", "text", "media_ref"]
+
+
+def compute_boilerplate(md_df: DataFrame, min_docs: int = 5) -> DataFrame:
+    """Lines that appear as the first or last non-empty line of >= min_docs
+    documents. Pure relational plan (two narrow projections + groupBy), so
+    Catalyst pushes the column pruning into the scan; the result is tiny and
+    meant to be broadcast into the extraction kernel."""
+    lines = md_df.select(
+        "doc_id",
+        F.filter(
+            F.transform(F.split("markdown", "\n"), lambda l: F.trim(l)),
+            lambda l: l != "",
+        ).alias("lines"),
+    )
+    edges = lines.select(
+        "doc_id",
+        F.array_distinct(
+            F.array(F.element_at("lines", 1), F.element_at("lines", -1))
+        ).alias("edge"),
+    ).select("doc_id", F.explode("edge").alias("line"))
+    return (
+        edges.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+
+
+def _collect_boilerplate(md_df: DataFrame, min_docs: int = 5) -> frozenset[str]:
+    return frozenset(r.line for r in compute_boilerplate(md_df, min_docs).collect())
+
+
+def extract_spans(md_df: DataFrame, boilerplate: frozenset[str] | None = None,
+                  rebalance: bool = True) -> DataFrame:
+    """Unguided extraction: markdown → ordered spans (flagship path)."""
+    if boilerplate is None:
+        boilerplate = _collect_boilerplate(md_df)
+    spark = md_df.sparkSession
+    bp = spark.sparkContext.broadcast(boilerplate)
+    if rebalance:
+        md_df = rebalance_by_size(md_df, size_col=F.length("markdown"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bset = bp.value
+        for pdf in batches:
+            out = {c: [] for c in _SPAN_COLS}
+            for doc_id, md in zip(pdf["doc_id"], pdf["markdown"]):
+                for s in parse_markdown(md, bset):
+                    out["doc_id"].append(doc_id)
+                    out["offset"].append(s["offset"])
+                    out["kind"].append(s["kind"])
+                    out["text"].append(s["text"])
+                    out["media_ref"].append(s["media_ref"])
+            yield pd.DataFrame(out)
+
+    return md_df.mapInPandas(run, schema=schemas.EXTRACTED_SPANS_SCHEMA)
+
+
+def extract_spans_from_layout(blocks_df: DataFrame,
+                              keep_media: bool = True) -> DataFrame:
+    """Layout path: grouped per doc_id (blocks arrive exploded and shuffled;
+    XY-cut restores reading order from geometry alone)."""
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        blocks = pdf[["page_no", "bbox", "category", "text"]].to_dict("records")
+        spans = blocks_to_spans(blocks, keep_media=keep_media)
+        return pd.DataFrame(
+            {
+                "doc_id": [key[0]] * len(spans),
+                "offset": [s["offset"] for s in spans],
+                "kind": [s["kind"] for s in spans],
+                "text": [s["text"] for s in spans],
+                "media_ref": [s["media_ref"] for s in spans],
+            }
+        )
+
+    return blocks_df.groupBy("doc_id").applyInPandas(
+        run, schema=schemas.EXTRACTED_SPANS_SCHEMA
+    )
+
+
+def parse_pdfs(pdf_df: DataFrame, rebalance: bool = True) -> DataFrame:
+    """Raw-PDF path (M2): byte-stream tokenizer inside Arrow batches."""
+    if rebalance:
+        pdf_df = rebalance_by_size(pdf_df, size_col=F.length("pdf_bytes"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text": [extract_pdf_text(bytes(b)) for b in pdf["pdf_bytes"]],
+                }
+            )
+
+    return pdf_df.mapInPandas(run, schema=schemas.PDF_TEXT_SCHEMA)
+
+
+def align_extractions(md_df: DataFrame, golden_df: DataFrame,
+                      boilerplate: frozenset[str] | None = None) -> DataFrame:
+    """GT-guided alignment (reference extract stage): cogroup markdown with
+    golden spans on doc_id — both sides shuffle once on the same key, the
+    kernel never sees more than one document at a time."""
+    if boilerplate is None:
+        boilerplate = _collect_boilerplate(md_df)
+    bp = md_df.sparkSession.sparkContext.broadcast(boilerplate)
+
+    def run(key: tuple, md: pd.DataFrame, gt: pd.DataFrame) -> pd.DataFrame:
+        if md.empty or gt.empty:
+            return pd.DataFrame({c: [] for c in _SPAN_COLS})
+        gt = gt.sort_values("offset")
+        golden = gt[["kind", "text", "media_ref"]].to_dict("records")
+        spans = align_spans(golden, md["markdown"].iloc[0], bp.value)
+        return pd.DataFrame(
+            {
+                "doc_id": [key[0]] * len(spans),
+                "offset": [s["offset"] for s in spans],
+                "kind": [s["kind"] for s in spans],
+                "text": [s["text"] for s in spans],
+                "media_ref": [s["media_ref"] for s in spans],
+            }
+        )
+
+    return (
+        md_df.groupBy("doc_id")
+        .cogroup(golden_df.groupBy("doc_id"))
+        .applyInPandas(run, schema=schemas.EXTRACTED_SPANS_SCHEMA)
+    )
+
+
+def assemble_markdown(spans_df: DataFrame) -> DataFrame:
+    """U1/M10 page-assembly inverse: ordered spans → one markdown string per
+    doc via collect_list over a window — pure relational, no UDF."""
+    return (
+        spans_df.where((F.col("text") != "") | (F.col("kind") == "image"))
+        .withColumn(
+            "piece",
+            F.when(F.col("kind") == "image",
+                   F.concat(F.lit("!["), F.lit("]("), F.col("media_ref"), F.lit(")")))
+            .otherwise(F.col("text")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("offset", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                ),
+                "\n\n",
+            ).alias("markdown")
+        )
+    )

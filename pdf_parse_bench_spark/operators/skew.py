@@ -1,0 +1,63 @@
+"""Skew handling for UDF stages (north_rule: salted repartitioning on doc_id).
+
+AQE's skew-join splitting does not cover pandas-UDF stage skew (a 50x-sized
+document stalls one task, invisible to the optimizer — SURVEY.md §4). Design
+constraint: nothing here may serialize through the driver or a single-
+partition global sort — a `Window.orderBy(size)` bin-packer would be exact
+but is a deliberate non-choice at 10^12 docs. Instead:
+
+  - rebalance_by_size: hash-uniform spread, except oversized rows (size >
+    quantile-derived threshold) are isolated into their own partition slots
+    so one giant document never shares a task with thousands of normal ones.
+    Fully parallel: one approxQuantile pass + one shuffle.
+  - salted_repartition: classic (key, salt) spread for stages that do not
+    need whole-key grouping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def rebalance_by_size(df: DataFrame, size_col: Column,
+                      num_partitions: int | None = None,
+                      big_quantile: float = 0.99) -> DataFrame:
+    """Repartition so pandas-UDF tasks get balanced work.
+
+    Normal rows: uniform hash spread over `num_partitions`. Rows above the
+    `big_quantile` size threshold: spread over a dedicated extra band of
+    partitions (one straggler cannot hide a thousand small docs behind it,
+    and AQE cannot split a running Python task).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+    sized = df.withColumn("_size", size_col)
+    thr = sized.stat.approxQuantile("_size", [big_quantile], 0.01)
+    threshold = float(thr[0]) if thr else float("inf")
+    n_big = max(4, num_partitions // 4)
+    pid = F.when(
+        F.col("_size") > F.lit(threshold),
+        F.lit(num_partitions) + F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_big)),
+    ).otherwise(F.pmod(F.xxhash64(F.col("doc_id"), F.lit(17)), F.lit(num_partitions)))
+    return (
+        sized.withColumn("_pid", pid)
+        .repartition(num_partitions + n_big, "_pid")
+        .drop("_size", "_pid")
+    )
+
+
+def salted_repartition(df: DataFrame, key: str = "doc_id", n_salts: int = 8,
+                       num_partitions: int | None = None) -> DataFrame:
+    """Spread rows of hot keys across `n_salts` buckets. Only valid before
+    stages that do NOT need whole-key grouping (e.g. map-side transforms,
+    partial aggregations that re-merge later)."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    salted = df.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    return (
+        salted.repartition(num_partitions, F.col(key), F.col("_salt"))
+        .drop("_salt")
+    )
