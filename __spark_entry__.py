@@ -1,38 +1,689 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator from SURVEY.md §2 (plus the training-data-pipeline additions)
+is exposed as a queries() entry with a DuckDB oracle. The extraction paths
+are checked against the *golden span tables* (ground truth by construction —
+the reference's own oracle model, synth_pdf/content.py:104-115): the oracle
+SQL simply reads the golden parquet, so the kernels are held to exact
+span-sequence equality (kind, text, media_ref, order).
+
+Fixture tables are generated deterministically from the driver's parquet
+tables by pdf_parse_bench_spark.fixtures (seeded; committed for sf0.001 and
+sf0.01).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+from pdf_parse_bench_spark import fixtures as fx  # noqa: E402
+from pdf_parse_bench_spark import score_spans  # noqa: E402
+from pdf_parse_bench_spark.functions import (  # noqa: E402
+    epoch_micros,
+    epoch_seconds,
+    normalize_display_expr,
+    normalize_for_matching_expr,
+    parse_score_expr,
+    preprocess_unicode_expr,
+    round_half_up,
+)
+from pdf_parse_bench_spark.operators import aggregates as agg  # noqa: E402
+from pdf_parse_bench_spark.operators import dedup as dd  # noqa: E402
+from pdf_parse_bench_spark.operators import similarity as sim  # noqa: E402
+from pdf_parse_bench_spark.operators import textstats as ts  # noqa: E402
+from pdf_parse_bench_spark.operators.extract import (  # noqa: E402
+    _collect_boilerplate,
+    align_extractions,
+    assemble_markdown,
+    compute_boilerplate,
+    extract_spans,
+    extract_spans_from_layout,
+    parse_pdfs,
+)
+from pdf_parse_bench_spark.operators.media import media_features  # noqa: E402
+from pdf_parse_bench_spark.operators.resume import (  # noqa: E402
+    extract_with_lineage,
+    lineage_of,
+)
+from pdf_parse_bench_spark.streaming import sessionize, windowed_event_counts  # noqa: E402
+
+# The driver's oracle runs at sf0.01; SQL literals must point at a fixed path.
+ORACLE_FX = str(REPO / "fixtures" / "sf0.01")
+
+
+def _f(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    d = fx.ensure_fixtures(sf_dir)
+    return spark.read.parquet(str(d / f"{name}.parquet"))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship smoke query
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full unguided extraction (markdown → ordered spans) on
+    sf0.001; the driver checks rows>0 and a stable schema."""
+    sf_dir = "/root/testdata/sf0.001"
+    md = _f(spark, sf_dir, "parsed_markdown")
+    return extract_spans(md)
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- extraction pipeline (golden-oracle checked) ----
+    q["extract_spans"] = lambda s, d: extract_spans(_f(s, d, "parsed_markdown"))
+    q["align_extractions"] = lambda s, d: align_extractions(
+        _f(s, d, "parsed_markdown"),
+        _f(s, d, "golden_spans").select("doc_id", "offset", "kind", "text", "media_ref"),
+    )
+    q["layout_spans"] = lambda s, d: extract_spans_from_layout(
+        _f(s, d, "layout_blocks")
+    )
+    q["pdf_parse"] = lambda s, d: parse_pdfs(_f(s, d, "pdf_docs"))
+    q["boilerplate_lines"] = lambda s, d: compute_boilerplate(
+        _f(s, d, "parsed_markdown")
+    )
+    q["span_match_rate"] = lambda s, d: score_spans(
+        extract_spans(_f(s, d, "parsed_markdown")),
+        _f(s, d, "golden_spans"),
+    )
+    def extract_lineage(s, d):
+        md = _f(s, d, "parsed_markdown")
+        bp = _collect_boilerplate(md)
+        return lineage_of(extract_with_lineage(md, boilerplate=bp)).select(
+            "doc_id", "status", F.col("n_spans").cast("long").alias("n_spans")
+        )
+    q["extract_lineage"] = extract_lineage
+
+    # ---- projections / filters / sequencing over the span model ----
+    def span_kind_projection(s, d):
+        docs = _f(s, d, "spans_documents")
+        return (
+            docs.select("doc_id", F.explode("spans").alias("s"))
+            .where(F.col("s.kind").isin("table", "inline-formula", "display-formula"))
+            .select("doc_id", F.col("s.offset").alias("offset"),
+                    F.col("s.kind").alias("kind"), F.col("s.text").alias("text"))
+        )
+    q["span_kind_projection"] = span_kind_projection
+
+    def span_sequencing(s, d):
+        docs = _f(s, d, "spans_documents")
+        return (
+            docs.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+            .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.offset").alias("offset"))
+        )
+    q["span_sequencing"] = span_sequencing
+
+    q["empty_filter"] = lambda s, d: (
+        _f(s, d, "golden_spans")
+        .where((F.trim(F.col("text")) != "") & (F.col("kind") != "image"))
+        .select("doc_id", "offset", "kind")
+    )
+    q["page_assembly"] = lambda s, d: assemble_markdown(
+        _f(s, d, "golden_spans")
+    )
+    q["media_features"] = lambda s, d: media_features(
+        _f(s, d, "golden_spans")
+    )
+
+    # ---- scalar functions ----
+    def delimiter_normalization(s, d):
+        md = _f(s, d, "parsed_markdown")
+        pat = r"(\$\$[\s\S]*?\$\$|\\\[[\s\S]*?\\\])"
+        return md.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all("markdown", F.lit(pat), F.lit(0))).alias("raw"),
+        ).select(
+            "doc_id",
+            normalize_display_expr("raw").alias("canon"),
+        )
+    q["delimiter_normalization"] = delimiter_normalization
+
+    q["normalize_for_matching"] = lambda s, d: (
+        _f(s, d, "golden_spans")
+        .where(F.col("kind").isin("inline-formula", "display-formula"))
+        .select("doc_id", "offset",
+                normalize_for_matching_expr("text").alias("norm"))
+    )
+    q["score_parse_clamp"] = lambda s, d: (
+        _f(s, d, "extraction_scores")
+        .select("doc_id", "index", "parser_name", "judge_model",
+                parse_score_expr("raw_response").alias("parsed_score"))
+    )
+    q["unicode_normalization"] = lambda s, d: (
+        _f(s, d, "golden_spans")
+        .where(F.col("kind") == "inline-formula")
+        .select("doc_id", "offset",
+                preprocess_unicode_expr("text").alias("latex"))
+    )
+
+    # ---- aggregates / window / anti-join ----
+    q["grouped_mean_scores"] = lambda s, d: _cast_n(
+        agg.grouped_mean_scores(_f(s, d, "extraction_scores")))
+    q["score_cube"] = lambda s, d: _cast_n(
+        agg.score_cube(_f(s, d, "extraction_scores"))
+    ).withColumn("gid", F.col("gid").cast("long"))
+    q["benchmark_counts"] = lambda s, d: (
+        agg.benchmark_counts(_f(s, d, "extraction_scores"))
+        .select("parser_name",
+                F.col("num_docs").cast("long").alias("num_docs"),
+                F.col("total_inline_formulas").cast("long").alias("total_inline_formulas"),
+                F.col("total_display_formulas").cast("long").alias("total_display_formulas"),
+                F.col("total_tables").cast("long").alias("total_tables"))
+    )
+    q["extraction_quality"] = lambda s, d: (
+        agg.extraction_quality(_f(s, d, "extraction_scores"))
+        .select("doc_id", "parser_name",
+                F.col("n_failed").cast("long").alias("n_failed"),
+                F.col("n_errors").cast("long").alias("n_errors"),
+                F.col("n_scored").cast("long").alias("n_scored"))
+    )
+    q["leaderboard"] = lambda s, d: (
+        agg.leaderboard(_f(s, d, "extraction_scores"))
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+    q["pending_scores"] = lambda s, d: agg.pending_scores(
+        _f(s, d, "extraction_scores")
+    )
+
+    # ---- dedup suite (driver tables) ----
+    q["dedup_exact"] = lambda s, d: _cast(
+        dd.dedup_exact(_t(s, d, "documents")), dup_count="long")
+    q["minhash_signatures"] = lambda s, d: (
+        dd.minhash_signatures(_t(s, d, "documents"))
+        .select("doc_id", F.array_join("signature", "|").alias("sig"))
+    )
+    q["lsh_candidate_pairs"] = lambda s, d: dd.lsh_candidate_pairs(
+        _t(s, d, "documents"))
+    q["ngram_jaccard_pairs"] = lambda s, d: dd.ngram_jaccard_pairs(
+        _t(s, d, "documents"))
+    q["simhash_signatures"] = lambda s, d: _cast(
+        dd.simhash_signatures(_t(s, d, "documents")), simhash="long")
+    q["embedding_near_dups"] = lambda s, d: dd.embedding_near_dups(
+        _t(s, d, "embeddings"))
+
+    # ---- similarity search ----
+    q["ann_topk"] = lambda s, d: _cast(
+        sim.brute_force_topk(_t(s, d, "embeddings")), rank="long")
+    q["ann_lsh"] = lambda s, d: _cast(
+        sim.lsh_topk(_t(s, d, "embeddings")), rank="long")
+
+    # ---- text analysis ----
+    q["lang_id"] = lambda s, d: _cast(
+        ts.lang_id(_t(s, d, "documents")), marker_hits="long")
+    q["quality_score"] = lambda s, d: _cast(
+        ts.quality_score(_t(s, d, "documents")), n_chars="long", n_words="long")
+    q["token_counts"] = lambda s, d: _cast(
+        ts.token_counts(_t(s, d, "documents")), ws_tokens="long", regex_tokens="long")
+    q["fingerprint"] = lambda s, d: ts.fingerprint(_t(s, d, "documents"))
+
+    # ---- relational / events ----
+    def tpch_q1(s, d):
+        li = _t(s, d, "lineitem")
+        return (
+            # epoch-based cutoff (tz-proof across engines): 1998-09-02 UTC
+            li.where(epoch_seconds("l_shipdate") <= 904694400)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+                round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                round_half_up(F.avg("l_quantity")).alias("avg_qty"),
+                round_half_up(F.avg("l_discount")).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+    q["tpch_q1"] = tpch_q1
+
+    def revenue_by_region(s, d):
+        o = _t(s, d, "orders")
+        c = _t(s, d, "customer")
+        n = _t(s, d, "nation")
+        r = _t(s, d, "region")
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(round_half_up(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders"))
+        )
+    q["revenue_by_region"] = revenue_by_region
+
+    def top_events_per_user(s, d):
+        from pyspark.sql import Window
+        ev = _t(s, d, "events")
+        w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("user_id", "event_id", "value", F.col("rn").cast("long").alias("rn"))
+        )
+    q["top_events_per_user"] = top_events_per_user
+
+    def sessionize_events(s, d):
+        out = sessionize(_t(s, d, "events"))
+        return out.select(
+            "user_id",
+            F.col("session_no").cast("long").alias("session_no"),
+            F.col("n_events").cast("long").alias("n_events"),
+            epoch_micros("session_start").alias("start_epoch"),
+            epoch_micros("session_end").alias("end_epoch"),
+            "session_value",
+        )
+    q["sessionize_events"] = sessionize_events
+
+    def windowed_counts(s, d):
+        out = windowed_event_counts(_t(s, d, "events"))
+        return out.select(
+            epoch_seconds("window_start").alias("window_epoch"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            round_half_up(F.col("total_value"), 2).alias("total_value"),
+        )
+    q["windowed_counts"] = windowed_counts
+
+    return q
+
+
+def _cast(df: DataFrame, **types: str) -> DataFrame:
+    for c, t in types.items():
+        df = df.withColumn(c, F.col(c).cast(t))
+    return df
+
+
+def _cast_n(df: DataFrame) -> DataFrame:
+    return df.withColumn("n", F.col("n").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql — DuckDB equivalents (views pre-registered for the driver
+# tables; fixture tables referenced by absolute parquet path at sf0.01)
+# ---------------------------------------------------------------------------
+
+_GOLD = f"'{ORACLE_FX}/golden_spans.parquet'"
+_GLAY = f"'{ORACLE_FX}/golden_layout_spans.parquet'"
+_GPDF = f"'{ORACLE_FX}/golden_pdf_text.parquet'"
+_MD = f"'{ORACLE_FX}/parsed_markdown.parquet'"
+_SC = f"'{ORACLE_FX}/extraction_scores.parquet'"
+
+_WORDS_CTE = (
+    "words AS (SELECT doc_id, list_filter(string_split_regex(trim(text), ' +'),"
+    " x -> x <> '') AS w FROM documents)"
+)
+
+_SHINGLES_CTE = _WORDS_CTE + (
+    ", sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+    "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+    "ELSE [array_to_string(w, ' ')] END AS shingles FROM words)"
+)
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5(s || '#{i}'))) AS mh{i}"
+        for i in range(dd.MINHASH_K)
+    )
+    return f"WITH {_SHINGLES_CTE} SELECT doc_id, {mins} FROM sh"
+
+
+def _lsh_bands_sql() -> str:
+    band_rows = []
+    for b in range(dd.LSH_BANDS):
+        cols = " || '|' || ".join(
+            f"mh{b * dd.LSH_ROWS + r}" for r in range(dd.LSH_ROWS)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sig")
+    return f"sig AS ({_minhash_sql()}), bands AS ({' UNION ALL '.join(band_rows)})"
+
+
+def _lsh_pairs_sql() -> str:
+    return (
+        f"WITH {_lsh_bands_sql()} "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key "
+        "AND a.doc_id < b.doc_id"
+    )
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(h, {b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(dd.SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(dd.SIMHASH_BITS)
+    )
+    return (
+        f"WITH {_WORDS_CTE}, "
+        "h AS (SELECT doc_id, md5(unnest(w)) AS h FROM words), "
+        f"v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM v"
+    )
+
+
+_EMB_NORM_CTE = (
+    "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings), "
+    "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm, "
+    "concat({buckets}) AS bucket FROM v)"
+)
+
+
+def _bucket_expr(dims: int) -> str:
+    return ", ".join(
+        f"CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(dims)
+    )
+
+
+_LANG_SCORES = {
+    lang: f"len(list_filter(w, x -> list_contains({list(m)}, x)))"
+    for lang, m in ts.LANG_MARKERS.items()
+}
+_LANGS_SORTED = sorted(ts.LANG_MARKERS)
+_BEST = "greatest(" + ", ".join(f"s_{la}" for la in _LANGS_SORTED) + ")"
+_PRED_CASE = (
+    "CASE WHEN " + _BEST + " <= 0 THEN 'unknown' "
+    + " ".join(f"WHEN s_{la} = {_BEST} THEN '{la}'" for la in _LANGS_SORTED)
+    + " ELSE 'unknown' END"
+)
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in ts.STOPWORDS) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    # ---- extraction: oracle == golden tables (exact-equality gate) ----
+    o["extract_spans"] = (
+        f'SELECT doc_id, "offset", kind, text, media_ref FROM {_GOLD}'
+    )
+    o["align_extractions"] = o["extract_spans"]
+    o["layout_spans"] = (
+        f'SELECT doc_id, "offset", kind, text, media_ref FROM {_GLAY}'
+    )
+    o["pdf_parse"] = f"SELECT doc_id, text FROM {_GPDF}"
+    o["boilerplate_lines"] = (
+        "WITH lines AS (SELECT doc_id, list_filter(list_transform("
+        "string_split(markdown, chr(10)), x -> trim(x)), x -> x <> '') AS ls "
+        f"FROM {_MD}), "
+        "edges AS (SELECT doc_id, unnest(list_distinct([ls[1], ls[-1]])) AS line "
+        "FROM lines WHERE len(ls) > 0) "
+        "SELECT line FROM edges GROUP BY line HAVING count(DISTINCT doc_id) >= 5"
+    )
+    o["span_match_rate"] = (
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_golden, "
+        "CAST(count(*) AS BIGINT) AS n_matched, CAST(1.0 AS DOUBLE) AS match_rate "
+        f"FROM {_GOLD} GROUP BY doc_id"
+    )
+    o["extract_lineage"] = (
+        "SELECT doc_id, 'ok' AS status, CAST(count(*) AS BIGINT) AS n_spans "
+        f"FROM {_GOLD} GROUP BY doc_id"
+    )
+
+    # ---- span-model projections (golden_spans == exploded spans table) ----
+    o["span_kind_projection"] = (
+        f'SELECT doc_id, "offset", kind, text FROM {_GOLD} '
+        "WHERE kind IN ('table', 'inline-formula', 'display-formula')"
+    )
+    o["span_sequencing"] = (
+        f'SELECT doc_id, "offset" AS pos, kind, "offset" FROM {_GOLD}'
+    )
+    o["empty_filter"] = (
+        f'SELECT doc_id, "offset", kind FROM {_GOLD} '
+        "WHERE trim(text) <> '' AND kind <> 'image'"
+    )
+    o["page_assembly"] = (
+        "SELECT doc_id, string_agg("
+        "CASE WHEN kind = 'image' THEN '![](' || media_ref || ')' ELSE text END, "
+        'chr(10) || chr(10) ORDER BY "offset") AS markdown '
+        f"FROM {_GOLD} WHERE text <> '' OR kind = 'image' GROUP BY doc_id"
+    )
+    o["media_features"] = (
+        'SELECT doc_id, "offset", media_ref, '
+        "CAST(regexp_extract(media_ref, 'page_(\\d+)_(\\d+)_(\\d+)_(\\d+)\\.png', 1) AS INT) AS x, "
+        "CAST(regexp_extract(media_ref, 'page_(\\d+)_(\\d+)_(\\d+)_(\\d+)\\.png', 2) AS INT) AS y, "
+        "CAST(regexp_extract(media_ref, 'page_(\\d+)_(\\d+)_(\\d+)_(\\d+)\\.png', 3) AS INT) AS w, "
+        "CAST(regexp_extract(media_ref, 'page_(\\d+)_(\\d+)_(\\d+)_(\\d+)\\.png', 4) AS INT) AS h, "
+        "CAST(regexp_extract(media_ref, 'page_(\\d+)_(\\d+)_(\\d+)_(\\d+)\\.png', 3) AS INT) * "
+        "CAST(regexp_extract(media_ref, 'page_(\\d+)_(\\d+)_(\\d+)_(\\d+)\\.png', 4) AS INT) AS area "
+        f"FROM {_GOLD} WHERE kind = 'image'"
+    )
+
+    # ---- scalar functions ----
+    o["delimiter_normalization"] = (
+        "WITH raws AS (SELECT doc_id, unnest(regexp_extract_all(markdown, "
+        r"'(\$\$[\s\S]*?\$\$|\\\[[\s\S]*?\\\])')) AS raw "
+        f"FROM {_MD}) "
+        "SELECT doc_id, '$$' || trim(CASE "
+        "WHEN raw LIKE '$$%' THEN substring(raw, 3, length(raw) - 4) "
+        "WHEN raw LIKE '\\[%' THEN substring(raw, 3, length(raw) - 4) "
+        "ELSE raw END) || '$$' AS canon FROM raws"
+    )
+    o["normalize_for_matching"] = (
+        'SELECT doc_id, "offset", ' r"regexp_replace(text, '[\s\\]+', '', 'g') AS norm "
+        f"FROM {_GOLD} WHERE kind IN ('inline-formula', 'display-formula')"
+    )
+    o["score_parse_clamp"] = (
+        "SELECT doc_id, index, parser_name, judge_model, "
+        r"least(greatest(coalesce(TRY_CAST(regexp_extract(raw_response, '(-?\d+)', 1) "
+        "AS INTEGER), 0), 0), 10) AS parsed_score "
+        f"FROM {_SC}"
+    )
+    _uni = "text"
+    for i, ch in enumerate("₀₁₂₃₄₅₆₇₈₉"):
+        _uni = f"replace({_uni}, '{ch}', '_{i}')"
+    for i, ch in enumerate("⁰¹²³⁴⁵⁶⁷⁸⁹"):
+        _uni = f"replace({_uni}, '{ch}', '^{i}')"
+    o["unicode_normalization"] = (
+        f'SELECT doc_id, "offset", {_uni} AS latex FROM {_GOLD} '
+        "WHERE kind = 'inline-formula'"
+    )
+
+    # ---- aggregates ----
+    o["grouped_mean_scores"] = (
+        "SELECT parser_name, kind, judge_model, floor((avg(score)) * 1000000 + 0.5) / 1000000 AS avg_score, "
+        f"CAST(count(*) AS BIGINT) AS n FROM {_SC} "
+        "GROUP BY parser_name, kind, judge_model"
+    )
+    o["score_cube"] = (
+        "SELECT kind, complexity, floor((avg(score)) * 1000000 + 0.5) / 1000000 AS avg_score, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(GROUPING(kind, complexity) AS BIGINT) AS gid FROM {_SC} "
+        "GROUP BY CUBE (kind, complexity)"
+    )
+    o["benchmark_counts"] = (
+        "SELECT parser_name, CAST(count(DISTINCT doc_id) AS BIGINT) AS num_docs, "
+        "CAST(sum(CASE WHEN kind = 'inline-formula' THEN 1 ELSE 0 END) AS BIGINT) AS total_inline_formulas, "
+        "CAST(sum(CASE WHEN kind = 'display-formula' THEN 1 ELSE 0 END) AS BIGINT) AS total_display_formulas, "
+        "CAST(sum(CASE WHEN kind = 'table' THEN 1 ELSE 0 END) AS BIGINT) AS total_tables "
+        f"FROM {_SC} GROUP BY parser_name"
+    )
+    o["extraction_quality"] = (
+        "SELECT doc_id, parser_name, "
+        "CAST(sum(CASE WHEN score = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed, "
+        "CAST(sum(len(errors)) AS BIGINT) AS n_errors, "
+        "CAST(count(*) AS BIGINT) AS n_scored "
+        f"FROM {_SC} GROUP BY doc_id, parser_name"
+    )
+    o["leaderboard"] = (
+        "WITH a AS (SELECT parser_name, floor((avg(score)) * 1000000 + 0.5) / 1000000 AS avg_score "
+        f"FROM {_SC} WHERE judge_model = 'judge-x' GROUP BY parser_name) "
+        "SELECT parser_name, avg_score, CAST(row_number() OVER "
+        "(ORDER BY avg_score DESC, parser_name) AS BIGINT) AS rank FROM a"
+    )
+    o["pending_scores"] = (
+        f"SELECT DISTINCT doc_id, index, parser_name FROM {_SC} "
+        "EXCEPT "
+        f"SELECT DISTINCT doc_id, index, parser_name FROM {_SC} "
+        "WHERE judge_model = 'judge-y'"
+    )
+
+    # ---- dedup ----
+    o["dedup_exact"] = (
+        "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "
+        "CAST(count(*) AS BIGINT) AS dup_count FROM documents GROUP BY md5(text)"
+    )
+    sig_cols = " || '|' || ".join(f"mh{i}" for i in range(dd.MINHASH_K))
+    o["minhash_signatures"] = (
+        f"WITH sig AS ({_minhash_sql()}) SELECT doc_id, {sig_cols} AS sig FROM sig"
+    )
+    o["lsh_candidate_pairs"] = _lsh_pairs_sql()
+    o["ngram_jaccard_pairs"] = (
+        f"WITH {_lsh_bands_sql()}, "
+        "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key "
+        "AND a.doc_id < b.doc_id), "
+        f"dsh AS (SELECT doc_id, list_distinct(shingles) AS sh FROM ({_minhash_shingles_only()})) "
+        "SELECT doc_a, doc_b, floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1000000 + 0.5) / 1000000 AS jaccard "
+        "FROM (SELECT doc_a, doc_b, "
+        "len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS inter, "
+        "len(x.sh) AS la, len(y.sh) AS lb "
+        "FROM cands JOIN dsh x ON cands.doc_a = x.doc_id "
+        "JOIN dsh y ON cands.doc_b = y.doc_id) "
+        "WHERE floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1000000 + 0.5) / 1000000 >= 0.5"
+    )
+    o["simhash_signatures"] = _simhash_sql()
+    emb_cte3 = _EMB_NORM_CTE.format(buckets=_bucket_expr(3))
+    o["embedding_near_dups"] = (
+        f"WITH {emb_cte3} "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 1000000 + 0.5) / 1000000 AS cosine "
+        "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+        "WHERE floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 1000000 + 0.5) / 1000000 >= 0.85"
+    )
+
+    # ---- similarity ----
+    emb_cte2 = _EMB_NORM_CTE.format(buckets=_bucket_expr(2))
+    o["ann_topk"] = (
+        f"WITH {emb_cte2}, "
+        "q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < 5), "
+        "scored AS (SELECT q.query_id, n.vec_id, "
+        "floor((list_dot_product(q.qv, n.v) / (q.qnorm * n.norm)) * 1000000 + 0.5) / 1000000 AS cosine "
+        "FROM n, q WHERE n.vec_id <> q.query_id) "
+        "SELECT query_id, vec_id, cosine, rank FROM ("
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM scored) "
+        "WHERE rank <= 10"
+    )
+    o["ann_lsh"] = (
+        f"WITH {emb_cte2}, "
+        "q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket FROM n "
+        "WHERE vec_id < 5), "
+        "scored AS (SELECT q.query_id, n.vec_id, "
+        "floor((list_dot_product(q.qv, n.v) / (q.qnorm * n.norm)) * 1000000 + 0.5) / 1000000 AS cosine "
+        "FROM n JOIN q ON n.bucket = q.bucket WHERE n.vec_id <> q.query_id) "
+        "SELECT query_id, vec_id, cosine, rank FROM ("
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM scored) "
+        "WHERE rank <= 10"
+    )
+
+    # ---- text analysis ----
+    scores_sql = ", ".join(
+        f"{expr} AS s_{lang}" for lang, expr in _LANG_SCORES.items()
+    )
+    o["lang_id"] = (
+        f"WITH {_WORDS_CTE}, s AS (SELECT doc_id, {scores_sql} FROM words) "
+        f"SELECT doc_id, {_PRED_CASE} AS pred_lang, "
+        f"CAST({_BEST} AS BIGINT) AS marker_hits FROM s"
+    )
+    o["quality_score"] = (
+        f"WITH {_WORDS_CTE}, base AS (SELECT d.doc_id, d.text, w.w FROM documents d "
+        "JOIN words w ON d.doc_id = w.doc_id), "
+        "m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(len(w) AS BIGINT) AS n_words, "
+        "length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct, "
+        f"len(list_filter(w, x -> list_contains({_STOP_LIST}, x))) AS stop_hits "
+        "FROM base) "
+        "SELECT doc_id, n_chars, n_words, "
+        "floor((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 1000000 + 0.5) / 1000000 AS punct_ratio, "
+        "floor((CAST(stop_hits AS DOUBLE) / greatest(n_words, 1)) * 1000000 + 0.5) / 1000000 AS stopword_ratio, "
+        "floor((CAST(n_chars - (n_words - 1) AS DOUBLE) / greatest(n_words, 1)) * 1000000 + 0.5) / 1000000 AS mean_word_len, "
+        "floor((least(n_words / 50.0, 1.0) * 0.4 "
+        "+ (1.0 - least(floor((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 1000000 + 0.5) / 1000000 * 5, 1.0)) * 0.3 "
+        "+ least(floor((CAST(stop_hits AS DOUBLE) / greatest(n_words, 1)) * 1000000 + 0.5) / 1000000 * 5, 1.0) * 0.3"
+        ") * 1000000 + 0.5) / 1000000 AS quality "
+        "FROM m"
+    )
+    o["token_counts"] = (
+        f"WITH {_WORDS_CTE} "
+        "SELECT d.doc_id, CAST(len(w.w) AS BIGINT) AS ws_tokens, "
+        r"CAST(len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS regex_tokens "
+        "FROM documents d JOIN words w ON d.doc_id = w.doc_id"
+    )
+    o["fingerprint"] = (
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) "
+        "AS fingerprint FROM documents"
+    )
+
+    # ---- relational / events ----
+    o["tpch_q1"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty, "
+        "floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price, "
+        "floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price, "
+        "floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_qty, "
+        "floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc, "
+        "CAST(count(*) AS BIGINT) AS count_order "
+        "FROM lineitem WHERE epoch(l_shipdate) <= 904694400 "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+    o["revenue_by_region"] = (
+        "SELECT r_name, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue, "
+        "CAST(count(*) AS BIGINT) AS n_orders "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name"
+    )
+    o["top_events_per_user"] = (
+        "SELECT user_id, event_id, value, rn FROM ("
+        "SELECT user_id, event_id, value, CAST(row_number() OVER "
+        "(PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rn "
+        "FROM events) WHERE rn <= 3"
+    )
+    o["sessionize_events"] = (
+        "WITH marked AS (SELECT user_id, event_id, ts, value, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, ts, value, CAST(sum(new_session) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no "
+        "FROM marked) "
+        "SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events, "
+        "epoch_us(min(ts)) AS start_epoch, "
+        "epoch_us(max(ts)) AS end_epoch, "
+        "floor((sum(value)) * 1000000 + 0.5) / 1000000 AS session_value "
+        "FROM s GROUP BY user_id, session_no"
+    )
+    o["windowed_counts"] = (
+        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch, "
+        "event_type, CAST(count(*) AS BIGINT) AS n, "
+        "floor((sum(value)) * 100 + 0.5) / 100 AS total_value "
+        "FROM events GROUP BY 1, 2"
+    )
+    return o
+
+
+def _minhash_shingles_only() -> str:
+    return f"WITH {_SHINGLES_CTE} SELECT doc_id, shingles FROM sh"

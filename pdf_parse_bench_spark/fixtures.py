@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v4"  # bump to force regeneration
+FIXTURE_VERSION = "v5"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -391,6 +391,10 @@ def generate_scores(doc_id: int, spans: list[dict]) -> list[dict]:
     for parser in _PARSERS:
         for idx, s in enumerate(scored):
             for judge in _JUDGES:
+                # ~10% of judge-y evaluations are missing — feeds the
+                # pending-score anti-join (eval/llm_judge.py:259-264, P5/U2)
+                if judge == _JUDGES[1] and rng.random() < 0.1:
+                    continue
                 raw = int(rng.integers(-2, 14))  # exercises clamp (llm_judge.py:139)
                 score = max(0, min(10, raw))
                 errs = ["minor-spacing"] if rng.random() < 0.15 else []

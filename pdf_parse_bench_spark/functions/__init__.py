@@ -1,0 +1,76 @@
+"""Scalar column-expression library (the F1-F5 functions as JVM-side
+expressions — no Python in the hot path; kernels/textnorm.py holds the
+pandas-side twins used inside UDF batches)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def round_half_up(col: Column, digits: int = 6) -> Column:
+    """Engine-portable decimal rounding: floor(x*10^d + 0.5)/10^d on IEEE
+    doubles gives bit-identical results in Spark and DuckDB, unlike each
+    engine's native round() whose tie-breaking differs on binary boundaries."""
+    scale = float(10 ** digits)
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def sql_round_half_up(expr: str, digits: int = 6) -> str:
+    scale = 10 ** digits
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def epoch_seconds(col_name: str) -> Column:
+    """Timezone-free whole epoch seconds for TIMESTAMP_NTZ columns (parquet
+    timestamps read as NTZ). Truncates sub-second fractions — use
+    epoch_micros for columns carrying microseconds. DuckDB twin:
+    CAST(floor(epoch(col)) AS BIGINT)."""
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col_name})"
+    )
+
+
+def epoch_micros(col_name: str) -> Column:
+    """Exact epoch microseconds for TIMESTAMP_NTZ columns. DuckDB twin:
+    epoch_us(col)."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col_name})"
+    )
+
+# F4: first integer in a judge response, clamped to [0, 10]
+# (eval/llm_judge.py:133-140)
+def parse_score_expr(col: str = "raw_response") -> Column:
+    raw = F.regexp_extract(col, r"(-?\d+)", 1)
+    n = F.when(raw == "", F.lit(0)).otherwise(raw.cast("int"))
+    return F.least(F.greatest(n, F.lit(0)), F.lit(10))
+
+
+# F3: strip all whitespace + backslashes (segment_extractor.py:660-661)
+def normalize_for_matching_expr(col: str = "text") -> Column:
+    return F.regexp_replace(col, r"[\s\\]+", "")
+
+
+# M7/F5 (relational flavor): \[..\] → $$..$$ with inner trim
+def normalize_display_expr(col: str = "text") -> Column:
+    inner = F.when(
+        F.col(col).startswith("\\[") & F.col(col).endswith("\\]"),
+        F.expr(f"substring({col}, 3, length({col}) - 4)"),
+    ).when(
+        F.col(col).startswith("$$") & F.col(col).endswith("$$"),
+        F.expr(f"substring({col}, 3, length({col}) - 4)"),
+    ).otherwise(F.col(col))
+    return F.concat(F.lit("$$"), F.trim(inner), F.lit("$$"))
+
+
+# F1: unicode sub/superscript digits → LaTeX (formula_renderer.py:38-46).
+_SUB = "₀₁₂₃₄₅₆₇₈₉"
+_SUP = "⁰¹²³⁴⁵⁶⁷⁸⁹"
+
+
+def preprocess_unicode_expr(col: str = "text") -> Column:
+    out = F.col(col)
+    for i, ch in enumerate(_SUB):
+        out = F.replace(out, F.lit(ch), F.lit(f"_{i}"))
+    for i, ch in enumerate(_SUP):
+        out = F.replace(out, F.lit(ch), F.lit(f"^{i}"))
+    return out

@@ -1,0 +1,87 @@
+"""Aggregation / ranking operators over extraction scores.
+
+Reference semantics:
+  A1 grouped mean scores       pipeline/pipeline.py:181-244
+  A2 counts                    pipeline/pipeline.py:175-214
+  A3 extraction-quality        segment_extractor.py:81-85,136-140,159-170
+  W1 leaderboard rank          utilities/generate_benchmark_table.py:52-73
+  U2/P5 pending-score anti-join eval/llm_judge.py:259-264
+
+All are single-shuffle groupBy/window plans with map-side partial
+aggregation — the shapes that scale linearly with executor count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from pdf_parse_bench_spark.functions import round_half_up
+
+
+def grouped_mean_scores(scores: DataFrame) -> DataFrame:
+    """Per (parser, kind, judge_model) average score (A1)."""
+    return (
+        scores.groupBy("parser_name", "kind", "judge_model")
+        .agg(round_half_up(F.avg("score")).alias("avg_score"),
+             F.count("*").alias("n"))
+    )
+
+
+def score_cube(scores: DataFrame) -> DataFrame:
+    """Grouping-sets flavor of A1: cube over (kind, complexity) with a
+    grouping id to disambiguate rollup nulls from data nulls."""
+    return (
+        scores.cube("kind", "complexity")
+        .agg(round_half_up(F.avg("score")).alias("avg_score"),
+             F.count("*").alias("n"),
+             F.grouping_id().alias("gid"))
+    )
+
+
+def benchmark_counts(scores: DataFrame) -> DataFrame:
+    """A2: corpus counts per parser (docs, inline/display formulas, tables)."""
+    return scores.groupBy("parser_name").agg(
+        F.countDistinct("doc_id").alias("num_docs"),
+        F.sum(F.when(F.col("kind") == "inline-formula", 1).otherwise(0)).alias(
+            "total_inline_formulas"
+        ),
+        F.sum(F.when(F.col("kind") == "display-formula", 1).otherwise(0)).alias(
+            "total_display_formulas"
+        ),
+        F.sum(F.when(F.col("kind") == "table", 1).otherwise(0)).alias(
+            "total_tables"
+        ),
+    )
+
+
+def extraction_quality(scores: DataFrame) -> DataFrame:
+    """A3: per (doc, parser) failure metrics — zero scores and error counts."""
+    return scores.groupBy("doc_id", "parser_name").agg(
+        F.sum(F.when(F.col("score") == 0, 1).otherwise(0)).alias("n_failed"),
+        F.sum(F.size("errors")).alias("n_errors"),
+        F.count("*").alias("n_scored"),
+    )
+
+
+def leaderboard(scores: DataFrame, judge_model: str = "judge-x") -> DataFrame:
+    """W1: rank parsers by average score under one judge (desc), rank 1..n,
+    deterministic tie-break on parser_name."""
+    avg = (
+        scores.where(F.col("judge_model") == judge_model)
+        .groupBy("parser_name")
+        .agg(round_half_up(F.avg("score")).alias("avg_score"))
+    )
+    w = Window.orderBy(F.desc("avg_score"), F.asc("parser_name"))
+    return avg.withColumn("rank", F.row_number().over(w))
+
+
+def pending_scores(scores: DataFrame, judge_model: str = "judge-y") -> DataFrame:
+    """U2/P5: (doc, index, parser) units still lacking a given judge's score —
+    the anti-join at the heart of incremental resume."""
+    universe = scores.select("doc_id", "index", "parser_name").distinct()
+    done = (
+        scores.where(F.col("judge_model") == judge_model)
+        .select("doc_id", "index", "parser_name")
+        .distinct()
+    )
+    return universe.join(done, ["doc_id", "index", "parser_name"], "left_anti")

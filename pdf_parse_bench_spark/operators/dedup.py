@@ -1,0 +1,204 @@
+"""Deduplication operators over the `documents` table — built-in-function
+only (JVM-side, whole-stage-codegen friendly); no Python UDFs anywhere.
+
+All hashing is md5-hex (identical in Spark and the DuckDB oracle), and every
+"min over hashes" uses lexicographic order on fixed-width hex, so results are
+engine-independent and deterministic.
+
+Scale notes (100 TB): exact dedup is one hash-shuffle with map-side partial
+aggregation; MinHash/LSH shuffles only (band_key, doc_id) pairs — K=16
+signatures, 4 bands × 4 rows — then self-joins *within* band buckets, so the
+candidate join never goes quadratic in the corpus; verification runs only on
+candidate pairs. SimHash emits one 16-bit signature per doc (fingerprint
+join/grouping downstream is trivial).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pdf_parse_bench_spark.functions import round_half_up
+
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # K = BANDS * ROWS
+SHINGLE_N = 3
+SIMHASH_BITS = 16
+
+
+def _words(col: str = "text"):
+    return F.filter(F.split(F.trim(F.col(col)), " +"), lambda x: x != "")
+
+
+def _shingles(col: str = "text"):
+    """Word n-grams (SHINGLE_N) as strings; docs shorter than N words get a
+    single shingle of the whole text."""
+    w = _words(col)
+    n = F.size(w)
+    return F.when(
+        n >= SHINGLE_N,
+        F.transform(
+            F.sequence(F.lit(1), n - (SHINGLE_N - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + k) for k in range(SHINGLE_N)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); keeps the smallest doc_id per
+    group. One shuffle, partial aggregation map-side."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """K minhash values per doc: min over shingles of md5(shingle||'#'||i).
+    Lexicographic min over hex == min over uniform 128-bit ints."""
+    sh = _shingles().alias("shingles")
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.md5(F.concat(s, F.lit(f"#{i}"))),
+                )
+            ).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    ).alias("signature")
+    return docs.select(F.col("doc_id"), sh).select("doc_id", sig)
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH banding: docs sharing any band key become candidates.
+    Self-join happens per band bucket (shuffle key = band hash)."""
+    sig = minhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("signature", b * LSH_ROWS + r + 1)
+                                    for r in range(LSH_ROWS)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """LSH candidates verified by true shingle-set Jaccard >= threshold.
+    Exact set ops run only on candidate pairs (never corpus-quadratic)."""
+    cands = lsh_candidate_pairs(docs)
+    sh = docs.select(
+        "doc_id", F.array_distinct(_shingles()).alias("sh")
+    )
+    j = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            round_half_up(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return j
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over word unigrams. Bit b's vote uses the MSB of hex
+    nibble b of md5(word) (nibble >= '8'), so the identical expression runs
+    in ANSI SQL."""
+    w = docs.select("doc_id", F.explode(_words()).alias("word"))
+    h = w.select("doc_id", F.md5("word").alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", b + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        sum(
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(bits)
+        ).alias("simhash"),
+    )
+    return sim
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.85,
+                        sign_dims: int = 3) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by the sign pattern of the
+    first `sign_dims` dimensions (2^dims buckets) so the pair join stays
+    bucket-local. Cosine computed in float64 and rounded to 6 dp for
+    engine-independent comparison."""
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "bucket",
+        F.concat_ws(
+            "",
+            *[
+                F.when(F.element_at("v", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for i in range(sign_dims)
+            ],
+        ),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn(
+            "cosine",
+            round_half_up(
+                F.aggregate(
+                    F.zip_with("a.v", "b.v", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("a.norm") * F.col("b.norm"))
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )

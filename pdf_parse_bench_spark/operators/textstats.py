@@ -1,0 +1,104 @@
+"""Text-analysis operators over the `documents` table — language ID,
+quality scoring, token counting, fingerprinting. Pure built-in column
+expressions (whole-stage codegen; every one of these runs inside the
+parquet scan projection at 100 TB — check `.explain` for PushedFilters /
+ReadSchema staying at exactly the used columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pdf_parse_bench_spark.functions import round_half_up
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "und", "das"),
+    "fr": ("le", "et", "les"),
+    "zh": ("zh0", "zh1", "zh2"),  # synthetic corpus has latinized tokens
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+# BPE-ish token regex: runs of letters, runs of digits, or single punctuation
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _words(col: str = "text"):
+    return F.filter(F.split(F.trim(F.col(col)), " +"), lambda x: x != "")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language scoring: count marker hits per language, pick the
+    argmax (ties broken by language code order). Deterministic heuristic —
+    the real-corpus replacement would swap marker lists, not the plan."""
+    w = _words()
+
+    def _count(marker: str):
+        # NB: the filter lambda must take exactly one arg — a second arg
+        # would be interpreted by Spark as the element index.
+        return F.size(F.filter(w, lambda x: x == F.lit(marker)))
+
+    scores = {
+        lang: sum(_count(m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)  # tie-break order
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best <= 0, F.lit("unknown")).otherwise(pred)
+    return docs.select(
+        "doc_id", pred.alias("pred_lang"), best.cast("int").alias("marker_hits")
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features and a
+    combined 0-1 score (larger = likelier natural prose)."""
+    w = _words()
+    n_chars = F.length("text")
+    n_words = F.size(w)
+    n_punct = n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    punct_ratio = round_half_up(n_punct / F.greatest(n_chars, F.lit(1)))
+    stop_ratio = round_half_up(stop_hits / F.greatest(n_words, F.lit(1)))
+    mean_word_len = round_half_up(
+        (n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1))
+    )
+    score = round_half_up(
+        F.least(n_words / F.lit(50.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    ws = F.size(_words())
+    bpe = F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), F.lit(0)))
+    return docs.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("regex_tokens")
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of case/punctuation-normalized text (the
+    relational stand-in for a rolling hash; identical expression in the
+    DuckDB oracle)."""
+    norm = F.trim(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
+    )
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
