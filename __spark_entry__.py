@@ -340,7 +340,8 @@ _SHINGLES_CTE = _WORDS_CTE + (
 
 def _minhash_sql() -> str:
     mins = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5(s || '#{i}'))) AS mh{i}"
+        f"list_min(list_transform(shingles, s -> "
+        f"substr(md5(s || '#{i // 4}'), {1 + 8 * (i % 4)}, 8))) AS mh{i}"
         for i in range(dd.MINHASH_K)
     )
     return f"WITH {_SHINGLES_CTE} SELECT doc_id, {mins} FROM sh"

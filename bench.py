@@ -1,0 +1,138 @@
+"""Benchmark harness — prints ONE JSON line.
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1,
+   "docs_per_sec": ..., "scaling": {...N vs 4N throughput + efficiency...}}
+
+Headline = the north metric path: end-to-end unguided extraction (markdown →
+ordered spans) over the sf fixture corpus, plus the other pipeline families.
+Scaling evidence (north_rule: >=0.8 efficiency between N and 4N executors):
+the same extraction job re-run in fresh JVMs at local[N] and local[4N]
+(subprocess mode --scale-worker), reported as docs/sec at each level.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_SCALING=0 to skip the scaling sub-runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _extract_seconds(spark, sf_dir: str, runs: int = 2) -> tuple[float, int]:
+    """Warm-steady extraction timing: first run pays python-worker spin-up,
+    report the best of `runs`."""
+    import __spark_entry__ as entry
+
+    fn = entry.queries()["extract_spans"]
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        best = min(best, time.time() - t0)
+    n_docs = spark.read.parquet(
+        str(Path(entry.fx.ensure_fixtures(sf_dir)) / "parsed_markdown.parquet")
+    ).count()
+    return best, n_docs
+
+
+def scale_worker(cores: int) -> None:
+    from pdf_parse_bench_spark.session import get_spark
+
+    spark = get_spark(f"bench-scale-{cores}", cores=cores)
+    try:
+        sec, n_docs = _extract_seconds(spark, SF_DIR)
+        print(json.dumps({"cores": cores, "sec": sec, "docs": n_docs}))
+    finally:
+        spark.stop()
+
+
+def run_scaling(n_small: int, n_big: int) -> dict:
+    out = {}
+    for cores in (n_small, n_big):
+        r = subprocess.run(
+            [sys.executable, __file__, "--scale-worker", str(cores)],
+            capture_output=True, text=True, timeout=1200,
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        out[cores] = json.loads(line)
+    thr_small = out[n_small]["docs"] / out[n_small]["sec"]
+    thr_big = out[n_big]["docs"] / out[n_big]["sec"]
+    ratio = n_big / n_small
+    return {
+        "cores_small": n_small,
+        "cores_big": n_big,
+        "docs_per_sec_small": round(thr_small, 2),
+        "docs_per_sec_big": round(thr_big, 2),
+        "speedup": round(thr_big / thr_small, 3),
+        "efficiency": round(thr_big / thr_small / ratio, 3),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--scale-worker":
+        scale_worker(int(sys.argv[2]))
+        return
+
+    import __spark_entry__ as entry
+    from pdf_parse_bench_spark.session import get_spark
+
+    # fixtures are generated once (deterministic) before timing starts
+    entry.fx.ensure_fixtures(SF_DIR)
+
+    spark = get_spark("bench", cores=CPUS)
+    qs = entry.queries()
+    headline = [
+        "extract_spans", "align_extractions", "layout_spans", "pdf_parse",
+        "lsh_candidate_pairs", "simhash_signatures", "dedup_exact",
+        "ann_topk", "lang_id", "quality_score", "fingerprint",
+        "grouped_mean_scores", "leaderboard", "pending_scores",
+        "tpch_q1", "revenue_by_region", "sessionize_events", "windowed_counts",
+    ]
+    spark.range(10).count()  # JVM warm
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        times[name] = round(time.time() - t0, 3)
+
+    # steady-state extraction throughput (the north metric)
+    ext_sec, n_docs = _extract_seconds(spark, SF_DIR)
+    docs_per_sec = n_docs / ext_sec
+    spark.stop()
+
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        n_big = CPUS
+        n_small = max(2, CPUS // 4)
+        scaling = run_scaling(n_small, n_big)
+
+    result = {
+        "metric": "end-to-end extraction throughput (markdown->ordered spans),"
+                  " exact span-sequence match vs golden",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(Path(SF_DIR).name.replace("sf", "")),
+        "n_docs": n_docs,
+        "extract_sec_steady": round(ext_sec, 3),
+        "docs_per_sec": round(docs_per_sec, 2),
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

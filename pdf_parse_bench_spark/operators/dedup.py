@@ -30,20 +30,26 @@ def _words(col: str = "text"):
     return F.filter(F.split(F.trim(F.col(col)), " +"), lambda x: x != "")
 
 
-def _shingles(col: str = "text"):
-    """Word n-grams (SHINGLE_N) as strings; docs shorter than N words get a
-    single shingle of the whole text."""
-    w = _words(col)
-    n = F.size(w)
-    return F.when(
+def _shingles_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles: array<string>) — word n-grams (SHINGLE_N); docs
+    shorter than N words get a single whole-text shingle.
+
+    The words array is materialized behind an explode-of-singleton barrier:
+    projection collapse would otherwise inline the split+filter expression
+    into every element_at, re-tokenizing the document 3x per shingle
+    (measured 10x slower at sf0.1)."""
+    wdf = docs.select("doc_id", F.explode(F.array(_words())).alias("w"))
+    n = F.size("w")
+    shingles = F.when(
         n >= SHINGLE_N,
         F.transform(
             F.sequence(F.lit(1), n - (SHINGLE_N - 1)),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + k) for k in range(SHINGLE_N)]
+                " ", *[F.element_at("w", i + k) for k in range(SHINGLE_N)]
             ),
         ),
-    ).otherwise(F.array(F.concat_ws(" ", w)))
+    ).otherwise(F.array(F.concat_ws(" ", "w")))
+    return wdf.select("doc_id", shingles.alias("shingles"))
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
@@ -57,20 +63,32 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """K minhash values per doc: min over shingles of md5(shingle||'#'||i).
-    Lexicographic min over hex == min over uniform 128-bit ints."""
-    sh = _shingles().alias("shingles")
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s: F.md5(F.concat(s, F.lit(f"#{i}"))),
-                )
-            ).alias(f"mh{i}")
-            for i in range(k)
-        ]
-    ).alias("signature")
-    return docs.select(F.col("doc_id"), sh).select("doc_id", sig)
+    Lexicographic min over hex == min over uniform 128-bit ints.
+
+    Physical shape: distinct-explode shingles (min is dedup-invariant) →
+    ceil(K/4) md5 calls per row, each md5 split into four 8-hex (32-bit)
+    chunks → groupBy(doc_id) min with map-side partial aggregation, so the
+    shuffle carries only K×8-byte partial minima per doc. An
+    array_min(transform(...))×K projection would inline the shingle
+    construction K times under projection collapse — this shape computes
+    each shingle and each md5 exactly once."""
+    sh = _shingles_df(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    cols = []
+    for g in range((k + 3) // 4):
+        h = F.md5(F.concat("shingle", F.lit(f"#{g}")))
+        for j in range(4):
+            i = g * 4 + j
+            if i < k:
+                cols.append(F.substring(h, 1 + 8 * j, 8).alias(f"mh{i}"))
+    hashed = sh.select("doc_id", *cols)
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(k)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"mh{i}" for i in range(k)]).alias("signature")
+    )
 
 
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
@@ -99,6 +117,9 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
+    # the self-join would otherwise recompute the whole minhash pipeline for
+    # each side; at cluster scale this is "write signatures to a table first"
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -115,8 +136,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """LSH candidates verified by true shingle-set Jaccard >= threshold.
     Exact set ops run only on candidate pairs (never corpus-quadratic)."""
     cands = lsh_candidate_pairs(docs)
-    sh = docs.select(
-        "doc_id", F.array_distinct(_shingles()).alias("sh")
+    sh = _shingles_df(docs).select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
     )
     j = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")

@@ -50,6 +50,9 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
     streaming share this plan; on a stream add .withWatermark first)."""
     src = events
     if src.isStreaming:
+        # watermarks need TIMESTAMP (LTZ); parquet reads NTZ — epoch-aligned
+        # hourly windows are identical either way
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
         src = src.withWatermark("ts", "2 hours")
     return (
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

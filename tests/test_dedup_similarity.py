@@ -1,0 +1,97 @@
+"""Semantic sanity tests for the training-data-pipeline operators (exact
+engine-vs-oracle equality is covered by the parity gate; these check the
+operators actually *detect* what they claim to)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from pdf_parse_bench_spark.operators import dedup as dd
+from pdf_parse_bench_spark.operators import similarity as sim
+from pdf_parse_bench_spark.operators import textstats as ts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup_finds_planted_duplicate(spark):
+    base = _docs(spark).select("doc_id", "text")
+    dup = base.limit(1).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    out = dd.dedup_exact(base.unionByName(dup))
+    assert out.where(F.col("dup_count") == 2).count() == 1
+    # kept id is the smaller one
+    kept = out.where(F.col("dup_count") == 2).first()
+    assert kept.keep_doc_id < 100000
+
+
+def test_minhash_near_duplicate_detected(spark):
+    base = _docs(spark).select("doc_id", "text").limit(50)
+    # near-dup: append two words to doc 0's text — most shingles shared
+    near = base.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" extra token")).alias("text"),
+    )
+    pairs = dd.lsh_candidate_pairs(base.unionByName(near))
+    assert pairs.where(
+        (F.col("doc_a") == 0) & (F.col("doc_b") == 100000)
+    ).count() == 1
+    verified = dd.ngram_jaccard_pairs(base.unionByName(near), threshold=0.5)
+    assert verified.where(
+        (F.col("doc_a") == 0) & (F.col("doc_b") == 100000)
+        & (F.col("jaccard") > 0.8)
+    ).count() == 1
+
+
+def test_simhash_close_for_near_duplicates(spark):
+    base = _docs(spark).select("doc_id", "text").limit(20)
+    near = base.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    sigs = {r.doc_id: r.simhash
+            for r in dd.simhash_signatures(base.unionByName(near)).collect()}
+    hamming = bin(sigs[0] ^ sigs[100000]).count("1")
+    assert hamming <= 4  # near-dup stays within a few bits
+
+
+def test_embedding_near_dup_planted(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    twin = emb.limit(1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+        "label",
+    )
+    pairs = dd.embedding_near_dups(emb.unionByName(twin), threshold=0.999)
+    assert pairs.where(
+        (F.col("vec_a") == 0) & (F.col("vec_b") == 100000)
+    ).count() == 1
+
+
+def test_ann_topk_self_twin_ranked_first(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    twin = emb.where(F.col("vec_id") == 1).select(
+        F.lit(100000).alias("vec_id").cast("long").alias("vec_id"),
+        "embedding", "label",
+    )
+    out = sim.brute_force_topk(emb.unionByName(twin), n_queries=3, k=5)
+    top1 = out.where((F.col("query_id") == 1) & (F.col("rank") == 1)).first()
+    assert top1.vec_id == 100000 and top1.cosine == 1.0
+    # ranks dense 1..5 per query
+    assert out.groupBy("query_id").count().where(F.col("count") != 5).isEmpty()
+
+
+def test_lang_and_quality_shapes(spark):
+    docs = _docs(spark).limit(50)
+    lang = ts.lang_id(docs)
+    assert lang.count() == 50
+    q = ts.quality_score(docs)
+    row = q.first()
+    assert 0.0 <= row.quality <= 1.0
+    assert row.n_words > 0
+    tok = ts.token_counts(docs).first()
+    assert tok.regex_tokens >= tok.ws_tokens
+    fp = ts.fingerprint(docs)
+    assert fp.select("fingerprint").distinct().count() == 50

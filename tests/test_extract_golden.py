@@ -1,0 +1,78 @@
+"""End-to-end golden tests (SURVEY.md §5(b)): the Spark pipelines must
+reproduce the golden span tables under exact span-sequence equality
+(kind, text, media_ref, order) per doc_id."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_parse_bench_spark import score_spans
+from pdf_parse_bench_spark.operators.extract import (
+    align_extractions,
+    assemble_markdown,
+    compute_boilerplate,
+    extract_spans,
+    extract_spans_from_layout,
+    parse_pdfs,
+)
+
+KEYS = ["doc_id", "offset", "kind", "text", "media_ref"]
+
+
+def _read(spark, fx, name):
+    return spark.read.parquet(str(fx / f"{name}.parquet"))
+
+
+def _assert_equal(got, want):
+    g = got.select(*KEYS)
+    w = want.select(*KEYS)
+    assert g.count() == w.count()
+    assert g.exceptAll(w).isEmpty() and w.exceptAll(g).isEmpty()
+
+
+def test_extract_spans_exact(spark, fx_smoke):
+    got = extract_spans(_read(spark, fx_smoke, "parsed_markdown"))
+    _assert_equal(got, _read(spark, fx_smoke, "golden_spans"))
+
+
+def test_layout_spans_exact(spark, fx_smoke):
+    got = extract_spans_from_layout(_read(spark, fx_smoke, "layout_blocks"))
+    _assert_equal(got, _read(spark, fx_smoke, "golden_layout_spans"))
+
+
+def test_pdf_parse_exact(spark, fx_smoke):
+    got = parse_pdfs(_read(spark, fx_smoke, "pdf_docs"))
+    want = _read(spark, fx_smoke, "golden_pdf_text")
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_align_extractions_exact(spark, fx_smoke):
+    got = align_extractions(
+        _read(spark, fx_smoke, "parsed_markdown"),
+        _read(spark, fx_smoke, "golden_spans").select(*KEYS),
+    )
+    _assert_equal(got, _read(spark, fx_smoke, "golden_spans"))
+
+
+def test_match_rate_is_one(spark, fx_smoke):
+    rates = score_spans(
+        extract_spans(_read(spark, fx_smoke, "parsed_markdown")),
+        _read(spark, fx_smoke, "golden_spans"),
+    )
+    assert rates.where(F.col("match_rate") < 1.0).isEmpty()
+
+
+def test_boilerplate_detected(spark, fx_smoke):
+    lines = {r.line for r in
+             compute_boilerplate(_read(spark, fx_smoke, "parsed_markdown")).collect()}
+    assert any("preprint series" in l for l in lines)
+    assert any("all rights reserved" in l for l in lines)
+
+
+def test_assemble_then_extract_roundtrip(spark, fx_smoke):
+    """page-assembly inverse property: assemble golden spans to markdown,
+    re-extract, get the same spans back (no boilerplate in assembled md)."""
+    golden = _read(spark, fx_smoke, "golden_spans")
+    md = assemble_markdown(golden)
+    got = extract_spans(md, boilerplate=frozenset())
+    _assert_equal(got, golden)

@@ -1,0 +1,274 @@
+"""Unit tests for the pure pandas/NumPy kernels (no SparkSession).
+
+Covers SURVEY.md §5(a): delimiter normalization M7, fuzzy alignment J2
+(15% threshold + boundary refinement), grouped split J5, boilerplate strip
+P2, span sequencing W3, plus property tests for the Levenshtein kernel.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pdf_parse_bench_spark.fixtures import _boilerplate_lines
+from pdf_parse_bench_spark.kernels.alignment import (
+    align_spans,
+    find_original_segment,
+    levenshtein,
+)
+from pdf_parse_bench_spark.kernels.layout import blocks_to_spans, reading_order
+from pdf_parse_bench_spark.kernels.markdown import parse_markdown
+from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_text
+from pdf_parse_bench_spark.kernels.textnorm import (
+    formula_delimiter_bonus,
+    normalize_display_formula,
+    normalize_for_matching,
+    parse_score,
+    preprocess_unicode,
+    split_grouped_formula,
+    strip_delimiters,
+    unescape_control,
+)
+
+
+# ---------------------------------------------------------------------------
+# textnorm (M7/F1-F5/J5)
+# ---------------------------------------------------------------------------
+
+def test_normalize_display_variants():
+    assert normalize_display_formula("$$x+y$$") == "$$x+y$$"
+    assert normalize_display_formula("\\[ x+y \\]") == "$$x+y$$"
+    assert normalize_display_formula("$$\nx+y\n$$") == "$$x+y$$"
+    assert normalize_display_formula("x+y") == "$$x+y$$"
+
+
+def test_strip_delimiters_ordered():
+    assert strip_delimiters("$$a$$") == ("$$", "a", "$$")
+    assert strip_delimiters("$a$") == ("$", "a", "$")
+    assert strip_delimiters("\\[a\\]") == ("\\[", "a", "\\]")
+    assert strip_delimiters("plain") == ("", "plain", "")
+
+
+def test_split_grouped_plain_and_aligned():
+    assert split_grouped_formula("a=1 \\\\ b=2") == ["a=1", "b=2"]
+    assert split_grouped_formula(
+        "\\begin{aligned} a=1 \\\\ b=2 \\end{aligned}"
+    ) == ["a=1", "b=2"]
+    assert split_grouped_formula("\\begin{gathered}x\\end{gathered}") == ["x"]
+
+
+def test_preprocess_unicode():
+    assert preprocess_unicode("x₀ + y²") == "x_0 + y^2"
+
+
+def test_unescape_control_lookahead():
+    # \n unescapes, \nabla does not (segment_extractor.py:654-657)
+    assert unescape_control("a\\n b") == "a\n b"
+    assert unescape_control("\\nabla x") == "\\nabla x"
+    assert unescape_control("a\\t 1") == "a\t 1"
+    assert unescape_control("\\theta") == "\\theta"
+
+
+def test_normalize_for_matching():
+    assert normalize_for_matching("a \\alpha\t b\nc") == "aalphabc"
+
+
+def test_parse_score_clamp():
+    assert parse_score("Score: 7 good") == 7
+    assert parse_score("12 way too high") == 10
+    assert parse_score("-3 bad") == 0
+    assert parse_score("no digits") == 0
+
+
+def test_delimiter_bonus():
+    assert formula_delimiter_bonus("$$x$$") == 2.5
+    assert formula_delimiter_bonus("$x$") == 1.5
+    assert formula_delimiter_bonus("x") == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein (J2 kernel) — property-tested against a naive DP
+# ---------------------------------------------------------------------------
+
+def _naive_lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(prev + (ca != cb), dp[j] + 1, dp[j - 1] + 1)
+    return dp[-1]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="ab$\\ x", max_size=25),
+       st.text(alphabet="ab$\\ x", max_size=25))
+def test_levenshtein_matches_naive(a, b):
+    assert levenshtein(a, b) == _naive_lev(a, b)
+
+
+def test_fuzzy_find_within_tolerance():
+    gt = "$\\sum_{i=0}^{n} w_i x^i$"
+    md = "prose before $\\sum_{i=0}^{n}w_ix^i$ prose after"
+    found = find_original_segment(gt, md)
+    assert found is not None
+    assert "\\sum" in found and found.startswith("$") and found.endswith("$")
+
+
+def test_fuzzy_find_rejects_beyond_tolerance():
+    gt = "$\\alpha + \\beta + \\gamma + \\delta$"
+    md = "completely unrelated text with no formula at all whatsoever"
+    assert find_original_segment(gt, md) is None
+
+
+def test_fuzzy_boundary_refinement_prefers_delimiters():
+    gt = "$x_{1}+y_{2}$"
+    md = "text $x_{1}+y_{2}$ more"
+    found = find_original_segment(gt, md)
+    assert found == "$x_{1}+y_{2}$"
+
+
+# ---------------------------------------------------------------------------
+# markdown kernel — golden round-trip + boilerplate + properties
+# ---------------------------------------------------------------------------
+
+def test_markdown_roundtrip_exact(fx_smoke):
+    md = pq.read_table(fx_smoke / "parsed_markdown.parquet").to_pandas()
+    gs = pq.read_table(fx_smoke / "golden_spans.parquet").to_pandas()
+    import duckdb
+    srcs = [r[0] for r in duckdb.sql(
+        "select distinct source from '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()]
+    bp = frozenset(l for s in srcs for l in _boilerplate_lines(s))
+    by_doc = dict(zip(md.doc_id, md.markdown))
+    for doc_id, grp in gs.groupby("doc_id"):
+        want = grp.sort_values("offset")[["kind", "text", "media_ref"]].to_dict("records")
+        got = [
+            {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"]}
+            for s in parse_markdown(by_doc[doc_id], bp)
+        ]
+        assert got == want, doc_id
+
+
+def test_markdown_offsets_dense():
+    spans = parse_markdown("a\n\n$$x$$\n\nb")
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+    assert [s["kind"] for s in spans] == ["text", "display-formula", "text"]
+
+
+def test_boilerplate_dropped():
+    bp = frozenset({"HEADER LINE"})
+    spans = parse_markdown("HEADER LINE\n\nreal content", bp)
+    assert [s["text"] for s in spans] == ["real content"]
+
+
+def test_grouped_display_split_in_markdown():
+    spans = parse_markdown("$$a=1 \\\\ b=2$$")
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("display-formula", "$$a=1$$"),
+        ("display-formula", "$$b=2$$"),
+    ]
+
+
+def test_tabular_not_split_on_row_separators():
+    tab = "\\begin{tabular}{lr}\na & 1 \\\\\nb & 2 \\\\\n\\end{tabular}"
+    spans = parse_markdown(tab)
+    assert len(spans) == 1 and spans[0]["kind"] == "table"
+    assert spans[0]["text"] == tab
+
+
+# ---------------------------------------------------------------------------
+# alignment (guided) — order preservation + no double-match
+# ---------------------------------------------------------------------------
+
+def test_align_spans_order_preserving_and_consuming():
+    golden = [
+        {"kind": "inline-formula", "text": "$x$", "media_ref": ""},
+        {"kind": "text", "text": "Hello world.", "media_ref": ""},
+        {"kind": "inline-formula", "text": "$x$", "media_ref": ""},
+    ]
+    md = "$x$\n\nHello world.\n\n$x$"
+    out = align_spans(golden, md)
+    assert [s["matched"] for s in out] == [True, True, True]
+    assert [s["offset"] for s in out] == [0, 1, 2]
+
+
+def test_align_spans_missing_yields_empty():
+    golden = [
+        {"kind": "table", "text": "\\begin{tabular}{l}\nz \\\\\n\\end{tabular}",
+         "media_ref": ""},
+    ]
+    out = align_spans(golden, "no table here")
+    assert out[0]["matched"] is False and out[0]["text"] == ""
+
+
+# ---------------------------------------------------------------------------
+# layout kernel
+# ---------------------------------------------------------------------------
+
+def test_reading_order_two_columns():
+    # two columns with interleaved y; gutter (20pt) wider than y-gaps
+    bboxes = [
+        [307, 60, 545, 80],   # right top
+        [50, 60, 287, 80],    # left top
+        [50, 90, 287, 110],   # left bottom
+        [307, 90, 545, 110],  # right bottom
+    ]
+    order = reading_order(bboxes)
+    assert order == [1, 2, 0, 3]
+
+
+def test_reading_order_single_column_by_y():
+    bboxes = [[50, 300, 545, 320], [50, 60, 545, 80], [50, 180, 545, 200]]
+    assert reading_order(bboxes) == [1, 2, 0]
+
+
+def test_blocks_to_spans_strips_boilerplate_keeps_media(fx_smoke):
+    blocks = [
+        {"page_no": 0, "bbox": [50, 18, 545, 34], "category": "Page-header", "text": "hdr"},
+        {"page_no": 0, "bbox": [50, 60, 545, 90], "category": "Title", "text": "T"},
+        {"page_no": 0, "bbox": [50, 100, 545, 200], "category": "Picture", "text": "p.png"},
+        {"page_no": 0, "bbox": [50, 806, 545, 820], "category": "Page-footer", "text": "ftr"},
+    ]
+    spans = blocks_to_spans(blocks)
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in spans] == [
+        ("text", "T", ""), ("image", "", "p.png"),
+    ]
+    spans_nomedia = blocks_to_spans(blocks, keep_media=False)
+    assert [s["kind"] for s in spans_nomedia] == ["text"]
+
+
+def test_layout_roundtrip_exact(fx_smoke):
+    lb = pq.read_table(fx_smoke / "layout_blocks.parquet").to_pandas()
+    gl = pq.read_table(fx_smoke / "golden_layout_spans.parquet").to_pandas()
+    for doc_id, grp in list(lb.groupby("doc_id"))[:100]:
+        got = blocks_to_spans(grp[["page_no", "bbox", "category", "text"]].to_dict("records"))
+        want = gl[gl.doc_id == doc_id].sort_values("offset")[
+            ["kind", "text", "media_ref"]].to_dict("records")
+        got = [{"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"]}
+               for s in got]
+        assert got == want, doc_id
+
+
+# ---------------------------------------------------------------------------
+# pdf tokenizer
+# ---------------------------------------------------------------------------
+
+def test_pdf_roundtrip_exact(fx_smoke):
+    pdfs = pq.read_table(fx_smoke / "pdf_docs.parquet").to_pandas()
+    gold = pq.read_table(fx_smoke / "golden_pdf_text.parquet").to_pandas()
+    gold = dict(zip(gold.doc_id, gold.text))
+    for r in pdfs.itertuples(index=False):
+        assert extract_pdf_text(bytes(r.pdf_bytes)) == gold[r.doc_id], r.doc_id
+
+
+def test_pdf_escapes():
+    from pdf_parse_bench_spark.fixtures import generate_pdf
+    spans = [{"kind": "text", "text": "parens (and) back\\slash", "media_ref": "",
+              "offset": 0, "complexity": None}]
+    pdf, golden = generate_pdf(3, spans)
+    assert extract_pdf_text(pdf) == golden == "parens (and) back\\slash"
+
+
+def test_pdf_empty():
+    assert extract_pdf_text(b"%PDF-1.4\nnothing here") == ""

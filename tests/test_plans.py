@@ -1,0 +1,74 @@
+"""Physical-plan audits — pin the properties that matter at 100 TB
+(SURVEY.md §4): predicate pushdown, column pruning, broadcast joins,
+no cartesian products, AQE on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from pdf_parse_bench_spark.operators import dedup as dd
+from pdf_parse_bench_spark.operators import similarity as sim
+from pdf_parse_bench_spark.operators import textstats as ts
+from pdf_parse_bench_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_read_schema_only,
+    formatted_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_filter_pushdown_on_golden_scan(spark, fx_smoke):
+    df = (
+        spark.read.parquet(str(fx_smoke / "golden_spans.parquet"))
+        .where(F.col("kind") == "image")
+        .select("doc_id", "media_ref")
+    )
+    plan = formatted_plan(df)
+    assert "PushedFilters:" in plan and "EqualTo(kind,image)" in plan
+
+
+def test_column_pruning_token_counts(spark):
+    out = ts.token_counts(_docs(spark))
+    assert_read_schema_only(out, {"doc_id", "text"})
+
+
+def test_column_pruning_fingerprint(spark):
+    assert_read_schema_only(ts.fingerprint(_docs(spark)), {"doc_id", "text"})
+
+
+def test_ann_uses_broadcast(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = sim.brute_force_topk(emb)
+    assert_broadcast_join(out)
+    assert_no_cartesian(out)
+
+
+def test_revenue_join_broadcasts_dims(spark):
+    q = entry.queries()["revenue_by_region"]
+    out = q(spark, SF)
+    assert_broadcast_join(out)
+    assert_no_cartesian(out)
+
+
+def test_lsh_join_no_cartesian(spark):
+    out = dd.lsh_candidate_pairs(_docs(spark).limit(50))
+    assert_no_cartesian(out)
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "offset", "kind", "text", "media_ref"
+    ]

@@ -1,0 +1,67 @@
+"""Resumable-pipeline tests (SURVEY.md §5(d)): per-partition lineage,
+never-fail UDFs, anti-join resume, idempotency after a partial failure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_parse_bench_spark.operators.extract import _collect_boilerplate
+from pdf_parse_bench_spark.operators.resume import (
+    extract_with_lineage,
+    lineage_of,
+    pending,
+    read_resumed,
+    run_resumable,
+)
+
+
+def _md(spark, fx):
+    return spark.read.parquet(str(fx / "parsed_markdown.parquet"))
+
+
+def test_injected_failures_isolated(spark, fx_smoke):
+    md = _md(spark, fx_smoke).limit(50).cache()
+    fail = frozenset(r.doc_id for r in md.limit(5).collect())
+    res = extract_with_lineage(md, fail_docs=fail)
+    lin = lineage_of(res)
+    err = {r.doc_id for r in lin.where(F.col("status") == "error").collect()}
+    assert err == set(fail)
+    # failed docs contribute zero spans; healthy docs unaffected
+    ok = lin.where(F.col("status") == "ok")
+    assert ok.count() == 45
+    assert ok.where(F.col("n_spans") <= 0).isEmpty()
+
+
+def test_resume_after_partial_failure(spark, fx_smoke, tmp_path):
+    md = _md(spark, fx_smoke).limit(60).cache()
+    bp = _collect_boilerplate(_md(spark, fx_smoke))
+    out1 = str(tmp_path / "spans")
+    ckpt = str(tmp_path / "ckpt")
+    fail = frozenset(r.doc_id for r in md.limit(7).collect())
+
+    # pass 1: 7 docs fail, 53 succeed
+    run_resumable(md, out1, ckpt, boilerplate=bp, fail_docs=fail)
+    assert pending(md, ckpt).count() == 7
+
+    # pass 2: failures resolved; only pending docs reprocessed
+    run_resumable(md, out1, ckpt, boilerplate=bp, fail_docs=frozenset())
+    assert pending(md, ckpt).count() == 0
+
+    # pass 3: nothing pending → no-op (idempotent)
+    run_resumable(md, out1, ckpt, boilerplate=bp, fail_docs=frozenset())
+
+    resumed = read_resumed(spark, out1, ckpt)
+    # equals a clean single-pass run
+    from pdf_parse_bench_spark.operators.extract import extract_spans
+    clean = extract_spans(md, boilerplate=bp)
+    assert resumed.count() == clean.count()
+    assert resumed.exceptAll(clean).isEmpty()
+    assert clean.exceptAll(resumed).isEmpty()
+
+
+def test_lineage_partition_metrics(spark, fx_smoke):
+    md = _md(spark, fx_smoke).limit(30)
+    lin = lineage_of(extract_with_lineage(md))
+    rows = lin.collect()
+    assert all(r.partition_id >= 0 for r in rows)
+    assert all(r.stage == "extract" for r in rows)

@@ -1,0 +1,50 @@
+"""Structured Streaming tests: the file-source stream must produce exactly
+the batch pipeline's spans (availableNow drain), and the watermarked window
+agg must run in streaming mode."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from pdf_parse_bench_spark.operators.extract import _collect_boilerplate, extract_spans
+from pdf_parse_bench_spark.streaming import stream_extract, windowed_event_counts
+
+
+def test_stream_extract_matches_batch(spark, fx_smoke, tmp_path):
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir()
+    shutil.copy(fx_smoke / "parsed_markdown.parquet", src_dir / "part-000.parquet")
+    md = spark.read.parquet(str(src_dir))
+    bp = _collect_boilerplate(md)
+
+    q = stream_extract(
+        spark, str(src_dir), str(tmp_path / "ckpt"),
+        boilerplate=bp, table_name="t_stream_spans",
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("t_stream_spans")
+    batch = extract_spans(md, boilerplate=bp, rebalance=False)
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).isEmpty()
+
+
+def test_windowed_counts_streaming_mode(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = tmp_path / "ev"
+    events.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory").queryName("t_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_win")
+    want = windowed_event_counts(events)
+    assert got.count() == want.count()
+    assert got.agg(F.sum("n")).first()[0] == events.count()
