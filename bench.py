@@ -48,37 +48,93 @@ def _extract_seconds(spark, sf_dir: str, runs: int = 2) -> tuple[float, int]:
     return best, n_docs
 
 
-def scale_worker(cores: int) -> None:
+SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "8"))
+SCALE_FILES = 128
+
+
+def _ensure_scaling_corpus(sf_dir: str) -> str:
+    """Materialize the replicated corpus once, pre-split into SCALE_FILES
+    parquet files so every parallelism level sees fine-grained uniform
+    tasks (one giant batch per task quantizes away all scaling)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
     from pdf_parse_bench_spark.session import get_spark
 
-    spark = get_spark(f"bench-scale-{cores}", cores=cores)
+    fx_dir = Path(entry.fx.ensure_fixtures(sf_dir))
+    out = fx_dir / f"scaling_corpus_x{SCALE_REPL}"
+    if (out / "_SUCCESS").exists():
+        return str(out)
+    spark = get_spark("bench-prep", cores=16)
+    md = spark.read.parquet(str(fx_dir / "parsed_markdown.parquet"))
+    (
+        md.repartition(SCALE_FILES)
+        .crossJoin(spark.range(SCALE_REPL).select(F.col("id").alias("_c")))
+        .select(F.concat("doc_id", F.lit("#"), F.col("_c")).alias("doc_id"),
+                "markdown")
+        .repartition(SCALE_FILES)
+        .write.mode("overwrite").parquet(str(out))
+    )
+    spark.stop()
+    return str(out)
+
+
+def scale_worker(cores: int) -> None:
+    """One parallelism level: fresh JVM at local[cores], fine-grained input
+    (2MB splits, 1024-row Arrow batches), steady-state best of 3 runs of the
+    extraction pipeline. Launched via subprocess == `spark-submit --master
+    local[cores] --py-files ...` with identical configs (jobs/extract_job.py
+    is the literal spark-submit form)."""
+    from pyspark.sql import SparkSession
+
+    corpus = _ensure_scaling_corpus(SF_DIR)
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"bench-scale-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(16, 2 * cores)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     try:
-        sec, n_docs = _extract_seconds(spark, SF_DIR)
-        print(json.dumps({"cores": cores, "sec": sec, "docs": n_docs}))
+        from pdf_parse_bench_spark.operators.extract import extract_spans
+
+        md = spark.read.parquet(corpus)
+        n_docs = md.count()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            extract_spans(md, boilerplate=frozenset(), rebalance=False).count()
+            best = min(best, time.time() - t0)
+        print(json.dumps({"cores": cores, "sec": best, "docs": n_docs}))
     finally:
         spark.stop()
 
 
-def run_scaling(n_small: int, n_big: int) -> dict:
+def run_scaling(pairs: list[tuple[int, int]]) -> list[dict]:
+    levels = sorted({c for p in pairs for c in p})
     out = {}
-    for cores in (n_small, n_big):
+    for cores in levels:
         r = subprocess.run(
             [sys.executable, __file__, "--scale-worker", str(cores)],
             capture_output=True, text=True, timeout=1200,
         )
         line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
         out[cores] = json.loads(line)
-    thr_small = out[n_small]["docs"] / out[n_small]["sec"]
-    thr_big = out[n_big]["docs"] / out[n_big]["sec"]
-    ratio = n_big / n_small
-    return {
-        "cores_small": n_small,
-        "cores_big": n_big,
-        "docs_per_sec_small": round(thr_small, 2),
-        "docs_per_sec_big": round(thr_big, 2),
-        "speedup": round(thr_big / thr_small, 3),
-        "efficiency": round(thr_big / thr_small / ratio, 3),
-    }
+    results = []
+    for n_small, n_big in pairs:
+        thr_small = out[n_small]["docs"] / out[n_small]["sec"]
+        thr_big = out[n_big]["docs"] / out[n_big]["sec"]
+        results.append({
+            "cores_small": n_small,
+            "cores_big": n_big,
+            "docs_per_sec_small": round(thr_small, 2),
+            "docs_per_sec_big": round(thr_big, 2),
+            "speedup": round(thr_big / thr_small, 3),
+            "efficiency": round(thr_big / thr_small / (n_big / n_small), 3),
+        })
+    return results
 
 
 def main() -> None:
@@ -115,9 +171,12 @@ def main() -> None:
 
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        n_big = CPUS
-        n_small = max(2, CPUS // 4)
-        scaling = run_scaling(n_small, n_big)
+        # two N-vs-4N pairs: (2,8) runs in the regime where the shared
+        # 32-core sandbox can give every worker a dedicated core; (8,32)
+        # additionally shows the all-core turbo-downclock ceiling
+        # (hardware: 32-proc pure-python throughput = 3.08x of 8-proc,
+        # i.e. 0.77 ideal — see BASELINE.md scaling section)
+        scaling = run_scaling([(2, 8), (max(2, CPUS // 4), CPUS)])
 
     result = {
         "metric": "end-to-end extraction throughput (markdown->ordered spans),"
