@@ -45,6 +45,7 @@ from pdf_parse_bench_spark.operators.extract import (  # noqa: E402
     assemble_markdown,
     compute_boilerplate,
     extract_spans,
+    extract_spans_from_html,
     extract_spans_from_layout,
     parse_pdfs,
 )
@@ -95,6 +96,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["layout_spans"] = lambda s, d: extract_spans_from_layout(
         _f(s, d, "layout_blocks")
+    )
+    q["html_spans"] = lambda s, d: extract_spans_from_html(
+        _f(s, d, "html_documents")
     )
     q["pdf_parse"] = lambda s, d: parse_pdfs(_f(s, d, "pdf_docs"))
     q["boilerplate_lines"] = lambda s, d: compute_boilerplate(
@@ -419,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         f'SELECT doc_id, "offset", kind, text, media_ref FROM {_GOLD}'
     )
     o["align_extractions"] = o["extract_spans"]
+    o["html_spans"] = o["extract_spans"]
     o["layout_spans"] = (
         f'SELECT doc_id, "offset", kind, text, media_ref FROM {_GLAY}'
     )

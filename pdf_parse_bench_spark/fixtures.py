@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v5"  # bump to force regeneration
+FIXTURE_VERSION = "v6"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -250,6 +250,83 @@ def _render_display(content: str, rng: np.random.Generator) -> str:
 
 
 # ---------------------------------------------------------------------------
+# HTML rendering (structured-markup entry, M4/GROBID analog) — invertible by
+# kernels/htmldoc.parse_html: boilerplate as header/nav/footer/script tags,
+# math in class-tagged spans/divs, tables in <pre class="tabular">.
+# ---------------------------------------------------------------------------
+
+def render_html(doc_id: int, spans: list[dict], source: str) -> str:
+    import html as _html
+
+    rng = np.random.default_rng([GLOBAL_SEED, 37, int(doc_id)])
+    esc = _html.escape
+    header, footer = _boilerplate_lines(source)
+    seps = ["\n", "\n  \n", "\n\n"]
+
+    def sep() -> str:
+        return seps[int(rng.integers(0, 3))]
+
+    parts = [
+        f"<html><head><title>{esc(source)}</title>",
+        "<style>body { margin: 0; }</style>",
+        "<script>var tracker = 1;</script></head>",
+        "<body>",
+    ]
+    if rng.random() < 0.85:
+        parts.append(f"<header>{esc(header)}</header>")
+    if rng.random() < 0.7:
+        parts.append('<nav><a href="#">home</a> <a href="#">about</a></nav>')
+    parts.append("<main>")
+    i, n = 0, len(spans)
+    while i < n:
+        s = spans[i]
+        k = s["kind"]
+        if k == "text":
+            pieces = [esc(s["text"])]
+            j = i + 1
+            while j < n:
+                kj = spans[j]["kind"]
+                prev = spans[j - 1]["kind"]
+                joinable = (
+                    (prev == "text" and kj == "inline-formula")
+                    or (prev == "inline-formula" and kj in ("inline-formula", "text"))
+                )
+                if not joinable:
+                    break
+                if kj == "inline-formula":
+                    pieces.append(f'<span class="math">{esc(spans[j]["text"])}</span>')
+                else:
+                    pieces.append(esc(spans[j]["text"]))
+                j += 1
+            parts.append("<p>" + " ".join(pieces) + "</p>")
+            i = j
+        elif k == "inline-formula":
+            parts.append(f'<p><span class="math">{esc(s["text"])}</span></p>')
+            i += 1
+        elif k == "display-formula":
+            inner = s["text"][2:-2]
+            pad = " " if rng.random() < 0.5 else "\n"
+            body = (
+                f"\\[{pad}{inner}{pad}\\]" if rng.random() < 0.3
+                else f"$${pad}{inner}{pad}$$"
+            )
+            parts.append(f'<div class="math">{esc(body)}</div>')
+            i += 1
+        elif k == "table":
+            parts.append(f'<pre class="tabular">{esc(s["text"])}</pre>')
+            i += 1
+        else:
+            tagend = "/>" if rng.random() < 0.5 else ">"
+            parts.append(f'<img src="{s["media_ref"]}"{tagend}')
+            i += 1
+    parts.append("</main>")
+    if rng.random() < 0.85:
+        parts.append(f"<footer>{esc(footer)}</footer>")
+    parts.append("</body></html>")
+    return sep().join(parts)
+
+
+# ---------------------------------------------------------------------------
 # Layout-block fixture (dots.ocr block model + XY-cut recoverable geometry)
 # ---------------------------------------------------------------------------
 
@@ -429,7 +506,7 @@ def ensure_fixtures(sf_dir: str) -> Path:
     base = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text", "source"]).to_pandas()
 
-    docs_rows, golden_rows, md_rows = [], [], []
+    docs_rows, golden_rows, md_rows, html_rows = [], [], [], []
     blocks_rows, golden_layout_rows = [], []
     pdf_rows, pdf_text_rows, score_rows = [], [], []
     for rec in base.itertuples(index=False):
@@ -449,6 +526,8 @@ def ensure_fixtures(sf_dir: str) -> Path:
                                 "complexity": s["complexity"]})
         md_rows.append({"doc_id": doc_id,
                         "markdown": render_markdown(did, spans, rec.source)})
+        html_rows.append({"doc_id": doc_id,
+                          "html": render_html(did, spans, rec.source)})
         blocks, golden_layout = generate_layout(did, spans, rec.source)
         for (pg, bbox, cat, txt) in blocks:
             blocks_rows.append({"doc_id": doc_id, "page_no": pg, "bbox": bbox,
@@ -472,6 +551,8 @@ def ensure_fixtures(sf_dir: str) -> Path:
                       ("media_ref", pa.string()), ("complexity", pa.string())]))
     _write("parsed_markdown.parquet", md_rows,
            pa.schema([("doc_id", pa.string()), ("markdown", pa.string())]))
+    _write("html_documents.parquet", html_rows,
+           pa.schema([("doc_id", pa.string()), ("html", pa.string())]))
     _write("layout_blocks.parquet", blocks_rows,
            pa.schema([("doc_id", pa.string()), ("page_no", pa.int32()),
                       ("bbox", pa.list_(pa.float64())),

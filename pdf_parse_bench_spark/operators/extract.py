@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 from pdf_parse_bench_spark import schemas
 from pdf_parse_bench_spark.kernels.alignment import align_spans
 from pdf_parse_bench_spark.kernels.layout import blocks_to_spans
+from pdf_parse_bench_spark.kernels.htmldoc import parse_html
 from pdf_parse_bench_spark.kernels.markdown import parse_markdown
 from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_text
 from pdf_parse_bench_spark.operators.skew import rebalance_by_size
@@ -111,6 +112,29 @@ def extract_spans_from_layout(blocks_df: DataFrame,
     return blocks_df.groupBy("doc_id").applyInPandas(
         run, schema=schemas.EXTRACTED_SPANS_SCHEMA
     )
+
+
+def extract_spans_from_html(html_df: DataFrame,
+                            rebalance: bool = True) -> DataFrame:
+    """Structured-markup path (M4 analog; north_rule's HTML boilerplate
+    strip + DOM heuristics): header/footer/nav/script subtrees dropped by
+    DOM role, body walked in document order, spans emitted."""
+    if rebalance:
+        html_df = rebalance_by_size(html_df, size_col=F.length("html"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in _SPAN_COLS}
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                for s in parse_html(html):
+                    out["doc_id"].append(doc_id)
+                    out["offset"].append(s["offset"])
+                    out["kind"].append(s["kind"])
+                    out["text"].append(s["text"])
+                    out["media_ref"].append(s["media_ref"])
+            yield pd.DataFrame(out)
+
+    return html_df.mapInPandas(run, schema=schemas.EXTRACTED_SPANS_SCHEMA)
 
 
 def parse_pdfs(pdf_df: DataFrame, rebalance: bool = True) -> DataFrame:

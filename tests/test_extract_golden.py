@@ -76,3 +76,19 @@ def test_assemble_then_extract_roundtrip(spark, fx_smoke):
     md = assemble_markdown(golden)
     got = extract_spans(md, boilerplate=frozenset())
     _assert_equal(got, golden)
+
+
+def test_html_spans_exact(spark, fx_smoke):
+    from pdf_parse_bench_spark.operators.extract import extract_spans_from_html
+    got = extract_spans_from_html(_read(spark, fx_smoke, "html_documents"))
+    _assert_equal(got, _read(spark, fx_smoke, "golden_spans"))
+
+
+def test_backend_registry(spark, fx_smoke):
+    from pdf_parse_bench_spark.operators.backends import get_backend, list_backends
+    assert set(list_backends()) >= {"markdown", "html", "layout", "pdf-text"}
+    got = get_backend("html")(_read(spark, fx_smoke, "html_documents"))
+    _assert_equal(got, _read(spark, fx_smoke, "golden_spans"))
+    import pytest
+    with pytest.raises(KeyError):
+        get_backend("nope")

@@ -272,3 +272,43 @@ def test_pdf_escapes():
 
 def test_pdf_empty():
     assert extract_pdf_text(b"%PDF-1.4\nnothing here") == ""
+
+
+# ---------------------------------------------------------------------------
+# HTML/DOM kernel (M4 analog)
+# ---------------------------------------------------------------------------
+
+def test_html_roundtrip_exact(fx_smoke):
+    from pdf_parse_bench_spark.kernels.htmldoc import parse_html
+    hd = pq.read_table(fx_smoke / "html_documents.parquet").to_pandas()
+    gs = pq.read_table(fx_smoke / "golden_spans.parquet").to_pandas()
+    by_doc = dict(zip(hd.doc_id, hd.html))
+    for doc_id, grp in list(gs.groupby("doc_id"))[:150]:
+        want = grp.sort_values("offset")[["kind", "text", "media_ref"]].to_dict("records")
+        got = [{"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"]}
+               for s in parse_html(by_doc[doc_id])]
+        assert got == want, doc_id
+
+
+def test_html_boilerplate_subtrees_stripped():
+    from pdf_parse_bench_spark.kernels.htmldoc import parse_html
+    html = (
+        "<body><header>site chrome</header>"
+        "<nav><a href='#'>x</a><p>menu para</p></nav>"
+        "<script>var x = '<p>not content</p>';</script>"
+        "<main><p>real content</p></main>"
+        "<footer><p>legal</p></footer></body>"
+    )
+    spans = parse_html(html)
+    assert [(s["kind"], s["text"]) for s in spans] == [("text", "real content")]
+
+
+def test_html_entities_and_inline_math():
+    from pdf_parse_bench_spark.kernels.htmldoc import parse_html
+    html = ('<body><main><p>a &amp; b <span class="math">$x&lt;y$</span> c</p>'
+            '<pre class="tabular">r &amp; 1 \\\\</pre></main></body>')
+    spans = parse_html(html)
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("text", "a & b"), ("inline-formula", "$x<y$"), ("text", "c"),
+        ("table", "r & 1 \\\\"),
+    ]
