@@ -25,7 +25,7 @@ if str(REPO) not in sys.path:
 from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
 from pdf_parse_bench_spark import fixtures as fx  # noqa: E402
-from pdf_parse_bench_spark import score_spans  # noqa: E402
+from pdf_parse_bench_spark import score_spans, score_spans_judged  # noqa: E402
 from pdf_parse_bench_spark.functions import (  # noqa: E402
     epoch_micros,
     epoch_seconds,
@@ -101,6 +101,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _f(s, d, "html_documents")
     )
     q["pdf_parse"] = lambda s, d: parse_pdfs(_f(s, d, "pdf_docs"))
+    q["align_noisy"] = lambda s, d: align_extractions(
+        _f(s, d, "noisy_markdown"),
+        _f(s, d, "golden_spans").select("doc_id", "offset", "kind", "text", "media_ref"),
+        boilerplate=frozenset(),
+    )
+    q["judge_scores"] = lambda s, d: score_spans_judged(
+        _f(s, d, "golden_noisy_spans"), _f(s, d, "golden_spans")
+    )
     q["boilerplate_lines"] = lambda s, d: compute_boilerplate(
         _f(s, d, "parsed_markdown")
     )
@@ -424,6 +432,17 @@ def oracle_sql() -> dict[str, str]:
     )
     o["align_extractions"] = o["extract_spans"]
     o["html_spans"] = o["extract_spans"]
+    o["align_noisy"] = (
+        'SELECT doc_id, "offset", kind, text, media_ref FROM '
+        f"'{ORACLE_FX}/golden_noisy_spans.parquet'"
+    )
+    o["judge_scores"] = (
+        "SELECT n.doc_id, n.\"offset\", n.kind, "
+        "greatest(0, CAST(floor(10.0 * (1 - CAST(levenshtein(n.text, g.text) AS DOUBLE) "
+        "/ greatest(length(n.text), length(g.text), 1)) + 0.5) AS INT)) AS score "
+        f"FROM '{ORACLE_FX}/golden_noisy_spans.parquet' n "
+        f"JOIN {_GOLD} g ON n.doc_id = g.doc_id AND n.\"offset\" = g.\"offset\""
+    )
     o["layout_spans"] = (
         f'SELECT doc_id, "offset", kind, text, media_ref FROM {_GLAY}'
     )

@@ -34,6 +34,29 @@ parse_documents = parse_pdfs
 summarize = grouped_mean_scores
 
 
+def score_spans_judged(extracted, golden):
+    """Deterministic 0-10 judge (E2 default scorer): per aligned span pair,
+    score = round_half_up(10 * (1 - levenshtein/max_len)) — the reference's
+    LLM judge (eval/llm_judge.py:133-158) replaced by an exact, reproducible
+    similarity metric. Built-in levenshtein → JVM-side, no UDF."""
+    from pyspark.sql import functions as F
+
+    e = extracted.select("doc_id", "offset", "kind",
+                         F.col("text").alias("extracted_text"))
+    g = golden.select("doc_id", "offset", F.col("text").alias("golden_text"))
+    joined = e.join(g, ["doc_id", "offset"])
+    max_len = F.greatest(
+        F.length("extracted_text"), F.length("golden_text"), F.lit(1)
+    )
+    raw = 10.0 * (
+        F.lit(1.0) - F.levenshtein("extracted_text", "golden_text") / max_len
+    )
+    score = F.greatest(
+        F.lit(0), (F.floor(raw + F.lit(0.5))).cast("int")
+    )
+    return joined.select("doc_id", "offset", "kind", score.alias("score"))
+
+
 def score_spans(extracted, golden):
     """Exact span-equality scorer (our deterministic judge, E2 default):
     per doc_id, fraction of golden spans matched exactly on

@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v6"  # bump to force regeneration
+FIXTURE_VERSION = "v7"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -247,6 +247,98 @@ def _render_display(content: str, rng: np.random.Generator) -> str:
     if rng.random() < 0.4:
         return f"\\[{pad}{content}{pad}\\]"
     return f"$${pad}{content}{pad}$$" if rng.random() < 0.5 else f"$${content}$$"
+
+
+# ---------------------------------------------------------------------------
+# Noisy-markdown fixture: exercises the fuzzy alignment path (J2) end-to-end.
+# ~35% of formula spans get in-formula character noise bounded well under the
+# 15% edit-distance tolerance (segment_extractor.py:631). The GUIDED aligner
+# must return the *markdown's* (noisy) variant — golden_noisy_spans records
+# exactly that expectation, so the oracle is exact.
+# ---------------------------------------------------------------------------
+
+_NOISE_CHARS = "abcxyz019+-"
+
+
+def _perturb_formula(content: str, rng: np.random.Generator) -> str:
+    """Bounded character noise on safe positions (never touches '$', '\\',
+    '{', '}' so delimiters/macros stay intact and normalization-for-matching
+    still lands within tolerance)."""
+    chars = list(content)
+    safe = [i for i, ch in enumerate(chars)
+            if ch not in "\\${}[]" and not ch.isspace()]
+    if not safe:
+        return content
+    n_edits = max(1, int(0.06 * len(safe)))
+    for _ in range(n_edits):
+        i = safe[int(rng.integers(0, len(safe)))]
+        op = rng.random()
+        if op < 0.5:  # substitute
+            chars[i] = _NOISE_CHARS[int(rng.integers(0, len(_NOISE_CHARS)))]
+        else:  # insert after
+            chars[i] = chars[i] + _NOISE_CHARS[int(rng.integers(0, len(_NOISE_CHARS)))]
+    return "".join(chars)
+
+
+def render_noisy(doc_id: int, spans: list[dict]) -> tuple[str, list[dict]]:
+    """Markdown with in-formula noise + the expected guided-alignment output
+    (noisy formulas verbatim; text/table/image spans unchanged). No grouped
+    runs, no boilerplate — isolates the fuzzy path."""
+    rng = np.random.default_rng([GLOBAL_SEED, 53, int(doc_id)])
+    expected: list[dict] = []
+    blocks: list[str] = []
+    i, n = 0, len(spans)
+    while i < n:
+        s = spans[i]
+        k = s["kind"]
+        if k == "text":
+            parts = [s["text"]]
+            exp_run = [dict(s)]
+            j = i + 1
+            while j < n:
+                kj = spans[j]["kind"]
+                prev = spans[j - 1]["kind"]
+                joinable = (
+                    (prev == "text" and kj == "inline-formula")
+                    or (prev == "inline-formula" and kj in ("inline-formula", "text"))
+                )
+                if not joinable:
+                    break
+                sj = dict(spans[j])
+                if kj == "inline-formula" and rng.random() < 0.35:
+                    inner = _perturb_formula(sj["text"][1:-1], rng)
+                    sj = {**sj, "text": "$" + inner + "$"}
+                parts.append(sj["text"])
+                exp_run.append(sj)
+                j += 1
+            blocks.append(" ".join(parts))
+            expected.extend(exp_run)
+            i = j
+        elif k == "inline-formula":
+            sj = dict(s)
+            if rng.random() < 0.35:
+                sj["text"] = "$" + _perturb_formula(s["text"][1:-1], rng) + "$"
+            blocks.append(sj["text"])
+            expected.append(sj)
+            i += 1
+        elif k == "display-formula":
+            sj = dict(s)
+            if rng.random() < 0.35:
+                sj["text"] = "$$" + _perturb_formula(s["text"][2:-2], rng) + "$$"
+            blocks.append(sj["text"])
+            expected.append(sj)
+            i += 1
+        elif k == "table":
+            blocks.append(s["text"])
+            expected.append(dict(s))
+            i += 1
+        else:
+            blocks.append(f"![fig]({s['media_ref']})")
+            expected.append(dict(s))
+            i += 1
+    for idx, e in enumerate(expected):
+        e["offset"] = idx
+    return "\n\n".join(blocks) + "\n", expected
 
 
 # ---------------------------------------------------------------------------
@@ -507,6 +599,7 @@ def ensure_fixtures(sf_dir: str) -> Path:
                          columns=["doc_id", "text", "source"]).to_pandas()
 
     docs_rows, golden_rows, md_rows, html_rows = [], [], [], []
+    noisy_rows, golden_noisy_rows = [], []
     blocks_rows, golden_layout_rows = [], []
     pdf_rows, pdf_text_rows, score_rows = [], [], []
     for rec in base.itertuples(index=False):
@@ -528,6 +621,13 @@ def ensure_fixtures(sf_dir: str) -> Path:
                         "markdown": render_markdown(did, spans, rec.source)})
         html_rows.append({"doc_id": doc_id,
                           "html": render_html(did, spans, rec.source)})
+        noisy_md, noisy_expected = render_noisy(did, spans)
+        noisy_rows.append({"doc_id": doc_id, "markdown": noisy_md})
+        for e in noisy_expected:
+            golden_noisy_rows.append({
+                "doc_id": doc_id, "offset": e["offset"], "kind": e["kind"],
+                "text": e["text"], "media_ref": e["media_ref"],
+            })
         blocks, golden_layout = generate_layout(did, spans, rec.source)
         for (pg, bbox, cat, txt) in blocks:
             blocks_rows.append({"doc_id": doc_id, "page_no": pg, "bbox": bbox,
@@ -553,6 +653,12 @@ def ensure_fixtures(sf_dir: str) -> Path:
            pa.schema([("doc_id", pa.string()), ("markdown", pa.string())]))
     _write("html_documents.parquet", html_rows,
            pa.schema([("doc_id", pa.string()), ("html", pa.string())]))
+    _write("noisy_markdown.parquet", noisy_rows,
+           pa.schema([("doc_id", pa.string()), ("markdown", pa.string())]))
+    _write("golden_noisy_spans.parquet", golden_noisy_rows,
+           pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
+                      ("kind", pa.string()), ("text", pa.string()),
+                      ("media_ref", pa.string())]))
     _write("layout_blocks.parquet", blocks_rows,
            pa.schema([("doc_id", pa.string()), ("page_no", pa.int32()),
                       ("bbox", pa.list_(pa.float64())),

@@ -133,36 +133,39 @@ def align_spans(golden: list[dict], markdown: str,
     used = [False] * len(candidates)
     out = []
     cursor = 0
+
+    def matches(g: dict, j: int) -> bool:
+        c = candidates[j]
+        if used[j] or c["kind"] != g["kind"]:
+            return False
+        if g["kind"] == "image":
+            return c["media_ref"] == g["media_ref"]
+        if c["text"] == g["text"]:  # J1 exact
+            return True
+        g_norm = normalize_for_matching(g["text"])  # J2 fuzzy
+        tol = max(1, int(EDIT_DISTANCE_RATIO * len(g_norm)))
+        return levenshtein(g_norm, normalize_for_matching(c["text"])) <= tol
+
     for g in golden:
+        # positional-first: GT order == reading order by construction
+        # (reference prompt assumption, segment_extractor.py:223), so the
+        # next unused same-kind candidate is checked exact-or-fuzzy before
+        # any later twin — an exact-anywhere-first policy would steal a
+        # later duplicate and misalign the noisy positional one. Wrap
+        # around as a fallback for out-of-order documents.
         found = None
-        for j in range(cursor, len(candidates)):
-            c = candidates[j]
-            if used[j] or c["kind"] != g["kind"]:
-                continue
-            if g["kind"] == "image":
-                if c["media_ref"] == g["media_ref"]:
-                    found = j
-                    break
-            elif c["text"] == g["text"]:  # J1 exact
+        order = list(range(cursor, len(candidates))) + list(range(0, cursor))
+        for j in order:
+            if matches(g, j):
                 found = j
                 break
-        if found is None and g["kind"] != "image":
-            # J2 fuzzy over same-kind unused candidates, in order
-            g_norm = normalize_for_matching(g["text"])
-            tol = max(1, int(EDIT_DISTANCE_RATIO * len(g_norm)))
-            for j in range(cursor, len(candidates)):
-                c = candidates[j]
-                if used[j] or c["kind"] != g["kind"]:
-                    continue
-                if levenshtein(g_norm, normalize_for_matching(c["text"])) <= tol:
-                    found = j
-                    break
         if found is None:
             out.append({"kind": g["kind"], "text": "", "media_ref": "",
                         "matched": False})
         else:
             used[found] = True
-            cursor = max(cursor, 0)
+            if found >= cursor:
+                cursor = found + 1
             c = candidates[found]
             out.append({"kind": g["kind"], "text": c["text"],
                         "media_ref": c["media_ref"], "matched": True})

@@ -92,3 +92,48 @@ def test_backend_registry(spark, fx_smoke):
     import pytest
     with pytest.raises(KeyError):
         get_backend("nope")
+
+
+def test_align_noisy_fuzzy_path_exact(spark, fx_smoke):
+    """J2 fuzzy alignment e2e: noisy markdown within the 15% tolerance —
+    the aligner must return the noisy variants in golden order."""
+    got = align_extractions(
+        _read(spark, fx_smoke, "noisy_markdown"),
+        _read(spark, fx_smoke, "golden_spans").select(*KEYS),
+        boilerplate=frozenset(),
+    )
+    _assert_equal(got, _read(spark, fx_smoke, "golden_noisy_spans"))
+
+
+def test_judge_scores_deterministic(spark, fx_smoke):
+    """E2 deterministic judge: clean spans score 10, noisy formulas <= 10,
+    nothing below 0."""
+    from pyspark.sql import functions as F
+    from pdf_parse_bench_spark import score_spans_judged
+    scores = score_spans_judged(
+        _read(spark, fx_smoke, "golden_noisy_spans"),
+        _read(spark, fx_smoke, "golden_spans"),
+    )
+    assert scores.where((F.col("score") < 0) | (F.col("score") > 10)).isEmpty()
+    assert scores.where(F.col("score") < 10).count() > 0  # noise detected
+    # non-formula spans are untouched by the noise fixture
+    assert scores.where(
+        (F.col("kind") == "table") & (F.col("score") != 10)
+    ).isEmpty()
+
+
+def test_binaryfile_pdf_source(spark, fx_smoke, tmp_path):
+    """S1 raw-PDF variant: binaryFile source over a directory of .pdf files."""
+    import pyarrow.parquet as pq
+    from pdf_parse_bench_spark.sources import read_pdf_corpus
+    pdfs = pq.read_table(fx_smoke / "pdf_docs.parquet").to_pandas().head(20)
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    for r in pdfs.itertuples(index=False):
+        (d / f"{r.doc_id}.pdf").write_bytes(bytes(r.pdf_bytes))
+    corpus = read_pdf_corpus(spark, str(d))
+    got = parse_pdfs(corpus, rebalance=False)
+    gold = _read(spark, fx_smoke, "golden_pdf_text")
+    want = gold.where(gold.doc_id.isin(list(pdfs.doc_id)))
+    assert got.count() == 20
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
