@@ -72,3 +72,18 @@ def test_entry_smoke(spark):
     assert [f.name for f in df.schema.fields] == [
         "doc_id", "offset", "kind", "text", "media_ref"
     ]
+
+
+def test_iceberg_layer_gated(spark, fx_smoke, tmp_path):
+    """Iceberg jar absent here: the layer must degrade to parquet with the
+    identical call sites (on a cluster the same code hits the catalog)."""
+    from pdf_parse_bench_spark.sources import iceberg as ice
+    if ice.iceberg_available(spark):
+        import pytest
+        pytest.skip("iceberg present; parquet-fallback branch not exercised")
+    assert "bucket(256, doc_id)" in ice.documents_ddl()
+    spans = spark.read.parquet(str(fx_smoke / "golden_spans.parquet")).limit(100)
+    target = str(tmp_path / "spans_tbl")
+    ice.write_spans(spans, target)
+    back = ice.read_table(spark, target)
+    assert back.count() == 100
