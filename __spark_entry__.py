@@ -304,6 +304,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["sessionize_events"] = sessionize_events
 
+    def event_props_extract(s, d):
+        ev = _t(s, d, "events")
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        )
+    q["event_props_extract"] = event_props_extract
+
     def windowed_counts(s, d):
         out = windowed_event_counts(_t(s, d, "events"))
         return out.select(
@@ -700,6 +708,10 @@ def oracle_sql() -> dict[str, str]:
         "epoch_us(max(ts)) AS end_epoch, "
         "floor((sum(value)) * 1000000 + 0.5) / 1000000 AS session_value "
         "FROM s GROUP BY user_id, session_no"
+    )
+    o["event_props_extract"] = (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
+        "AS prop_k FROM events"
     )
     o["windowed_counts"] = (
         "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch, "

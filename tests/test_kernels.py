@@ -312,3 +312,50 @@ def test_html_entities_and_inline_math():
         ("text", "a & b"), ("inline-formula", "$x<y$"), ("text", "c"),
         ("table", "r & 1 \\\\"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Property tests: render/parse round-trips on arbitrary seeded corpora
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=10_000, max_value=10_999),
+       st.sampled_from(["alpha beta gamma delta", "spark scan join filter row"]))
+def test_markdown_roundtrip_property(doc_id, words):
+    from pdf_parse_bench_spark.fixtures import (
+        _boilerplate_lines, generate_doc_spans, render_markdown,
+    )
+    spans = generate_doc_spans(doc_id, words)
+    md = render_markdown(doc_id, spans, "srcP")
+    bp = frozenset(_boilerplate_lines("srcP"))
+    got = parse_markdown(md, bp)
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in got] == [
+        (s["kind"], s["text"], s["media_ref"]) for s in spans
+    ]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=20_000, max_value=20_999))
+def test_html_roundtrip_property(doc_id):
+    from pdf_parse_bench_spark.fixtures import generate_doc_spans, render_html
+    from pdf_parse_bench_spark.kernels.htmldoc import parse_html
+    spans = generate_doc_spans(doc_id, "one two three four five six")
+    html = render_html(doc_id, spans, "srcQ")
+    got = parse_html(html)
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in got] == [
+        (s["kind"], s["text"], s["media_ref"]) for s in spans
+    ]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=30_000, max_value=30_999))
+def test_noisy_alignment_property(doc_id):
+    from pdf_parse_bench_spark.fixtures import generate_doc_spans, render_noisy
+    spans = generate_doc_spans(doc_id, "red green blue cyan magenta yellow")
+    md, expected = render_noisy(doc_id, spans)
+    golden = [{"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"]}
+              for s in spans]
+    out = align_spans(golden, md)
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in out] == [
+        (e["kind"], e["text"], e["media_ref"]) for e in expected
+    ]

@@ -87,3 +87,24 @@ def test_iceberg_layer_gated(spark, fx_smoke, tmp_path):
     ice.write_spans(spans, target)
     back = ice.read_table(spark, target)
     assert back.count() == 100
+
+
+def test_skew_rebalance_isolates_big_docs(spark, fx_smoke):
+    """Size-quantile rebalancing: >p99 docs land in the dedicated partition
+    band, never sharing a task with the bulk of small docs."""
+    from pyspark.sql import functions as F
+    from pdf_parse_bench_spark.operators.skew import rebalance_by_size
+    md = spark.read.parquet(str(fx_smoke / "parsed_markdown.parquet"))
+    thr = md.select(F.length("markdown").alias("l")).stat.approxQuantile("l", [0.99], 0.01)[0]
+    out = rebalance_by_size(md, size_col=F.length("markdown"))
+    parts = out.select(
+        F.spark_partition_id().alias("pid"),
+        (F.length("markdown") > thr).alias("big"),
+    )
+    mixed = (
+        parts.groupBy("pid")
+        .agg(F.sum(F.col("big").cast("int")).alias("n_big"),
+             F.count("*").alias("n"))
+        .where((F.col("n_big") > 0) & (F.col("n") > F.col("n_big")))
+    )
+    assert mixed.isEmpty(), mixed.collect()
