@@ -602,7 +602,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
         "floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 1000000 + 0.5) / 1000000 AS cosine "
         "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
-        "WHERE floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 1000000 + 0.5) / 1000000 >= 0.85"
+        "WHERE floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 1000000 + 0.5) / 1000000 >= 0.4"
     )
 
     # ---- similarity ----

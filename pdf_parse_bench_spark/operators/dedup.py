@@ -179,7 +179,7 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return sim
 
 
-def embedding_near_dups(emb: DataFrame, threshold: float = 0.85,
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.4,
                         sign_dims: int = 3) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by the sign pattern of the
     first `sign_dims` dimensions (2^dims buckets) so the pair join stays
@@ -216,7 +216,7 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.85,
                 / (F.col("a.norm") * F.col("b.norm"))
             ),
         )
-        .where(F.col("cosine") >= threshold)
+        .where(F.col("cosine") >= F.lit(threshold))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
