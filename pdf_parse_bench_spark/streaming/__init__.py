@@ -66,6 +66,39 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_totals(stream: DataFrame):
+    """Custom stateful streaming operator via applyInPandasWithState: per
+    user, running (n_events, total_value) carried in GroupState across
+    micro-batches — the arbitrary-state primitive the reference's
+    incremental-batch resume approximates with files (SURVEY.md §1.2).
+
+    Emits one row per (user, micro-batch touching that user) with the
+    cumulative totals; the final emission per user equals the batch
+    groupBy aggregate (asserted in tests across multiple micro-batches).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n],
+             "total_value": [round(total, 6)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user (batch formulation: lag + cumulative
     sum over an event-time window — the applyInPandasWithState analog that

@@ -48,3 +48,47 @@ def test_windowed_counts_streaming_mode(spark, tmp_path):
     want = windowed_event_counts(events)
     assert got.count() == want.count()
     assert got.agg(F.sum("n")).first()[0] == events.count()
+
+
+def test_stateful_user_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches — with
+    maxFilesPerTrigger=1 the second batch's emission per user equals the
+    whole-corpus batch aggregate."""
+    from pyspark.sql import functions as F
+    from pdf_parse_bench_spark.streaming import stateful_user_totals
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    half1 = events.where(F.col("event_id") % 2 == 0)
+    half2 = events.where(F.col("event_id") % 2 == 1)
+    src = tmp_path / "ev_state"
+    src.mkdir()
+    half1.coalesce(1).write.parquet(str(src / "f1.parquet"))
+    half2.coalesce(1).write.parquet(str(src / "f2.parquet"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.format("memory").queryName("t_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("t_state")
+    # the LAST emission per user must equal the batch totals
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (got.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1).drop("rn"))
+    want = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    assert final.count() == want.count()
+    assert final.exceptAll(want).isEmpty()
+    # state really carried: users appear in MORE than one emission
+    assert got.count() > want.count()
