@@ -29,6 +29,50 @@ from pdf_parse_bench_spark.operators.aggregates import (  # noqa: F401
 
 __version__ = "0.1.0"
 
+
+class Benchmark:
+    """Library facade matching the reference's entry point 2
+    (README.md:172-216: `bench.extract(); bench.evaluate();
+    bench.save_benchmark_summary()`), DataFrame-native: a user of the
+    reference can hand in their own parsed markdown mid-pipeline and run
+    the remaining stages."""
+
+    def __init__(self, spark, golden):
+        """golden: DataFrame or parquet path of golden spans
+        (doc_id, offset, kind, text, media_ref)."""
+        self.spark = spark
+        self.golden = (
+            golden if hasattr(golden, "columns") else spark.read.parquet(golden)
+        )
+
+    def extract(self, df, backend: str = "markdown"):
+        from pdf_parse_bench_spark.operators.backends import get_backend
+        if isinstance(df, str):
+            df = self.spark.read.parquet(df)
+        return get_backend(backend)(df)
+
+    def align(self, md_df):
+        """GT-guided alignment (the reference's extract stage)."""
+        keys = ["doc_id", "offset", "kind", "text", "media_ref"]
+        return align_extractions(md_df, self.golden.select(*keys))
+
+    def evaluate(self, extracted):
+        """Deterministic judge scores (E2 default) + exact match rates."""
+        return {
+            "judged": score_spans_judged(extracted, self.golden),
+            "exact": score_spans(extracted, self.golden),
+        }
+
+    def save_benchmark_summary(self, judged, path: str | None = None):
+        from pyspark.sql import functions as F
+        summary = judged.groupBy("kind").agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+        if path:
+            summary.write.mode("overwrite").parquet(path)
+        return summary
+
 # convenience aliases matching the reference's stage names
 parse_documents = parse_pdfs
 summarize = grouped_mean_scores

@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v7"  # bump to force regeneration
+FIXTURE_VERSION = "v8"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -520,6 +520,17 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
             y -= 14.0
     golden_lines = [ln for _, cl in cols for ln in cl]
     stream = "\n".join(ops).encode("latin-1", errors="replace")
+    # ~40% of docs get FlateDecode-compressed content streams (the common
+    # real-world encoding; exercises the tokenizer's zlib path)
+    import zlib as _zlib
+    if rng.random() < 0.4:
+        stream = _zlib.compress(stream)
+        stream_obj = (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(stream), stream)
+        )
+    else:
+        stream_obj = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
     objs = []
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
@@ -527,7 +538,7 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] "
         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
     )
-    objs.append(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream))
+    objs.append(stream_obj)
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     out = bytearray(b"%PDF-1.4\n")
     offsets = []

@@ -14,12 +14,17 @@ no driver-side loops (north_rule: batched byte-stream tokenization).
 from __future__ import annotations
 
 import re
+import zlib
 
 import numpy as np
 
 from pdf_parse_bench_spark.kernels.layout import reading_order
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+# object dict + stream; body sliced by /Length when present (a compressed
+# body may legitimately contain the bytes "endstream")
+_OBJ_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+_ENDSTREAM_RE = re.compile(rb"\r?\nendstream")
 _TJ_RE = re.compile(
     rb"(-?[\d.]+)\s+(-?[\d.]+)\s+Tm\s*\(((?:\\.|[^\\()])*)\)\s*Tj"
 )
@@ -40,11 +45,33 @@ def _unescape(raw: bytes) -> str:
     )
 
 
+def _iter_stream_bodies(pdf_bytes: bytes):
+    """Yield decoded content-stream bodies. Supports raw and
+    /Filter /FlateDecode (zlib) streams; /Length-aware slicing so
+    compressed bodies containing 'endstream' bytes don't truncate."""
+    for om in _OBJ_STREAM_RE.finditer(pdf_bytes):
+        obj_dict = om.group(1)
+        start = om.end()
+        lm = _LENGTH_RE.search(obj_dict)
+        if lm:
+            body = pdf_bytes[start:start + int(lm.group(1))]
+        else:
+            em = _ENDSTREAM_RE.search(pdf_bytes, start)
+            if not em:
+                continue
+            body = pdf_bytes[start:em.start()]
+        if b"FlateDecode" in obj_dict:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        yield body
+
+
 def extract_pdf_text(pdf_bytes: bytes) -> str:
     """Extract text runs from all content streams, reading-ordered."""
     runs: list[tuple[float, float, str]] = []  # (x, y_pdf, text)
-    for sm in _STREAM_RE.finditer(pdf_bytes):
-        body = sm.group(1)
+    for body in _iter_stream_bodies(pdf_bytes):
         for m in _TJ_RE.finditer(body):
             # `a b c d x y Tm` — we match the trailing translate pair; the
             # fixture (and most simple producers) emit identity CTMs.

@@ -137,3 +137,40 @@ def test_binaryfile_pdf_source(spark, fx_smoke, tmp_path):
     want = gold.where(gold.doc_id.isin(list(pdfs.doc_id)))
     assert got.count() == 20
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_cli_extract_and_score(fx_smoke, tmp_path):
+    """Reference CLI analog: extract via a named backend, then score."""
+    import subprocess, sys
+    out = tmp_path / "spans"
+    r = subprocess.run(
+        [sys.executable, "-m", "pdf_parse_bench_spark", "extract",
+         "--backend", "html",
+         "--input", str(fx_smoke / "html_documents.parquet"),
+         "--output", str(out), "--cores", "4"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "wrote" in r.stdout
+    r2 = subprocess.run(
+        [sys.executable, "-m", "pdf_parse_bench_spark", "score",
+         "--extracted", str(out),
+         "--golden", str(fx_smoke / "golden_spans.parquet"), "--cores", "4"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    assert "(1.0000)" in r2.stdout and "judged mean: 10.000" in r2.stdout
+
+
+def test_benchmark_facade(spark, fx_smoke):
+    """Reference library entry point 2: user-provided markdown mid-pipeline."""
+    from pdf_parse_bench_spark import Benchmark
+    from pyspark.sql import functions as F
+    bench = Benchmark(spark, str(fx_smoke / "golden_spans.parquet"))
+    spans = bench.extract(str(fx_smoke / "parsed_markdown.parquet"),
+                          backend="markdown")
+    res = bench.evaluate(spans)
+    assert res["exact"].where(F.col("match_rate") < 1.0).isEmpty()
+    summary = bench.save_benchmark_summary(res["judged"])
+    rows = {r.kind: r.avg_score for r in summary.collect()}
+    assert all(v == 10.0 for v in rows.values())
