@@ -101,6 +101,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _f(s, d, "html_documents")
     )
     q["pdf_parse"] = lambda s, d: parse_pdfs(_f(s, d, "pdf_docs"))
+
+    def nested_pipeline(s, d):
+        """Full circle on the input_hint nested table: spans array ->
+        markdown via pure higher-order functions (no explode) ->
+        extraction kernel -> spans. Must reproduce golden exactly."""
+        docs = _f(s, d, "spans_documents")
+        pieces = F.filter(
+            F.transform(
+                "spans",
+                lambda sp: F.when(
+                    sp["kind"] == "image",
+                    F.concat(F.lit("![]("), sp["media_ref"], F.lit(")")),
+                ).otherwise(sp["text"]),
+            ),
+            lambda x: x != "",
+        )
+        md = docs.select(
+            "doc_id", F.array_join(pieces, "\n\n").alias("markdown")
+        )
+        return extract_spans(md, boilerplate=frozenset())
+    q["nested_pipeline"] = nested_pipeline
     q["align_noisy"] = lambda s, d: align_extractions(
         _f(s, d, "noisy_markdown"),
         _f(s, d, "golden_spans").select("doc_id", "offset", "kind", "text", "media_ref"),
@@ -440,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["align_extractions"] = o["extract_spans"]
     o["html_spans"] = o["extract_spans"]
+    o["nested_pipeline"] = o["extract_spans"]
     o["align_noisy"] = (
         'SELECT doc_id, "offset", kind, text, media_ref FROM '
         f"'{ORACLE_FX}/golden_noisy_spans.parquet'"
