@@ -287,6 +287,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["tpch_q1"] = tpch_q1
 
+    def tpch_q6(s, d):
+        li = _t(s, d, "lineitem")
+        return (
+            li.where(
+                (epoch_seconds("l_shipdate") >= 788918400)   # 1995-01-01 UTC
+                & (epoch_seconds("l_shipdate") < 820454400)  # 1996-01-01 UTC
+                & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.05)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(round_half_up(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n"))
+        )
+    q["tpch_q6"] = tpch_q6
+
+    def tpch_q3(s, d):
+        li = _t(s, d, "lineitem")
+        o = _t(s, d, "orders")
+        c = _t(s, d, "customer")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .where((F.col("c_mktsegment") == "BUILDING")
+                   & (epoch_seconds("o_orderdate") < 794016000)   # 1995-03-01
+                   & (epoch_seconds("l_shipdate") > 794016000))
+            .groupBy("l_orderkey")
+            .agg(round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+        )
+    q["tpch_q3"] = tpch_q3
+
     def revenue_by_region(s, d):
         o = _t(s, d, "orders")
         c = _t(s, d, "customer")
@@ -702,6 +736,20 @@ def oracle_sql() -> dict[str, str]:
         "CAST(count(*) AS BIGINT) AS count_order "
         "FROM lineitem WHERE epoch(l_shipdate) <= 904694400 "
         "GROUP BY l_returnflag, l_linestatus"
+    )
+    o["tpch_q6"] = (
+        "SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue, "
+        "CAST(count(*) AS BIGINT) AS n FROM lineitem "
+        "WHERE epoch(l_shipdate) >= 788918400 AND epoch(l_shipdate) < 820454400 "
+        "AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24"
+    )
+    o["tpch_q3"] = (
+        "SELECT l_orderkey, floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' AND epoch(o_orderdate) < 794016000 "
+        "AND epoch(l_shipdate) > 794016000 "
+        "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"
     )
     o["revenue_by_region"] = (
         "SELECT r_name, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue, "

@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v8"  # bump to force regeneration
+FIXTURE_VERSION = "v9"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -499,46 +499,67 @@ def _pdf_escape(s: str) -> str:
 
 
 def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
-    """Tiny uncompressed PDF from the doc's text spans + expected text.
+    """Multi-page PDF from the doc's text spans + expected text.
 
-    Lines are laid out top-down (PDF y is bottom-up); ~40% of docs are
-    two-column so the tokenizer's XY-cut path is exercised.
-    """
-    rng = np.random.default_rng([GLOBAL_SEED, 29, int(doc_id)])
-    lines = [s["text"] for s in spans if s["kind"] == "text"][:50]
-    two_col = bool(rng.random() < 0.4) and len(lines) >= 6
-    ops, golden_lines = [], []
-    if two_col:
-        half = (len(lines) + 1) // 2
-        cols = [(72.0, lines[:half]), (310.0, lines[half:])]
-    else:
-        cols = [(72.0, lines)]
-    for x, col_lines in cols:
-        y = 770.0
-        for ln in col_lines:
-            ops.append(f"BT /F1 12 Tf 1 0 0 1 {x:.1f} {y:.1f} Tm ({_pdf_escape(ln)}) Tj ET")
-            y -= 14.0
-    golden_lines = [ln for _, cl in cols for ln in cl]
-    stream = "\n".join(ops).encode("latin-1", errors="replace")
-    # ~40% of docs get FlateDecode-compressed content streams (the common
-    # real-world encoding; exercises the tokenizer's zlib path)
+    Pages hold up to 50 lines (100 when two-column), laid out top-down
+    (PDF y is bottom-up); ~40% of pages are two-column (XY-cut path) and
+    ~40% of content streams are FlateDecode-compressed. Skew docs become
+    genuinely multi-page."""
     import zlib as _zlib
-    if rng.random() < 0.4:
-        stream = _zlib.compress(stream)
-        stream_obj = (
-            b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
-            % (len(stream), stream)
+
+    rng = np.random.default_rng([GLOBAL_SEED, 29, int(doc_id)])
+    lines = [s["text"] for s in spans if s["kind"] == "text"]
+    page_streams: list[bytes] = []
+    golden_lines: list[str] = []
+    pos = 0
+    while pos < len(lines) or not page_streams:
+        two_col = bool(rng.random() < 0.4)
+        per_page = 100 if two_col else 50
+        page_lines = lines[pos:pos + per_page]
+        pos += per_page
+        if two_col and len(page_lines) >= 6:
+            half = (len(page_lines) + 1) // 2
+            cols = [(72.0, page_lines[:half]), (310.0, page_lines[half:])]
+        else:
+            cols = [(72.0, page_lines)]
+        ops = []
+        for x, col_lines in cols:
+            y = 770.0
+            for ln in col_lines:
+                ops.append(
+                    f"BT /F1 12 Tf 1 0 0 1 {x:.1f} {y:.1f} Tm "
+                    f"({_pdf_escape(ln)}) Tj ET"
+                )
+                y -= 14.0
+        golden_lines.extend(ln for _, cl in cols for ln in cl)
+        stream = "\n".join(ops).encode("latin-1", errors="replace")
+        if rng.random() < 0.4:  # FlateDecode path
+            stream = _zlib.compress(stream)
+            page_streams.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                % (len(stream), stream)
+            )
+        else:
+            page_streams.append(
+                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+            )
+        if pos >= len(lines):
+            break
+
+    n_pages = len(page_streams)
+    font_obj_no = 3 + 2 * n_pages
+    kids = b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(n_pages))
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages),
+    ]
+    for i, stream_obj in enumerate(page_streams):
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] "
+            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
+            % (4 + 2 * i, font_obj_no)
         )
-    else:
-        stream_obj = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
-    objs = []
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
-    objs.append(
-        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] "
-        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
-    )
-    objs.append(stream_obj)
+        objs.append(stream_obj)
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     out = bytearray(b"%PDF-1.4\n")
     offsets = []

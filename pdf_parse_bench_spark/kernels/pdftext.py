@@ -69,9 +69,14 @@ def _iter_stream_bodies(pdf_bytes: bytes):
 
 
 def extract_pdf_text(pdf_bytes: bytes) -> str:
-    """Extract text runs from all content streams, reading-ordered."""
-    runs: list[tuple[float, float, str]] = []  # (x, y_pdf, text)
+    """Extract text runs from all content streams, reading-ordered.
+
+    Each content stream is a page (reference pypdf path: per-page
+    ``extract_text`` then join, parsers/pypdf/__main__.py:30-32): XY-cut
+    orders runs *within* a page; pages concatenate in document order."""
+    pages: list[str] = []
     for body in _iter_stream_bodies(pdf_bytes):
+        runs: list[tuple[float, float, str]] = []  # (x, y_pdf, text)
         for m in _TJ_RE.finditer(body):
             # `a b c d x y Tm` — we match the trailing translate pair; the
             # fixture (and most simple producers) emit identity CTMs.
@@ -80,10 +85,12 @@ def extract_pdf_text(pdf_bytes: bytes) -> str:
         for m in _TD_RE.finditer(body):
             runs.append((float(m.group(1)), float(m.group(2)),
                          _unescape(m.group(3))))
-    if not runs:
-        return ""
-    bboxes = np.array(
-        [[x, PAGE_H - y, x + _RUN_W, PAGE_H - y + _LINE_H] for x, y, _ in runs]
-    )
-    order = reading_order(bboxes)
-    return "\n".join(runs[i][2] for i in order)
+        if not runs:
+            continue
+        bboxes = np.array(
+            [[x, PAGE_H - y, x + _RUN_W, PAGE_H - y + _LINE_H]
+             for x, y, _ in runs]
+        )
+        order = reading_order(bboxes)
+        pages.append("\n".join(runs[i][2] for i in order))
+    return "\n".join(pages)
