@@ -13,6 +13,7 @@ from pdf_parse_bench_spark.kernels.textnorm import (  # noqa: F401
     strip_delimiters,
     unescape_control,
 )
+from pdf_parse_bench_spark.kernels.htmldoc import parse_html  # noqa: F401
 from pdf_parse_bench_spark.kernels.markdown import parse_markdown  # noqa: F401
 from pdf_parse_bench_spark.kernels.alignment import (  # noqa: F401
     align_spans,
