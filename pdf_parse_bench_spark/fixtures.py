@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v9"  # bump to force regeneration
+FIXTURE_VERSION = "v10"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -494,26 +494,129 @@ def generate_layout(doc_id: int, spans: list[dict], source: str):
 # Minimal single-page(ish) PDF fixture (uncompressed content streams)
 # ---------------------------------------------------------------------------
 
-def _pdf_escape(s: str) -> str:
-    return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+def _pdf_escape(s: str, rng=None) -> str:
+    """Literal-string escape; chars >= 127 (and optionally a random ASCII
+    char) are emitted as 1-3 digit octal escapes, exercising the real
+    literal-string grammar (PDF 32000-1 §7.3.4.2)."""
+    out = []
+    oct_idx = -1
+    if rng is not None and len(s) > 4 and rng.random() < 0.3:
+        oct_idx = int(rng.integers(0, len(s)))
+    for i, ch in enumerate(s):
+        b = ord(ch)
+        if ch in "()\\":
+            out.append("\\" + ch)
+        elif b > 255:
+            out.append("?")  # matches latin-1 errors='replace' of old path
+        elif b >= 127 or b < 32 or i == oct_idx:
+            out.append("\\%03o" % b)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+# Decoration line rendered via the /Differences font F2: bytes \200 \201 \202
+# decode to bullet / emdash / eacute (AGL names) — golden text below.
+_DECO_STREAM = "(\\200 Synthetic digest \\201 r\\202sum\\202) Tj"
+_DECO_TEXT = "• Synthetic digest — résumé"
+
+
+def _tj_line(ln: str, rng) -> str:
+    """Render one line as a TJ array: word gaps become -250/1000 em kerning
+    (re-spaced by the extractor), intra-word splits get small kerns (no
+    space), and ~30% of chunks are hex strings."""
+    parts: list[tuple[str, int | None]] = []
+    sp = [i for i in range(1, len(ln) - 1)
+          if ln[i] == " " and ln[i - 1] != " " and ln[i + 1] != " "]
+    if sp and len(ln) > 8:
+        i = int(sp[int(rng.integers(0, len(sp)))])
+        a, b = ln[:i], ln[i + 1:]
+        k = len(a) // 2
+        if len(a) > 4 and rng.random() < 0.5 and a[k - 1] != " " and a[k] != " ":
+            parts = [(a[:k], -40), (a[k:], -250), (b, None)]
+        else:
+            parts = [(a, -250), (b, None)]
+    else:
+        parts = [(ln, None)]
+    els = []
+    for chunk, kern in parts:
+        if rng.random() < 0.3 and all(ord(c) < 256 for c in chunk):
+            els.append("<" + chunk.encode("latin-1").hex() + ">")
+        else:
+            els.append("(" + _pdf_escape(chunk, rng) + ")")
+        if kern is not None:
+            els.append(str(kern))
+    return "[" + " ".join(els) + "] TJ"
+
+
+def _emit_column(x: float, y0: float, col_lines: list[str], rng) -> list[str]:
+    """Emit one column's text ops in one of five content-stream dialects."""
+    if not col_lines:
+        return []
+    style = ("tm", "td", "tstar", "tj", "hex")[int(rng.integers(0, 5))]
+    ops: list[str] = []
+    if style == "tm":  # one BT/ET per line, absolute Tm positioning
+        y = y0
+        for ln in col_lines:
+            ops.append(f"BT /F1 12 Tf 1 0 0 1 {x:.1f} {y:.1f} Tm "
+                       f"({_pdf_escape(ln, rng)}) Tj ET")
+            y -= 14.0
+    elif style == "td":  # single BT, relative Td/TD line moves
+        body = [f"BT /F1 12 Tf 1 0 0 1 {x:.1f} {y0:.1f} Tm "
+                f"({_pdf_escape(col_lines[0], rng)}) Tj"]
+        for j, ln in enumerate(col_lines[1:]):
+            mv = "0 -14 TD" if j == 0 else "0 -14 Td"
+            body.append(f"{mv} ({_pdf_escape(ln, rng)}) Tj")
+        ops.append(" ".join(body) + " ET")
+    elif style == "tstar":  # TL leading + T*/' next-line shows
+        body = [f"BT /F1 12 Tf 14 TL 1 0 0 1 {x:.1f} {y0:.1f} Tm "
+                f"({_pdf_escape(col_lines[0], rng)}) Tj"]
+        for ln in col_lines[1:]:
+            body.append(f"({_pdf_escape(ln, rng)}) '")
+        ops.append(" ".join(body) + " ET")
+    elif style == "tj":  # TJ arrays with kerning + hex chunks
+        body = [f"BT /F1 12 Tf 1 0 0 1 {x:.1f} {y0:.1f} Tm "
+                + _tj_line(col_lines[0], rng)]
+        for ln in col_lines[1:]:
+            body.append("0 -14 Td " + _tj_line(ln, rng))
+        ops.append(" ".join(body) + " ET")
+    else:  # hex strings via Tj
+        y = y0
+        for ln in col_lines:
+            if all(ord(c) < 256 for c in ln):
+                shown = "<" + ln.encode("latin-1").hex() + ">"
+            else:
+                shown = "(" + _pdf_escape(ln, rng) + ")"
+            ops.append(f"BT /F1 12 Tf 1 0 0 1 {x:.1f} {y:.1f} Tm {shown} Tj ET")
+            y -= 14.0
+    return ops
 
 
 def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
     """Multi-page PDF from the doc's text spans + expected text.
 
-    Pages hold up to 50 lines (100 when two-column), laid out top-down
-    (PDF y is bottom-up); ~40% of pages are two-column (XY-cut path) and
-    ~40% of content streams are FlateDecode-compressed. Skew docs become
-    genuinely multi-page."""
+    Exercises the real PDF surface the extractor must handle (the constructs
+    pypdf's extract_text supports, reference parsers/pypdf/__main__.py:30-32):
+    per-page dialect mix of absolute-Tm, Td/TD-relative, TL/T*/quote, TJ
+    kerning arrays and hex-string show ops; octal escapes; ~30% of pages
+    carry a /Differences-encoded decoration line (F2); ~25% are US-Letter
+    with a per-page /MediaBox overriding the inherited A4; ~30% of pages
+    split their ops across a /Contents array of two streams; ~40% of streams
+    are FlateDecode. Pages hold up to 50 lines (100 when two-column); skew
+    docs become genuinely multi-page."""
     import zlib as _zlib
 
     rng = np.random.default_rng([GLOBAL_SEED, 29, int(doc_id)])
     lines = [s["text"] for s in spans if s["kind"] == "text"]
-    page_streams: list[bytes] = []
+    pages: list[dict] = []  # {streams: [bytes], letter: bool}
     golden_lines: list[str] = []
     pos = 0
-    while pos < len(lines) or not page_streams:
+    while pos < len(lines) or not pages:
         two_col = bool(rng.random() < 0.4)
+        letter = bool(rng.random() < 0.25)
+        deco = bool(rng.random() < 0.3)
+        page_h = 792.0 if letter else 842.0
+        y0 = page_h - 72.0
         per_page = 100 if two_col else 50
         page_lines = lines[pos:pos + per_page]
         pos += per_page
@@ -522,45 +625,66 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
             cols = [(72.0, page_lines[:half]), (310.0, page_lines[half:])]
         else:
             cols = [(72.0, page_lines)]
-        ops = []
+        ops: list[str] = []
+        if deco:
+            ops.append(f"BT /F2 12 Tf 1 0 0 1 72.0 {y0:.1f} Tm "
+                       + _DECO_STREAM + " ET")
+            golden_lines.append(_DECO_TEXT)
+            y0 -= 20.0  # 8pt whitespace gap: XY-cut keeps deco first
         for x, col_lines in cols:
-            y = 770.0
-            for ln in col_lines:
-                ops.append(
-                    f"BT /F1 12 Tf 1 0 0 1 {x:.1f} {y:.1f} Tm "
-                    f"({_pdf_escape(ln)}) Tj ET"
-                )
-                y -= 14.0
+            ops.extend(_emit_column(x, y0, col_lines, rng))
         golden_lines.extend(ln for _, cl in cols for ln in cl)
-        stream = "\n".join(ops).encode("latin-1", errors="replace")
-        if rng.random() < 0.4:  # FlateDecode path
-            stream = _zlib.compress(stream)
-            page_streams.append(
-                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
-                % (len(stream), stream)
-            )
+
+        if len(ops) > 2 and rng.random() < 0.3:  # /Contents array path
+            cut = len(ops) // 2
+            chunks = [ops[:cut], ops[cut:]]
         else:
-            page_streams.append(
-                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
-            )
+            chunks = [ops]
+        streams = []
+        for chunk in chunks:
+            stream = "\n".join(chunk).encode("latin-1", errors="replace")
+            if rng.random() < 0.4:  # FlateDecode path
+                z = _zlib.compress(stream)
+                streams.append(
+                    b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                    % (len(z), z))
+            else:
+                streams.append(
+                    b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream))
+        pages.append({"streams": streams, "letter": letter})
         if pos >= len(lines):
             break
 
-    n_pages = len(page_streams)
-    font_obj_no = 3 + 2 * n_pages
-    kids = b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(n_pages))
-    objs = [
+    # objects: 1=Catalog 2=Pages 3=F1 4=F2, then per page: streams, page dict.
+    # MediaBox + Resources live on the Pages node (inheritance path); Letter
+    # pages override MediaBox locally.
+    objs: list[bytes] = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages),
+        b"",  # Pages placeholder (needs kid numbers)
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding "
+        b"<< /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [ 128 /bullet /emdash /eacute ] >> >>",
     ]
-    for i, stream_obj in enumerate(page_streams):
-        objs.append(
-            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] "
-            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
-            % (4 + 2 * i, font_obj_no)
-        )
-        objs.append(stream_obj)
-    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    page_nums: list[int] = []
+    for page in pages:
+        snums = []
+        for s in page["streams"]:
+            objs.append(s)
+            snums.append(len(objs))
+        if len(snums) == 1:
+            contents = b"%d 0 R" % snums[0]
+        else:
+            contents = b"[" + b" ".join(b"%d 0 R" % n for n in snums) + b"]"
+        media = b" /MediaBox [0 0 612 792]" if page["letter"] else b""
+        objs.append(b"<< /Type /Page /Parent 2 0 R%s /Contents %s >>"
+                    % (media, contents))
+        page_nums.append(len(objs))
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    objs[1] = (b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 595 842] "
+               b"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> >>"
+               % (kids, len(page_nums)))
+
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, body in enumerate(objs, start=1):

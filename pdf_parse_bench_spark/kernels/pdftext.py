@@ -1,14 +1,28 @@
-"""Pure-Python PDF content-stream text tokenizer (the M2 analog).
+"""Pure-Python PDF text extractor (the M2 analog).
 
 The reference's cheapest deterministic backend is pypdf's per-page
-``extract_text`` (parsers/pypdf/__main__.py:30-32). This kernel re-implements
-that capability from scratch for uncompressed content streams: it scans
-``stream … endstream`` sections, tokenizes ``Tm``-positioned ``Tj`` text
-runs, converts PDF bottom-up y into top-down layout boxes, and re-uses the
-XY-cut reading order so multi-column pages come out column-major.
+``extract_text`` (parsers/pypdf/__main__.py:30-32). This kernel
+re-implements that capability from scratch:
 
-Designed to run inside ``mapInPandas`` over Arrow batches of PDF bytes —
-no driver-side loops (north_rule: batched byte-stream tokenization).
+  - xref table parse (``startxref`` -> subsections -> ``/Prev`` chain) with
+    a full ``N G obj`` scan fallback for broken files,
+  - a real COS object parser (dicts, arrays, names with ``#xx`` escapes,
+    literal strings with octal escapes / nested parens / line continuations,
+    hex strings, indirect references),
+  - ``/Root -> /Pages -> /Kids`` page-tree traversal with inheritable
+    ``/MediaBox`` and ``/Resources`` (so page height is real, not assumed),
+  - ``/Contents`` as a single stream or an array of streams, FlateDecode,
+  - a content-stream interpreter tracking text state across one or many
+    show ops per BT/ET block: ``Tm Td TD T* TL Tf`` positioning and
+    ``Tj TJ ' "`` show operators (TJ kerning gaps <= -150/1000 em become a
+    space, mirroring pypdf's word-gap heuristic),
+  - font ``/Encoding`` decode: WinAnsi / MacRoman / Standard base tables
+    plus ``/Differences`` glyph-name overrides (AGL subset).
+
+Within a page, runs are ordered by the same XY-cut used by the layout path
+so multi-column pages come out column-major; pages concatenate in page-tree
+order. Designed to run inside ``mapInPandas`` over Arrow batches of PDF
+bytes — no driver-side loops (north_rule: batched byte-stream tokenization).
 """
 
 from __future__ import annotations
@@ -20,35 +34,581 @@ import numpy as np
 
 from pdf_parse_bench_spark.kernels.layout import reading_order
 
-# object dict + stream; body sliced by /Length when present (a compressed
-# body may legitimately contain the bytes "endstream")
+PAGE_H = 842.0  # fallback page height when no /MediaBox is recoverable
+_LINE_H = 12.0
+_RUN_W = 200.0
+_TJ_SPACE_KERN = -150.0  # TJ adjustment (1/1000 em) at/below which a space is implied
+
+_WS = frozenset(b"\x00\t\n\x0c\r ")
+_DELIM = frozenset(b"()<>[]{}/%")
+
+# ---------------------------------------------------------------------------
+# COS object model + parser
+# ---------------------------------------------------------------------------
+
+
+class _Name(str):
+    __slots__ = ()
+
+
+class _Ref(int):
+    __slots__ = ()
+
+
+_NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
+_REF_RE = re.compile(rb"\s+\d+\s+R(?![A-Za-z0-9])")
+_NAME_HEX_RE = re.compile(r"#([0-9A-Fa-f]{2})")
+
+
+def _skip_ws(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment to EOL
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        else:
+            break
+    return i
+
+
+def _parse_name(data: bytes, i: int) -> tuple[_Name, int]:
+    j = i + 1
+    n = len(data)
+    while j < n and data[j] not in _WS and data[j] not in _DELIM:
+        j += 1
+    raw = data[i + 1:j].decode("latin-1")
+    if "#" in raw:
+        raw = _NAME_HEX_RE.sub(lambda m: chr(int(m.group(1), 16)), raw)
+    return _Name(raw), j
+
+
+_STR_ESC = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+
+
+def _parse_literal_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse ``(...)`` starting at the open paren. Handles nested balanced
+    parens, ``\\n \\r \\t \\b \\f \\( \\) \\\\``, 1-3 digit octal escapes,
+    and backslash-newline line continuations (PDF 32000-1 §7.3.4.2)."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(data)
+    while i < n and depth:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            c2 = data[i]
+            if c2 in _STR_ESC:
+                out.append(_STR_ESC[c2])
+                i += 1
+            elif c2 in (0x28, 0x29, 0x5C):
+                out.append(c2)
+                i += 1
+            elif 0x30 <= c2 <= 0x37:  # octal, up to 3 digits
+                j = i
+                while j < min(i + 3, n) and 0x30 <= data[j] <= 0x37:
+                    j += 1
+                out.append(int(data[i:j], 8) & 0xFF)
+                i = j
+            elif c2 == 0x0D:  # \<CR>[LF] continuation
+                i += 1
+                if i < n and data[i] == 0x0A:
+                    i += 1
+            elif c2 == 0x0A:
+                i += 1
+            else:  # lone backslash: drop it, keep the char
+                out.append(c2)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _parse_hex_string(data: bytes, i: int) -> tuple[bytes, int]:
+    j = data.index(b">", i)
+    digits = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1:j])
+    if len(digits) % 2:
+        digits += b"0"  # odd count: final digit padded with 0 (spec)
+    return bytes.fromhex(digits.decode("ascii")), j + 1
+
+
+def _parse_obj(data: bytes, i: int):
+    """Recursive-descent COS object parser. Returns (value, next_pos)."""
+    i = _skip_ws(data, i)
+    if i >= len(data):
+        raise ValueError("eof")
+    c = data[i]
+    if data.startswith(b"<<", i):
+        d: dict = {}
+        i += 2
+        while True:
+            i = _skip_ws(data, i)
+            if data.startswith(b">>", i):
+                return d, i + 2
+            key, i = _parse_obj(data, i)
+            if not isinstance(key, _Name):
+                raise ValueError("dict key is not a name")
+            val, i = _parse_obj(data, i)
+            d[str(key)] = val
+    if c == 0x3C:  # '<' hex string
+        return _parse_hex_string(data, i)
+    if c == 0x5B:  # '['
+        arr: list = []
+        i += 1
+        while True:
+            i = _skip_ws(data, i)
+            if data[i] == 0x5D:
+                return arr, i + 1
+            v, i = _parse_obj(data, i)
+            arr.append(v)
+    if c == 0x2F:  # '/'
+        return _parse_name(data, i)
+    if c == 0x28:  # '('
+        return _parse_literal_string(data, i)
+    if data.startswith(b"true", i):
+        return True, i + 4
+    if data.startswith(b"false", i):
+        return False, i + 5
+    if data.startswith(b"null", i):
+        return None, i + 4
+    m = _NUM_RE.match(data, i)
+    if not m:
+        raise ValueError(f"unparseable object at {i}")
+    tok = m.group()
+    if b"." in tok:
+        return float(tok), m.end()
+    mr = _REF_RE.match(data, m.end())
+    if mr:  # "N G R" indirect reference (generation ignored)
+        return _Ref(int(tok)), mr.end()
+    return int(tok), m.end()
+
+
+# ---------------------------------------------------------------------------
+# Document: xref, objects, page tree
+# ---------------------------------------------------------------------------
+
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_XREF_ENTRY_RE = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
+
+
+class _PdfDoc:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.trailer: dict = {}
+        self.offsets: dict[int, int] = {}
+        try:
+            self._load_xref()
+        except Exception:
+            self.offsets = {}
+        if not self.offsets or "Root" not in self.trailer:
+            self._scan_objects()
+        self._cache: dict[int, tuple] = {}
+
+    # -- xref ---------------------------------------------------------------
+    def _load_xref(self) -> None:
+        data = self.data
+        tail = data[-256:]
+        m = re.search(rb"startxref\s+(\d+)", tail)
+        if not m:
+            raise ValueError("no startxref")
+        pos = int(m.group(1))
+        seen: set[int] = set()
+        while pos not in seen and 0 <= pos < len(data):
+            seen.add(pos)
+            i = _skip_ws(data, pos)
+            if not data.startswith(b"xref", i):
+                raise ValueError("xref stream / bad offset")  # v1.5 xref streams unsupported
+            i += 4
+            while True:
+                i = _skip_ws(data, i)
+                if data.startswith(b"trailer", i):
+                    i += 7
+                    trailer, i = _parse_obj(data, i)
+                    for k, v in trailer.items():
+                        self.trailer.setdefault(k, v)  # newest update wins
+                    prev = trailer.get("Prev")
+                    if isinstance(prev, (int, float)):
+                        pos = int(prev)
+                        break
+                    return
+                sub = re.match(rb"(\d+)\s+(\d+)", data[i:i + 40])
+                if not sub:
+                    raise ValueError("bad xref subsection")
+                start, count = int(sub.group(1)), int(sub.group(2))
+                i += sub.end()
+                for k in range(count):
+                    i = _skip_ws(data, i)
+                    em = _XREF_ENTRY_RE.match(data, i)
+                    if not em:
+                        raise ValueError("bad xref entry")
+                    if em.group(3) == b"n":
+                        self.offsets.setdefault(start + k, int(em.group(1)))
+                    i = em.end()
+
+    def _scan_objects(self) -> None:
+        for m in _OBJ_HDR_RE.finditer(self.data):
+            # later (incremental-update) definitions win in a scan
+            self.offsets[int(m.group(1))] = m.start()
+        if "Root" not in self.trailer:
+            for m in re.finditer(rb"trailer\b", self.data):
+                try:
+                    t, _ = _parse_obj(self.data, m.end())
+                    self.trailer.update(t)
+                except Exception:
+                    continue
+
+    # -- objects ------------------------------------------------------------
+    def get_object(self, num: int):
+        """Return (value, raw_stream_bytes_or_None) for object `num`."""
+        if num in self._cache:
+            return self._cache[num]
+        off = self.offsets.get(num)
+        result = (None, None)
+        if off is not None:
+            data = self.data
+            m = _OBJ_HDR_RE.match(data, _skip_ws(data, off))
+            if m and int(m.group(1)) == num:
+                val, i = _parse_obj(data, m.end())
+                i = _skip_ws(data, i)
+                stream = None
+                if data.startswith(b"stream", i):
+                    s = i + 6
+                    if data[s:s + 2] == b"\r\n":
+                        s += 2
+                    elif data[s:s + 1] in (b"\n", b"\r"):
+                        s += 1
+                    length = self.resolve(val.get("Length")) if isinstance(val, dict) else None
+                    if isinstance(length, (int, float)):
+                        stream = data[s:s + int(length)]
+                    else:
+                        e = data.find(b"endstream", s)
+                        stream = data[s:e if e >= 0 else len(data)].rstrip(b"\r\n")
+                result = (val, stream)
+        self._cache[num] = result
+        return result
+
+    def resolve(self, v, _depth: int = 0):
+        while isinstance(v, _Ref) and _depth < 32:
+            v, _ = self.get_object(int(v))
+            _depth += 1
+        return v
+
+    def stream_bytes(self, v) -> bytes:
+        """Decoded stream content for a stream object (Ref or direct)."""
+        if isinstance(v, _Ref):
+            d, raw = self.get_object(int(v))
+        else:
+            return b""
+        if raw is None or not isinstance(d, dict):
+            return b""
+        filt = self.resolve(d.get("Filter"))
+        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        body = raw
+        for f in filters:
+            name = str(self.resolve(f))
+            if name in ("FlateDecode", "Fl"):
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error:
+                    return b""
+            else:  # unsupported filter chain
+                return b""
+        return body
+
+    # -- page tree ----------------------------------------------------------
+    def pages(self):
+        """Yield (content_bytes, fonts, page_height) in page-tree order."""
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            return
+        node = self.resolve(root.get("Pages"))
+        yield from self._walk(node, None, None, 0)
+
+    def _walk(self, node, media, resources, depth):
+        if not isinstance(node, dict) or depth > 64:
+            return
+        media = self.resolve(node.get("MediaBox")) or media
+        resources = self.resolve(node.get("Resources")) or resources
+        kids = self.resolve(node.get("Kids"))
+        if isinstance(kids, list) and str(node.get("Type", "Pages")) != "Page":
+            for kid in kids:
+                yield from self._walk(self.resolve(kid), media, resources, depth + 1)
+            return
+        contents = node.get("Contents")
+        resolved = self.resolve(contents)
+        refs = resolved if isinstance(resolved, list) else (
+            [contents] if contents is not None else [])
+        body = b"\n".join(self.stream_bytes(r) for r in refs if r is not None)
+        page_h = PAGE_H
+        if isinstance(media, list) and len(media) == 4:
+            try:
+                page_h = float(self.resolve(media[3])) - float(self.resolve(media[1]))
+            except (TypeError, ValueError):
+                pass
+        yield body, self._fonts(resources), page_h
+
+    # -- fonts / encodings ----------------------------------------------------
+    def _fonts(self, resources) -> dict[str, list[str]]:
+        fonts: dict[str, list[str]] = {}
+        resources = self.resolve(resources)
+        if not isinstance(resources, dict):
+            return fonts
+        fdict = self.resolve(resources.get("Font"))
+        if not isinstance(fdict, dict):
+            return fonts
+        for name, ref in fdict.items():
+            font = self.resolve(ref)
+            if isinstance(font, dict):
+                fonts[name] = self._encoding_table(font)
+        return fonts
+
+    def _encoding_table(self, font: dict) -> list[str]:
+        enc = self.resolve(font.get("Encoding"))
+        base = enc if isinstance(enc, _Name) else None
+        diffs: list = []
+        if isinstance(enc, dict):
+            base = self.resolve(enc.get("BaseEncoding"))
+            d = self.resolve(enc.get("Differences"))
+            if isinstance(d, list):
+                diffs = d
+        table = list(_base_table(str(base) if base else ""))
+        code = 0
+        for item in diffs:
+            item = self.resolve(item)
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, _Name) and 0 <= code < 256:
+                table[code] = _GLYPHS.get(str(item), "�")
+                code += 1
+        return table
+
+
+_BASE_TABLES: dict[str, list[str]] = {}
+
+
+def _base_table(name: str) -> list[str]:
+    codec = {"WinAnsiEncoding": "cp1252", "MacRomanEncoding": "mac_roman"}.get(
+        name, "latin-1"
+    )
+    tbl = _BASE_TABLES.get(codec)
+    if tbl is None:
+        tbl = [bytes([i]).decode(codec, "replace") for i in range(256)]
+        _BASE_TABLES[codec] = tbl
+    return tbl
+
+
+_DEFAULT_TABLE = _base_table("")
+
+# AGL subset: glyph names used by /Differences arrays (Adobe Glyph List).
+_GLYPHS: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "bullet": "•", "emdash": "—", "endash": "–",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "Euro": "€", "trademark": "™", "copyright": "©",
+    "registered": "®", "degree": "°", "plusminus": "±",
+    "multiply": "×", "divide": "÷", "section": "§",
+    "paragraph": "¶", "mu": "µ", "cent": "¢",
+    "sterling": "£", "yen": "¥", "florin": "ƒ",
+    "germandbls": "ß", "eacute": "é", "egrave": "è",
+    "agrave": "à", "ccedilla": "ç", "ntilde": "ñ",
+    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
+    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    "aring": "å", "oslash": "ø", "ae": "æ",
+}
+_GLYPHS.update({c: c for c in
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"})
+
+
+# ---------------------------------------------------------------------------
+# Content-stream interpreter
+# ---------------------------------------------------------------------------
+
+_CONTENT_TOKEN = re.compile(
+    rb"""\(|<<|>>|<|\[|\]|\{|\}
+      |/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*
+      |[-+]?(?:\d+\.?\d*|\.\d+)
+      |[A-Za-z'"][A-Za-z0-9*'"]*""",
+    re.X,
+)
+
+
+def _page_runs(content: bytes, fonts: dict[str, list[str]]):
+    """Interpret one page's content stream; return [(x, y_pdf, text), ...].
+
+    Tracks the text line matrix translation across Tm/Td/TD/T* so one BT/ET
+    block with many show ops produces one run per text line (matching pypdf's
+    per-line extraction, parsers/pypdf/__main__.py:30-32). Rotation/scale in
+    Tm is ignored for layout (translation component only)."""
+    runs: list[tuple[float, float, str]] = []
+    stack: list = []
+    lx = ly = 0.0
+    leading = 0.0
+    cur_font = _DEFAULT_TABLE
+    buf: list[str] = []
+    buf_pos = (0.0, 0.0)
+
+    def flush():
+        nonlocal buf
+        if buf:
+            text = "".join(buf)
+            if text:
+                runs.append((buf_pos[0], buf_pos[1], text))
+            buf = []
+
+    def show(raw: bytes):
+        nonlocal buf_pos
+        if not buf:
+            buf_pos = (lx, ly)
+        buf.append("".join(cur_font[b] for b in raw))
+
+    def move(tx: float, ty: float):
+        nonlocal lx, ly
+        flush()
+        lx += tx
+        ly += ty
+
+    data = content
+    i = 0
+    n = len(data)
+    while i < n:
+        i = _skip_ws(data, i)
+        if i >= n:
+            break
+        m = _CONTENT_TOKEN.match(data, i)
+        if not m:
+            i += 1
+            continue
+        tok = m.group()
+        if tok == b"(":
+            s, i = _parse_literal_string(data, i)
+            stack.append(s)
+            continue
+        if tok == b"<":
+            try:
+                s, i = _parse_hex_string(data, i)
+            except ValueError:
+                break
+            stack.append(s)
+            continue
+        i = m.end()
+        if tok == b"[":
+            stack.append("[")
+            continue
+        if tok == b"]":
+            arr: list = []
+            while stack and stack[-1] != "[":
+                arr.append(stack.pop())
+            if stack:
+                stack.pop()
+            arr.reverse()
+            stack.append(arr)
+            continue
+        if tok in (b"<<", b">>", b"{", b"}"):
+            continue
+        c0 = tok[0]
+        if c0 == 0x2F:  # name operand
+            stack.append(_Name(tok[1:].decode("latin-1")))
+            continue
+        if c0 == 0x2B or c0 == 0x2D or c0 == 0x2E or 0x30 <= c0 <= 0x39:
+            stack.append(float(tok))
+            continue
+        # --- operator dispatch ---
+        op = tok
+        try:
+            if op == b"BT":
+                flush()
+                lx = ly = 0.0
+                leading = 0.0
+            elif op == b"ET":
+                flush()
+            elif op == b"Tm" and len(stack) >= 6:
+                flush()
+                lx, ly = float(stack[-2]), float(stack[-1])
+            elif op == b"Td" and len(stack) >= 2:
+                move(float(stack[-2]), float(stack[-1]))
+            elif op == b"TD" and len(stack) >= 2:
+                leading = -float(stack[-1])
+                move(float(stack[-2]), float(stack[-1]))
+            elif op == b"T*":
+                move(0.0, -leading)
+            elif op == b"TL" and stack:
+                leading = float(stack[-1])
+            elif op == b"Tf" and len(stack) >= 2 and isinstance(stack[-2], _Name):
+                cur_font = fonts.get(str(stack[-2]), _DEFAULT_TABLE)
+            elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+            elif op == b"'" and stack and isinstance(stack[-1], bytes):
+                move(0.0, -leading)
+                show(stack[-1])
+            elif op == b'"' and stack and isinstance(stack[-1], bytes):
+                move(0.0, -leading)
+                show(stack[-1])
+            elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    if isinstance(el, bytes):
+                        show(el)
+                    elif isinstance(el, float) and el <= _TJ_SPACE_KERN:
+                        if not buf:
+                            buf_pos = (lx, ly)
+                        buf.append(" ")
+            elif op == b"BI":  # inline image: skip to EI
+                e = data.find(b"EI", i)
+                i = n if e < 0 else e + 2
+        except (TypeError, ValueError):
+            pass
+        stack.clear()
+    flush()
+    return runs
+
+
+def _runs_to_text(runs: list[tuple[float, float, str]], page_h: float) -> str:
+    if not runs:
+        return ""
+    bboxes = np.array(
+        [[x, page_h - y, x + _RUN_W, page_h - y + _LINE_H] for x, y, _ in runs]
+    )
+    order = reading_order(bboxes)
+    return "\n".join(runs[i][2] for i in order)
+
+
+# ---------------------------------------------------------------------------
+# Fallback for files with no recoverable page tree
+# ---------------------------------------------------------------------------
+
 _OBJ_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 _ENDSTREAM_RE = re.compile(rb"\r?\nendstream")
-_TJ_RE = re.compile(
-    rb"(-?[\d.]+)\s+(-?[\d.]+)\s+Tm\s*\(((?:\\.|[^\\()])*)\)\s*Tj"
-)
-_TD_RE = re.compile(rb"(-?[\d.]+)\s+(-?[\d.]+)\s+Td\s*\(((?:\\.|[^\\()])*)\)\s*Tj")
-
-_UNESCAPE = {b"\\\\": b"\\", b"\\(": b"(", b"\\)": b")",
-             b"\\n": b"\n", b"\\t": b"\t", b"\\r": b"\r"}
-_ESC_RE = re.compile(rb"\\[\\()ntr]")
-
-PAGE_H = 842.0
-_LINE_H = 12.0
-_RUN_W = 200.0
 
 
-def _unescape(raw: bytes) -> str:
-    return _ESC_RE.sub(lambda m: _UNESCAPE[m.group()], raw).decode(
-        "latin-1", errors="replace"
-    )
-
-
-def _iter_stream_bodies(pdf_bytes: bytes):
-    """Yield decoded content-stream bodies. Supports raw and
-    /Filter /FlateDecode (zlib) streams; /Length-aware slicing so
-    compressed bodies containing 'endstream' bytes don't truncate."""
+def _iter_raw_streams(pdf_bytes: bytes):
+    """Every-stream-is-a-page heuristic for truncated/unindexed files."""
     for om in _OBJ_STREAM_RE.finditer(pdf_bytes):
         obj_dict = om.group(1)
         start = om.end()
@@ -68,29 +628,29 @@ def _iter_stream_bodies(pdf_bytes: bytes):
         yield body
 
 
-def extract_pdf_text(pdf_bytes: bytes) -> str:
-    """Extract text runs from all content streams, reading-ordered.
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
 
-    Each content stream is a page (reference pypdf path: per-page
-    ``extract_text`` then join, parsers/pypdf/__main__.py:30-32): XY-cut
-    orders runs *within* a page; pages concatenate in document order."""
+
+def extract_pdf_text(pdf_bytes: bytes) -> str:
+    """Extract text from a PDF, reading-ordered within each page.
+
+    Pages come from the real ``/Pages`` tree when the file indexes one
+    (reference pypdf path: per-page ``extract_text`` then join,
+    parsers/pypdf/__main__.py:30-32); otherwise every content stream is
+    treated as a page (truncated-file fallback)."""
     pages: list[str] = []
-    for body in _iter_stream_bodies(pdf_bytes):
-        runs: list[tuple[float, float, str]] = []  # (x, y_pdf, text)
-        for m in _TJ_RE.finditer(body):
-            # `a b c d x y Tm` — we match the trailing translate pair; the
-            # fixture (and most simple producers) emit identity CTMs.
-            runs.append((float(m.group(1)), float(m.group(2)),
-                         _unescape(m.group(3))))
-        for m in _TD_RE.finditer(body):
-            runs.append((float(m.group(1)), float(m.group(2)),
-                         _unescape(m.group(3))))
-        if not runs:
-            continue
-        bboxes = np.array(
-            [[x, PAGE_H - y, x + _RUN_W, PAGE_H - y + _LINE_H]
-             for x, y, _ in runs]
-        )
-        order = reading_order(bboxes)
-        pages.append("\n".join(runs[i][2] for i in order))
-    return "\n".join(pages)
+    try:
+        doc = _PdfDoc(pdf_bytes)
+        for body, fonts, page_h in doc.pages():
+            if body:
+                pages.append(_runs_to_text(_page_runs(body, fonts), page_h))
+    except Exception:
+        pages = []
+    if not pages:
+        for body in _iter_raw_streams(pdf_bytes):
+            text = _runs_to_text(_page_runs(body, {}), PAGE_H)
+            if text:
+                pages.append(text)
+    return "\n".join(p for p in pages if p)

@@ -1,0 +1,183 @@
+"""Unit tests for the real-PDF surface of kernels/pdftext.py.
+
+Hand-built minimal PDFs (NOT produced by fixtures.generate_pdf) mirroring
+pypdf ``extract_text`` behavior (reference parsers/pypdf/__main__.py:30-32):
+TJ arrays with kerning, hex strings, multi-show BT/ET blocks with Td/TD/T*,
+octal escapes, nested parens, WinAnsi + /Differences encodings, inherited
+MediaBox, /Contents arrays, and the xref-less fallback.
+"""
+
+import zlib
+
+from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_text
+
+
+def _mk_pdf(objs: list[bytes], root: int = 1) -> bytes:
+    """Assemble numbered objects + xref + trailer into a PDF byte string."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, root, xref_at))
+    return bytes(out)
+
+
+def _one_page(stream: bytes, font_extra: bytes = b"",
+              media: bytes = b"[0 0 595 842]") -> bytes:
+    """Catalog + Pages + single Page + content + /F1 font."""
+    return _mk_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox " + media + b" >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" + font_extra + b" >>",
+    ])
+
+
+def test_tj_array_kerning_and_hex():
+    # kerning <= -150 implies a space; small positive kerning implies nothing
+    s = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm [(Hel) 20 (lo) -250 <776F726C64>] TJ ET"
+    assert extract_pdf_text(_one_page(s)) == "Hello world"
+
+
+def test_hex_string_tj_odd_digits():
+    # <48656C6C6F> = Hello ; odd-length hex pads trailing 0: <4> -> 0x40 '@'
+    s = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <48656C6C6F> Tj 0 -20 Td <4> Tj ET"
+    assert extract_pdf_text(_one_page(s)) == "Hello\n@"
+
+
+def test_multi_show_td_tdcap_tstar_lines():
+    s = (b"BT /F1 12 Tf 1 0 0 1 72 760 Tm (line one) Tj"
+         b" 0 -14 TD (line two) Tj T* (line three) Tj"
+         b" 0 -14 Td (line four) Tj ET")
+    assert extract_pdf_text(_one_page(s)) == "line one\nline two\nline three\nline four"
+
+
+def test_quote_operators_use_leading():
+    s = (b"BT /F1 12 Tf 14 TL 1 0 0 1 72 760 Tm (first) Tj"
+         b" (second) ' 1 2 (third) \" ET")
+    assert extract_pdf_text(_one_page(s)) == "first\nsecond\nthird"
+
+
+def test_octal_escapes_nested_parens_continuation():
+    s = (b"BT /F1 12 Tf 1 0 0 1 72 760 Tm (\\101\\102C) Tj"
+         b" 0 -14 Td (a (nested) paren) Tj"
+         b" 0 -14 Td (con\\\ntinued) Tj ET")
+    assert extract_pdf_text(_one_page(s)) == "ABC\na (nested) paren\ncontinued"
+
+
+def test_same_position_shows_concatenate():
+    s = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Hel) Tj (lo) Tj ET"
+    assert extract_pdf_text(_one_page(s)) == "Hello"
+
+
+def test_winansi_encoding():
+    # 0x93/0x94 are curly quotes in cp1252, 0x97 is em dash
+    s = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (\x93quoted\x94 \x97 dash) Tj ET"
+    pdf = _one_page(s, font_extra=b" /Encoding /WinAnsiEncoding")
+    assert extract_pdf_text(pdf) == "“quoted” — dash"
+
+
+def test_differences_encoding():
+    enc = (b" /Encoding << /BaseEncoding /WinAnsiEncoding"
+           b" /Differences [ 128 /bullet /emdash 200 /eacute ] >>")
+    s = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (\x80 item \x81 caf\xc8) Tj ET"
+    assert extract_pdf_text(_one_page(s, font_extra=enc)) == "• item — café"
+
+
+def test_tf_switches_font_encoding():
+    pdf = _mk_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 595 842] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >>",
+        b"<< /Length 94 >>\nstream\n"
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (\x80) Tj"
+        b" /F2 12 Tf 0 -14 Td (\x80) Tj ET\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding << /Differences [ 128 /bullet ] >> >>",
+    ])
+    assert extract_pdf_text(pdf) == "€\n•"  # cp1252 0x80 = €; F2 remaps to •
+
+
+def test_contents_array_and_indirect_length():
+    s1 = b"BT /F1 12 Tf 1 0 0 1 72 760 Tm (part one) Tj ET"
+    s2 = b"BT /F1 12 Tf 1 0 0 1 72 740 Tm (part two) Tj ET"
+    pdf = _mk_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 595 842] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 6 0 R]"
+        b" /Resources << /Font << /F1 7 0 R >> >> >>",
+        b"<< /Length 5 0 R >>\nstream\n" + s1 + b"\nendstream",
+        b"%d" % len(s1),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(s2), s2),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ])
+    assert extract_pdf_text(pdf) == "part one\npart two"
+
+
+def test_mediabox_letter_and_flate():
+    # Letter height 792: y=700 still upper half; decompresses FlateDecode
+    raw = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (letter page) Tj ET"
+    z = zlib.compress(raw)
+    pdf = _mk_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream" % (len(z), z),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ])
+    assert extract_pdf_text(pdf) == "letter page"
+
+
+def test_two_column_reading_order():
+    # right column higher on page, but XY-cut orders left column first
+    s = (b"BT /F1 12 Tf 1 0 0 1 320 760 Tm (R1) Tj 0 -14 Td (R2) Tj ET\n"
+         b"BT /F1 12 Tf 1 0 0 1 72 760 Tm (L1) Tj 0 -14 Td (L2) Tj ET")
+    assert extract_pdf_text(_one_page(s)) == "L1\nL2\nR1\nR2"
+
+
+def test_page_tree_order_and_nesting():
+    s1 = b"BT /F1 12 Tf 1 0 0 1 72 760 Tm (page A) Tj ET"
+    s2 = b"BT /F1 12 Tf 1 0 0 1 72 760 Tm (page B) Tj ET"
+    pdf = _mk_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 /MediaBox [0 0 595 842]"
+        b" /Resources << /Font << /F1 7 0 R >> >> >>",
+        b"<< /Type /Pages /Parent 2 0 R /Kids [5 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+        b"<< /Type /Page /Parent 3 0 R /Contents 8 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(s2), s2),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(s1), s1),
+    ])
+    # nested Pages node (kid 5 = page A) comes first in /Kids order
+    assert extract_pdf_text(pdf) == "page A\npage B"
+
+
+def test_xrefless_fallback_scan():
+    body = _one_page(b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (rescued) Tj ET")
+    truncated = body[:body.index(b"xref")]  # strip xref + trailer
+    assert extract_pdf_text(truncated) == "rescued"
+
+
+def test_garbage_returns_empty():
+    assert extract_pdf_text(b"%PDF-1.4\nnot a real pdf") == ""
+    assert extract_pdf_text(b"") == ""
+
+
+def test_comment_and_inline_image_skipped():
+    s = (b"% leading comment\nBT /F1 12 Tf 1 0 0 1 72 700 Tm (kept) Tj ET\n"
+         b"BI /W 1 /H 1 ID \x00\x01\x02 EI\n"
+         b"BT /F1 12 Tf 1 0 0 1 72 680 Tm (after image) Tj ET")
+    assert extract_pdf_text(_one_page(s)) == "kept\nafter image"

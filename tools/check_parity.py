@@ -42,7 +42,10 @@ def to_rows(df_pandas):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # default must match the sf the oracle fixture literals are pinned to
+    # (ORACLE_FX in __spark_entry__.py == fixtures/sf0.01), or golden-oracle
+    # queries spuriously fail.
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("parity", cores=8, shuffle_partitions=16)
     con = duckdb.connect()
