@@ -461,14 +461,21 @@ _EMB_NORM_CTE = (
     "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
     "FROM embeddings), "
     "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm, "
-    "concat({buckets}) AS bucket FROM v)"
+    "{bucket} AS bucket FROM v)"
 )
 
 
-def _bucket_expr(dims: int) -> str:
-    return ", ".join(
-        f"CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(dims)
-    )
+def _sign_bucket_sql(n_planes: int) -> str:
+    """Integer sign-LSH bucket from the SAME seeded hyperplanes the Spark
+    operators use (similarity.hyperplanes) — bit p set iff dot >= 0."""
+    planes = sim.hyperplanes(n_planes)
+    terms = []
+    for p, plane in enumerate(planes):
+        lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lits}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
 _LANG_SCORES = {
@@ -652,19 +659,27 @@ def oracle_sql() -> dict[str, str]:
         "WHERE floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1000000 + 0.5) / 1000000 >= 0.5"
     )
     o["simhash_signatures"] = _simhash_sql()
-    emb_cte3 = _EMB_NORM_CTE.format(buckets=_bucket_expr(3))
+    # banded random-projection LSH (16 planes, 4 bands x 4 bits) mirroring
+    # dedup.embedding_near_dups; bands CTE self-joins per (band, band_key)
+    emb_cte16 = _EMB_NORM_CTE.format(bucket=_sign_bucket_sql(16))
     o["embedding_near_dups"] = (
-        f"WITH {emb_cte3} "
-        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-        "floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 1000000 + 0.5) / 1000000 AS cosine "
-        "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
-        "WHERE floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 1000000 + 0.5) / 1000000 >= 0.4"
+        f"WITH {emb_cte16}, "
+        "bands AS (SELECT vec_id, b.band, (bucket >> (b.band * 4)) & 15 AS band_key "
+        "FROM n, (SELECT unnest([0, 1, 2, 3]) AS band) b), "
+        "cands AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "FROM bands a JOIN bands b ON a.band = b.band "
+        "AND a.band_key = b.band_key AND a.vec_id < b.vec_id) "
+        "SELECT vec_a, vec_b, "
+        "floor((list_dot_product(x.v, y.v) / (x.norm * y.norm)) * 1000000 + 0.5) / 1000000 AS cosine "
+        "FROM cands JOIN n x ON cands.vec_a = x.vec_id "
+        "JOIN n y ON cands.vec_b = y.vec_id "
+        "WHERE floor((list_dot_product(x.v, y.v) / (x.norm * y.norm)) * 1000000 + 0.5) / 1000000 >= 0.4"
     )
 
     # ---- similarity ----
-    emb_cte2 = _EMB_NORM_CTE.format(buckets=_bucket_expr(2))
+    emb_cte8 = _EMB_NORM_CTE.format(bucket=_sign_bucket_sql(sim.ANN_PLANES))
     o["ann_topk"] = (
-        f"WITH {emb_cte2}, "
+        f"WITH {emb_cte8}, "
         "q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < 5), "
         "scored AS (SELECT q.query_id, n.vec_id, "
         "floor((list_dot_product(q.qv, n.v) / (q.qnorm * n.norm)) * 1000000 + 0.5) / 1000000 AS cosine "
@@ -674,9 +689,13 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM scored) "
         "WHERE rank <= 10"
     )
+    # multi-probe: own bucket + one flip-1-bit probe per plane (xor)
+    probe_flips = ", ".join(
+        f"xor(bucket, {1 << i})" for i in range(sim.ANN_PLANES))
     o["ann_lsh"] = (
-        f"WITH {emb_cte2}, "
-        "q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket FROM n "
+        f"WITH {emb_cte8}, "
+        "q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, "
+        f"unnest([bucket, {probe_flips}]) AS bucket FROM n "
         "WHERE vec_id < 5), "
         "scored AS (SELECT q.query_id, n.vec_id, "
         "floor((list_dot_product(q.qv, n.v) / (q.qnorm * n.norm)) * 1000000 + 0.5) / 1000000 AS cosine "

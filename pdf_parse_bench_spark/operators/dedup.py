@@ -117,9 +117,10 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
-    # the self-join would otherwise recompute the whole minhash pipeline for
-    # each side; at cluster scale this is "write signatures to a table first"
-    bands = bands.persist()
+    # both join sides shuffle on (band, band_key) from the identical plan, so
+    # Catalyst reuses one exchange (ReusedExchange, asserted in
+    # tests/test_plans.py) — no persist needed, nothing pins executor memory.
+    # At cluster scale the equivalent is "write signatures to a table first".
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -179,47 +180,72 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return sim
 
 
+EMB_LSH_PLANES = 16
+EMB_LSH_ROWS = 4  # bits per band → EMB_LSH_PLANES/EMB_LSH_ROWS bands
+
+
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.4,
-                        sign_dims: int = 3) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by the sign pattern of the
-    first `sign_dims` dimensions (2^dims buckets) so the pair join stays
-    bucket-local. Cosine computed in float64 and rounded to 6 dp for
-    engine-independent comparison."""
+                        n_planes: int = EMB_LSH_PLANES,
+                        band_rows: int = EMB_LSH_ROWS) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded random-projection LSH
+    (the MinHash-banding construction applied to sign bits): each vector
+    gets a P-bit signature from P seeded random hyperplanes; the signature
+    splits into P/R bands of R bits; vectors sharing any (band, band_key)
+    become candidates, verified by exact float64 cosine >= threshold.
+
+    Scale shape: the pair join runs per (band, band_key) bucket —
+    2^R * n_bands buckets — never corpus-quadratic; recall rises with more
+    bands, precision with more rows per band (tune like MinHash-LSH). With
+    P=16/R=4, two vectors at cosine 0.9 (~14° apart) collide in a given
+    band w.p. (1-14/180)^4 ≈ 0.72, in ≥1 of 4 bands w.p. ≈ 0.994."""
+    from pdf_parse_bench_spark.operators.similarity import hyperplanes, sign_bucket
+
+    planes = hyperplanes(n_planes)
+    n_bands = n_planes // band_rows
+    mask = (1 << band_rows) - 1
     v = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).withColumn(
-        "bucket",
-        F.concat_ws(
-            "",
-            *[
-                F.when(F.element_at("v", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-                for i in range(sign_dims)
-            ],
-        ),
-    ).withColumn(
         "norm",
         F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
     )
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, "bucket")
+    sig = v.select("vec_id", sign_bucket(F.col("v"), planes).alias("sig"))
+    bands = sig.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("sig", b * band_rows).bitwiseAND(
+                    F.lit(mask)).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ])).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, ["band", "band_key"])  # identical plans → ReusedExchange
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"),
+                  F.col("norm").alias("norm_a"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"),
+                  F.col("norm").alias("norm_b"))
+    return (
+        cands.join(va, "vec_a").join(vb, "vec_b")
         .withColumn(
             "cosine",
             round_half_up(
                 F.aggregate(
-                    F.zip_with("a.v", "b.v", lambda x, y: x * y),
+                    F.zip_with("v_a", "v_b", lambda x, y: x * y),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 )
-                / (F.col("a.norm") * F.col("b.norm"))
+                / (F.col("norm_a") * F.col("norm_b"))
             ),
         )
         .where(F.col("cosine") >= F.lit(threshold))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            "cosine",
-        )
+        .select("vec_a", "vec_b", "cosine")
     )

@@ -57,9 +57,36 @@ def test_revenue_join_broadcasts_dims(spark):
     assert_no_cartesian(out)
 
 
-def test_lsh_join_no_cartesian(spark):
+def test_lsh_join_no_cartesian_and_reuses_exchange(spark):
     out = dd.lsh_candidate_pairs(_docs(spark).limit(50))
     assert_no_cartesian(out)
+    # the band self-join must reuse one shuffle of the identical minhash
+    # plan instead of persisting it (no executor-memory pinning)
+    out.collect()  # AQE finalizes reuse at execution
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+
+
+def test_ann_lsh_multiprobe_bucket_bounded(spark):
+    """The multi-probe ANN join must be an equi-join on bucket (never
+    cartesian), and each probe may reach only a small fraction of the
+    corpus: probes/buckets = (P+1)/2^P."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = sim.lsh_topk(emb)
+    assert_no_cartesian(out)
+    plan = formatted_plan(out)
+    assert "bucket" in plan
+    frac = (sim.ANN_PLANES + 1) / (1 << sim.ANN_PLANES)
+    assert frac <= 0.05, frac  # each query scans <= 5% of the corpus
+
+
+def test_embedding_near_dups_banded_no_cartesian(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = dd.embedding_near_dups(emb)
+    assert_no_cartesian(out)
+    # banded blocking: join keys are (band, band_key), never the full table
+    plan = formatted_plan(out)
+    assert "band_key" in plan
 
 
 def test_aqe_enabled(spark):
