@@ -59,8 +59,12 @@ def _window_scan(needle_norm: str, hay_norm: str) -> tuple[int, int]:
     if n >= h:
         return 0, levenshtein(needle_norm, hay_norm)
     best_start, best_dist = 0, n + 1
-    # coarse stride then refine around the minimum — same result as stride-1
-    # for our tolerance because distance is 1-Lipschitz in the window start.
+    # Coarse stride, then refine around every coarse sample that could hide
+    # the true minimum. Window-start distance is 2-Lipschitz (shifting by 1
+    # drops one char and adds one, each worth <= 1 edit), so a start within
+    # `stride` of a sample can undercut it by at most 2*stride: refining all
+    # samples with d <= d0 + 2*stride is exhaustive-equivalent to the
+    # reference's full stride-1 slide (segment_extractor.py:670-675).
     stride = max(1, n // 8)
     coarse = []
     for start in range(0, h - n + 1, stride):
@@ -68,14 +72,19 @@ def _window_scan(needle_norm: str, hay_norm: str) -> tuple[int, int]:
         coarse.append((d, start))
         if d == 0:
             return start, 0
-    d0, s0 = min(coarse)
-    lo = max(0, s0 - stride)
-    hi = min(h - n, s0 + stride)
-    for start in range(lo, hi + 1):
+    d0 = min(coarse)[0]
+    to_refine: set[int] = set()
+    for d, s0 in coarse:
+        if d <= d0 + 2 * stride:
+            to_refine.update(range(max(0, s0 - stride),
+                                   min(h - n, s0 + stride) + 1))
+    for start in sorted(to_refine):
         d = levenshtein(needle_norm, hay_norm[start:start + n])
-        if d < best_dist:
+        if d < best_dist or (d == best_dist and start < best_start):
             best_dist, best_start = d, start
-    return best_start, min(best_dist, d0)
+            if d == 0:
+                break
+    return best_start, best_dist
 
 
 def find_original_segment(

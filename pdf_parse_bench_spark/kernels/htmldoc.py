@@ -24,6 +24,15 @@ from pdf_parse_bench_spark.kernels.textnorm import normalize_display_formula
 
 BOILERPLATE_TAGS = frozenset({"header", "footer", "nav", "aside", "script", "style"})
 
+# HTML void elements never get an end tag from html.parser, so they must not
+# bump the skip depth inside a stripped boilerplate subtree — a bare <img>
+# inside <header> would otherwise desync the depth and silently drop the
+# rest of the document.
+VOID_TAGS = frozenset({
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+})
+
 
 class _SpanExtractor(HTMLParser):
     def __init__(self) -> None:
@@ -51,7 +60,8 @@ class _SpanExtractor(HTMLParser):
     # -- parser events -----------------------------------------------------
     def handle_starttag(self, tag, attrs):
         if self._skip_depth:
-            self._skip_depth += 1
+            if tag not in VOID_TAGS:
+                self._skip_depth += 1
             return
         if tag in BOILERPLATE_TAGS:
             self._skip_depth = 1
@@ -83,7 +93,8 @@ class _SpanExtractor(HTMLParser):
 
     def handle_endtag(self, tag):
         if self._skip_depth:
-            self._skip_depth -= 1
+            if tag not in VOID_TAGS:  # symmetric with handle_starttag
+                self._skip_depth -= 1
             return
         if tag == "span" and self._mode == "inline":
             self._para_pieces.append(("math", "".join(self._buf).strip()))

@@ -22,7 +22,7 @@ import os
 from typing import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark import TaskContext
 
 from pdf_parse_bench_spark import schemas
@@ -65,6 +65,19 @@ def extract_with_lineage(
                         out["partition_id"].append(pid)
                         out["status"].append("ok")
                         out["error"].append(None)
+                    if not spans:
+                        # zero-span doc (empty / all-boilerplate): emit an
+                        # ok sentinel (offset=-1, excluded from span output)
+                        # so lineage checkpoints it — otherwise pending()
+                        # re-selects it forever and resume never drains.
+                        out["doc_id"].append(doc_id)
+                        out["offset"].append(-1)
+                        out["kind"].append("")
+                        out["text"].append("")
+                        out["media_ref"].append("")
+                        out["partition_id"].append(pid)
+                        out["status"].append("ok")
+                        out["error"].append(None)
                 except Exception as exc:  # X4: isolate, never abort
                     out["doc_id"].append(doc_id)
                     out["offset"].append(-1)
@@ -87,7 +100,8 @@ def lineage_of(result: DataFrame, stage: str = "extract") -> DataFrame:
         F.max("partition_id").alias("partition_id"),
         F.min("status").alias("status"),  # 'error' < 'ok'
         F.max("error").alias("error"),
-        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_spans"),
+        F.sum(F.when((F.col("status") == "ok") & (F.col("offset") >= 0), 1)
+              .otherwise(0)).alias("n_spans"),  # sentinels don't count
     )
 
 
@@ -119,7 +133,7 @@ def run_resumable(
     result = extract_with_lineage(todo, boilerplate, fail_docs).cache()
     try:
         (
-            result.where(F.col("status") == "ok")
+            result.where((F.col("status") == "ok") & (F.col("offset") >= 0))
             .select("doc_id", "offset", "kind", "text", "media_ref")
             .write.mode("append").parquet(out_dir)
         )
@@ -131,7 +145,9 @@ def run_resumable(
 def read_resumed(spark: SparkSession, out_dir: str,
                  checkpoint_dir: str) -> DataFrame:
     """Final output view: spans of docs whose lineage says ok (idempotent
-    under re-runs: a doc appears once per successful pass; dedup by doc)."""
+    under re-runs: a doc appears once per successful pass; dedup by the
+    (doc_id, offset) key — a full-row distinct would key the exchange on
+    long text payloads)."""
     spans = spark.read.parquet(out_dir)
     ok = (
         spark.read.parquet(checkpoint_dir)
@@ -140,7 +156,13 @@ def read_resumed(spark: SparkSession, out_dir: str,
         .agg(F.count("*").alias("_n"))
         .select("doc_id")
     )
-    return spans.join(ok, "doc_id", "inner").distinct()
+    w = Window.partitionBy("doc_id", "offset").orderBy(F.lit(1))
+    return (
+        spans.join(ok, "doc_id", "inner")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def _has_data(path: str) -> bool:

@@ -33,7 +33,14 @@ def rebalance_by_size(df: DataFrame, size_col: Column,
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
     sized = df.withColumn("_size", size_col)
-    thr = sized.stat.approxQuantile("_size", [big_quantile], 0.01)
+    # threshold from a 1% deterministic sample, not a full scan: at 100 TB an
+    # exact approxQuantile pass would double the read just to pick a cutoff.
+    # The p99 of a 1% uniform sample is a consistent estimator of the p99;
+    # any quantile drift only shifts a few borderline docs between bands.
+    sample = sized.sample(fraction=0.01, seed=7).select("_size")
+    thr = sample.stat.approxQuantile("_size", [big_quantile], 0.01)
+    if not thr:  # tiny input: sample may be empty — fall back to full pass
+        thr = sized.stat.approxQuantile("_size", [big_quantile], 0.01)
     threshold = float(thr[0]) if thr else float("inf")
     n_big = max(4, num_partitions // 4)
     pid = F.when(
@@ -48,14 +55,25 @@ def rebalance_by_size(df: DataFrame, size_col: Column,
 
 
 def salted_repartition(df: DataFrame, key: str = "doc_id", n_salts: int = 8,
-                       num_partitions: int | None = None) -> DataFrame:
+                       num_partitions: int | None = None,
+                       salt_cols: list[str] | None = None,
+                       salt_seed: int = 29) -> DataFrame:
     """Spread rows of hot keys across `n_salts` buckets. Only valid before
     stages that do NOT need whole-key grouping (e.g. map-side transforms,
-    partial aggregations that re-merge later)."""
+    partial aggregations that re-merge later).
+
+    The salt is a content hash (xxhash64 of `salt_cols`, default all
+    columns, mixed with a pass seed), NOT monotonically_increasing_id: the
+    id changes on task retry/recompute, which would make the partitioning
+    non-replay-stable (a lost-executor recompute could route the same row
+    to a different partition than its first run)."""
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    cols = salt_cols if salt_cols is not None else df.columns
     salted = df.withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(salt_seed)),
+               F.lit(n_salts)),
     )
     return (
         salted.repartition(num_partitions, F.col(key), F.col("_salt"))

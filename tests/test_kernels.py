@@ -303,6 +303,46 @@ def test_html_boilerplate_subtrees_stripped():
     assert [(s["kind"], s["text"]) for s in spans] == [("text", "real content")]
 
 
+def test_html_void_elements_inside_boilerplate_do_not_desync():
+    """Regression: a non-self-closed <img>/<br>/<meta> inside a stripped
+    subtree must not bump the skip depth (html.parser never emits their end
+    tags) — the rest of the document was silently dropped."""
+    from pdf_parse_bench_spark.kernels.htmldoc import parse_html
+    html = (
+        "<body><header><img src='logo.png'><br><meta charset='utf-8'>"
+        "chrome</header><main><p>Real content</p></main></body>"
+    )
+    assert [(s["kind"], s["text"]) for s in parse_html(html)] == [
+        ("text", "Real content")]
+    # symmetric: an explicit </img> end tag inside chrome must not desync
+    html2 = ("<body><nav><img src='x.png'></img>menu</nav>"
+             "<main><p>Kept</p></main></body>")
+    assert [(s["kind"], s["text"]) for s in parse_html(html2)] == [
+        ("text", "Kept")]
+
+
+def test_window_scan_matches_full_slide():
+    """The strided scan must find the same minimum as an exhaustive
+    stride-1 slide (the reference's loop, segment_extractor.py:670-675)."""
+    import random as _r
+    from pdf_parse_bench_spark.kernels.alignment import _window_scan, levenshtein
+    rng = _r.Random(5)
+    alpha = "abcdef"
+    for _ in range(25):
+        hay = "".join(rng.choice(alpha) for _ in range(rng.randint(40, 140)))
+        i = rng.randint(0, len(hay) - 20)
+        needle = list(hay[i:i + rng.randint(12, 20)])
+        for _ in range(rng.randint(0, 3)):  # corrupt a few chars
+            needle[rng.randrange(len(needle))] = rng.choice(alpha)
+        needle = "".join(needle)
+        s, d = _window_scan(needle, hay)
+        full = min(
+            (levenshtein(needle, hay[st:st + len(needle)]), st)
+            for st in range(0, len(hay) - len(needle) + 1)
+        )
+        assert d == full[0], (needle, hay, (s, d), full)
+
+
 def test_html_entities_and_inline_math():
     from pdf_parse_bench_spark.kernels.htmldoc import parse_html
     html = ('<body><main><p>a &amp; b <span class="math">$x&lt;y$</span> c</p>'

@@ -59,6 +59,41 @@ def test_resume_after_partial_failure(spark, fx_smoke, tmp_path):
     assert clean.exceptAll(resumed).isEmpty()
 
 
+def test_zero_span_docs_drain(spark, fx_smoke, tmp_path):
+    """A doc whose markdown parses to zero spans must still checkpoint
+    (ok sentinel) so the pending set drains; the sentinel never reaches
+    the span output."""
+    md = spark.createDataFrame(
+        [("zempty", ""), ("zreal", "Real content line.")],
+        "doc_id string, markdown string",
+    )
+    out, ckpt = str(tmp_path / "spans"), str(tmp_path / "ckpt")
+    run_resumable(md, out, ckpt)
+    assert pending(md, ckpt).count() == 0  # empty doc checkpointed too
+    lin = spark.read.parquet(ckpt)
+    z = lin.where(F.col("doc_id") == "zempty").collect()
+    assert len(z) == 1 and z[0].status == "ok" and z[0].n_spans == 0
+    resumed = read_resumed(spark, out, ckpt)
+    assert resumed.where(F.col("doc_id") == "zempty").isEmpty()
+    assert resumed.where(F.col("offset") < 0).isEmpty()
+    # re-run is a no-op (nothing pending)
+    run_resumable(md, out, ckpt)
+    assert resumed.count() == read_resumed(spark, out, ckpt).count()
+
+
+def test_read_resumed_no_full_row_distinct(spark, fx_smoke, tmp_path):
+    """The final-view dedup must key its exchange on (doc_id, offset),
+    never on full rows with text payloads."""
+    md = _md(spark, fx_smoke).limit(10)
+    out, ckpt = str(tmp_path / "spans"), str(tmp_path / "ckpt")
+    run_resumable(md, out, ckpt)
+    plan = read_resumed(spark, out, ckpt)._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1), m.group(0)
+
+
 def test_lineage_partition_metrics(spark, fx_smoke):
     md = _md(spark, fx_smoke).limit(30)
     lin = lineage_of(extract_with_lineage(md))
