@@ -48,6 +48,7 @@ from pdf_parse_bench_spark.operators.extract import (  # noqa: E402
     extract_spans_from_html,
     extract_spans_from_layout,
     parse_pdfs,
+    substitute_table_refs,
 )
 from pdf_parse_bench_spark.operators.media import media_features  # noqa: E402
 from pdf_parse_bench_spark.operators.resume import (  # noqa: E402
@@ -215,6 +216,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["score_cube"] = lambda s, d: _cast_n(
         agg.score_cube(_f(s, d, "extraction_scores"))
     ).withColumn("gid", F.col("gid").cast("long"))
+    q["extracted_complexity_cube"] = lambda s, d: (
+        agg.extracted_complexity_cube(extract_spans(_f(s, d, "parsed_markdown")))
+        .select("kind", "complexity",
+                F.col("n_spans").cast("long").alias("n_spans"),
+                F.col("gid").cast("long").alias("gid"))
+    )
+    q["page_assembly_refs"] = lambda s, d: substitute_table_refs(
+        _f(s, d, "markdown_with_refs"), _f(s, d, "doc_tables"))
     q["benchmark_counts"] = lambda s, d: (
         agg.benchmark_counts(_f(s, d, "extraction_scores"))
         .select("parser_name",
@@ -600,6 +609,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT parser_name, kind, judge_model, floor((avg(score)) * 1000000 + 0.5) / 1000000 AS avg_score, "
         f"CAST(count(*) AS BIGINT) AS n FROM {_SC} "
         "GROUP BY parser_name, kind, judge_model"
+    )
+    # extraction re-derives table complexity; the golden fixture carries the
+    # construction-time label — matching cubes prove the parse-time rule
+    o["extracted_complexity_cube"] = (
+        "SELECT kind, complexity, CAST(count(*) AS BIGINT) AS n_spans, "
+        f"CAST(GROUPING(kind, complexity) AS BIGINT) AS gid FROM {_GOLD} "
+        "GROUP BY CUBE (kind, complexity)"
+    )
+    o["page_assembly_refs"] = (
+        f"SELECT doc_id, markdown FROM '{ORACLE_FX}/golden_markdown_refs.parquet'"
     )
     o["score_cube"] = (
         "SELECT kind, complexity, floor((avg(score)) * 1000000 + 0.5) / 1000000 AS avg_score, "

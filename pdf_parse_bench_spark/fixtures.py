@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v10"  # bump to force regeneration
+FIXTURE_VERSION = "v11"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -758,6 +758,7 @@ def ensure_fixtures(sf_dir: str) -> Path:
     noisy_rows, golden_noisy_rows = [], []
     blocks_rows, golden_layout_rows = [], []
     pdf_rows, pdf_text_rows, score_rows = [], [], []
+    md_refs_rows, table_rows, golden_md_refs_rows = [], [], []
     for rec in base.itertuples(index=False):
         did = int(rec.doc_id)
         doc_id = f"{did:09d}"
@@ -794,6 +795,30 @@ def ensure_fixtures(sf_dir: str) -> Path:
         pdf_rows.append({"doc_id": doc_id, "pdf_bytes": pdf_bytes})
         pdf_text_rows.append({"doc_id": doc_id, "text": pdf_text})
         score_rows.extend(generate_scores(did, spans))
+        # M10 fixture: page markdown with [tbl_k](tbl_k) placeholder links +
+        # the (doc_id, table_id, content) side table + substituted golden
+        # (mistral page assembly, parsers/mistral/__main__.py:56-64)
+        ref_pieces, golden_pieces = [], []
+        k = 0
+        for s in spans:
+            if s["kind"] == "table":
+                tid = f"tbl_{k}"
+                k += 1
+                ref_pieces.append(f"[{tid}]({tid})")
+                golden_pieces.append(s["text"])
+                table_rows.append({"doc_id": doc_id, "table_id": tid,
+                                   "content": s["text"]})
+            elif s["kind"] == "image":
+                piece = f"![]({s['media_ref']})"
+                ref_pieces.append(piece)
+                golden_pieces.append(piece)
+            else:
+                ref_pieces.append(s["text"])
+                golden_pieces.append(s["text"])
+        md_refs_rows.append({"doc_id": doc_id,
+                             "markdown": "\n\n".join(ref_pieces)})
+        golden_md_refs_rows.append({"doc_id": doc_id,
+                                    "markdown": "\n\n".join(golden_pieces)})
 
     def _write(name: str, rows: list[dict], schema: pa.Schema):
         tbl = pa.Table.from_pylist(rows, schema=schema)
@@ -827,6 +852,13 @@ def ensure_fixtures(sf_dir: str) -> Path:
            pa.schema([("doc_id", pa.string()), ("pdf_bytes", pa.binary())]))
     _write("golden_pdf_text.parquet", pdf_text_rows,
            pa.schema([("doc_id", pa.string()), ("text", pa.string())]))
+    _write("markdown_with_refs.parquet", md_refs_rows,
+           pa.schema([("doc_id", pa.string()), ("markdown", pa.string())]))
+    _write("doc_tables.parquet", table_rows,
+           pa.schema([("doc_id", pa.string()), ("table_id", pa.string()),
+                      ("content", pa.string())]))
+    _write("golden_markdown_refs.parquet", golden_md_refs_rows,
+           pa.schema([("doc_id", pa.string()), ("markdown", pa.string())]))
     _write("extraction_scores.parquet", score_rows,
            pa.schema([("doc_id", pa.string()), ("index", pa.int32()),
                       ("kind", pa.string()), ("complexity", pa.string()),

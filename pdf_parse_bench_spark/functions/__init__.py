@@ -74,3 +74,18 @@ def preprocess_unicode_expr(col: str = "text") -> Column:
     for i, ch in enumerate(_SUP):
         out = F.replace(out, F.lit(ch), F.lit(f"^{i}"))
     return out
+
+
+# Table-complexity classification on EXTRACTED tabular spans: body rows =
+# '\\' row terminators minus the header row; <=3 simple, <=6 moderate, else
+# complex (reference tags GT tables with this label, synth_pdf/content.py:
+# 78-86; consumed by eval/llm_judge.py:45 — fixture twin fixtures.py:118).
+# Pure codegen. DuckDB twin: len(string_split(text, '\\')) - 2.
+def table_complexity_expr(kind_col: str = "kind", text_col: str = "text") -> Column:
+    rows = F.size(F.split(F.col(text_col), r"\\\\")) - 2
+    return F.when(
+        F.col(kind_col) == "table",
+        F.when(rows <= 3, F.lit("simple"))
+        .when(rows <= 6, F.lit("moderate"))
+        .otherwise(F.lit("complex")),
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from pdf_parse_bench_spark.functions import round_half_up
+from pdf_parse_bench_spark.functions import round_half_up, table_complexity_expr
 
 
 def grouped_mean_scores(scores: DataFrame) -> DataFrame:
@@ -35,6 +35,20 @@ def score_cube(scores: DataFrame) -> DataFrame:
         .agg(round_half_up(F.avg("score")).alias("avg_score"),
              F.count("*").alias("n"),
              F.grouping_id().alias("gid"))
+    )
+
+
+def extracted_complexity_cube(spans: DataFrame) -> DataFrame:
+    """Cube over (kind, complexity) on EXTRACTED spans: complexity is
+    classified at parse time from the tabular text itself (the reference
+    carries the GT `complexity` tag into its summary cube,
+    eval/llm_judge.py:45 — here extraction re-derives it, so the cube works
+    on real extractions, not only on fixture scores). Pure codegen + one
+    grouping-sets aggregation."""
+    return (
+        spans.withColumn("complexity", table_complexity_expr())
+        .cube("kind", "complexity")
+        .agg(F.count("*").alias("n_spans"), F.grouping_id().alias("gid"))
     )
 
 

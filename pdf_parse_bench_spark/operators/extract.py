@@ -186,6 +186,37 @@ def align_extractions(md_df: DataFrame, golden_df: DataFrame,
     )
 
 
+def substitute_table_refs(md_df: DataFrame, tables_df: DataFrame) -> DataFrame:
+    """M10 table-ref substitution (mistral page assembly,
+    parsers/mistral/__main__.py:56-64): replace each ``[tbl_id](tbl_id)``
+    link in the page markdown with that table's content.
+
+    Spark shape: tables collapse to one (id, content) array per doc (one
+    shuffle, map-side partial), join back on doc_id, then a JVM-side
+    ``aggregate`` fold applies one ``replace`` per table — no Python UDF.
+    Tables per doc are few (the array stays KB-sized); the join broadcasts
+    when the table side is small."""
+    tmap = tables_df.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("table_id", "content"))
+        ).alias("tbls")  # sorted for deterministic fold order
+    )
+    sub = F.aggregate(
+        F.coalesce("tbls", F.array().cast("array<struct<table_id:string,content:string>>")),
+        F.col("markdown"),
+        lambda acc, t: F.replace(
+            acc,
+            F.concat(F.lit("["), t["table_id"], F.lit("]("),
+                     t["table_id"], F.lit(")")),
+            t["content"],
+        ),
+    )
+    return (
+        md_df.join(tmap, "doc_id", "left")
+        .select("doc_id", sub.alias("markdown"))
+    )
+
+
 def assemble_markdown(spans_df: DataFrame) -> DataFrame:
     """U1/M10 page-assembly inverse: ordered spans → one markdown string per
     doc via collect_list over a window — pure relational, no UDF."""
