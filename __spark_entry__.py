@@ -47,6 +47,7 @@ from pdf_parse_bench_spark.operators.extract import (  # noqa: E402
     extract_spans,
     extract_spans_from_html,
     extract_spans_from_layout,
+    extract_spans_from_tei,
     parse_pdfs,
     substitute_table_refs,
 )
@@ -100,6 +101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["html_spans"] = lambda s, d: extract_spans_from_html(
         _f(s, d, "html_documents")
+    )
+    q["tei_spans"] = lambda s, d: extract_spans_from_tei(
+        _f(s, d, "tei_documents")
     )
     q["pdf_parse"] = lambda s, d: parse_pdfs(_f(s, d, "pdf_docs"))
 
@@ -511,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["align_extractions"] = o["extract_spans"]
     o["html_spans"] = o["extract_spans"]
+    o["tei_spans"] = o["extract_spans"]
     o["nested_pipeline"] = o["extract_spans"]
     o["align_noisy"] = (
         'SELECT doc_id, "offset", kind, text, media_ref FROM '

@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v11"  # bump to force regeneration
+FIXTURE_VERSION = "v12"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -418,6 +418,90 @@ def render_html(doc_id: int, spans: list[dict], source: str) -> str:
     return sep().join(parts)
 
 
+def render_tei(doc_id: int, spans: list[dict], source: str) -> str:
+    """GROBID-style TEI-XML rendering (parsers/grobid/__main__.py:22-47):
+    first span becomes the teiHeader abstract, the rest body <div> sections
+    with <head>/<p>/<formula>/<figure> children; ~30% of divs carry a
+    headnote <note> (chrome the walker must skip); inline formulas embed in
+    mixed-content paragraphs; display formulas get whitespace padding the
+    M7 normalization must strip."""
+    import html as _html
+
+    esc = _html.escape
+    rng = np.random.default_rng([GLOBAL_SEED, 41, int(doc_id)])
+    header_line, footer_line = _boilerplate_lines(source)
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0">',
+        "<teiHeader><fileDesc><titleStmt><title>%s</title></titleStmt></fileDesc>"
+        % esc(source),
+        "<profileDesc><abstract><p>%s</p></abstract></profileDesc></teiHeader>"
+        % esc(spans[0]["text"]),
+        "<text><body>",
+    ]
+    body_spans = spans[1:]
+    i, n = 0, len(body_spans)
+    while i < n:
+        group = body_spans[i:i + int(rng.integers(5, 12))]
+        i += len(group)
+        parts.append("<div>")
+        if rng.random() < 0.3:
+            parts.append('<note place="headnote">%s</note>' % esc(header_line))
+        first = True
+        j = 0
+        while j < len(group):
+            s = group[j]
+            k = s["kind"]
+            if k == "text":
+                if first and rng.random() < 0.5:
+                    parts.append("<head>%s</head>" % esc(s["text"]))
+                    j += 1
+                else:  # mixed paragraph: join the text/inline-formula run
+                    pieces = [esc(s["text"])]
+                    jj = j + 1
+                    while jj < len(group):
+                        kj = group[jj]["kind"]
+                        prev = group[jj - 1]["kind"]
+                        joinable = (
+                            (prev == "text" and kj == "inline-formula")
+                            or (prev == "inline-formula"
+                                and kj in ("inline-formula", "text"))
+                        )
+                        if not joinable:
+                            break
+                        if kj == "inline-formula":
+                            pieces.append('<formula rend="inline">%s</formula>'
+                                          % esc(group[jj]["text"][1:-1]))
+                        else:
+                            pieces.append(esc(group[jj]["text"]))
+                        jj += 1
+                    parts.append("<p>" + " ".join(pieces) + "</p>")
+                    j = jj
+            elif k == "inline-formula":
+                parts.append('<p><formula rend="inline">%s</formula></p>'
+                             % esc(s["text"][1:-1]))
+                j += 1
+            elif k == "display-formula":
+                pad = " " if rng.random() < 0.5 else "\n"
+                parts.append("<formula>%s</formula>"
+                             % esc(pad + s["text"][2:-2] + pad))
+                j += 1
+            elif k == "table":
+                parts.append('<figure type="table"><table>%s</table></figure>'
+                             % esc(s["text"]))
+                j += 1
+            else:
+                parts.append('<figure><graphic url="%s"/></figure>'
+                             % esc(s["media_ref"]))
+                j += 1
+            first = False
+        if rng.random() < 0.2:
+            parts.append('<note place="footnote">%s</note>' % esc(footer_line))
+        parts.append("</div>")
+    parts.append("</body></text></TEI>")
+    return "\n".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Layout-block fixture (dots.ocr block model + XY-cut recoverable geometry)
 # ---------------------------------------------------------------------------
@@ -759,6 +843,7 @@ def ensure_fixtures(sf_dir: str) -> Path:
     blocks_rows, golden_layout_rows = [], []
     pdf_rows, pdf_text_rows, score_rows = [], [], []
     md_refs_rows, table_rows, golden_md_refs_rows = [], [], []
+    tei_rows = []
     for rec in base.itertuples(index=False):
         did = int(rec.doc_id)
         doc_id = f"{did:09d}"
@@ -778,6 +863,8 @@ def ensure_fixtures(sf_dir: str) -> Path:
                         "markdown": render_markdown(did, spans, rec.source)})
         html_rows.append({"doc_id": doc_id,
                           "html": render_html(did, spans, rec.source)})
+        tei_rows.append({"doc_id": doc_id,
+                         "tei": render_tei(did, spans, rec.source)})
         noisy_md, noisy_expected = render_noisy(did, spans)
         noisy_rows.append({"doc_id": doc_id, "markdown": noisy_md})
         for e in noisy_expected:
@@ -852,6 +939,8 @@ def ensure_fixtures(sf_dir: str) -> Path:
            pa.schema([("doc_id", pa.string()), ("pdf_bytes", pa.binary())]))
     _write("golden_pdf_text.parquet", pdf_text_rows,
            pa.schema([("doc_id", pa.string()), ("text", pa.string())]))
+    _write("tei_documents.parquet", tei_rows,
+           pa.schema([("doc_id", pa.string()), ("tei", pa.string())]))
     _write("markdown_with_refs.parquet", md_refs_rows,
            pa.schema([("doc_id", pa.string()), ("markdown", pa.string())]))
     _write("doc_tables.parquet", table_rows,

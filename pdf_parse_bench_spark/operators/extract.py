@@ -137,6 +137,31 @@ def extract_spans_from_html(html_df: DataFrame,
     return html_df.mapInPandas(run, schema=schemas.EXTRACTED_SPANS_SCHEMA)
 
 
+def extract_spans_from_tei(tei_df: DataFrame,
+                           rebalance: bool = True) -> DataFrame:
+    """TEI-XML path (GROBID flavor of M4, parsers/grobid/__main__.py:22-47):
+    abstract first, then the body div walk — namespace-agnostic ElementTree
+    kernel inside Arrow batches."""
+    from pdf_parse_bench_spark.kernels.teidoc import parse_tei
+
+    if rebalance:
+        tei_df = rebalance_by_size(tei_df, size_col=F.length("tei"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in _SPAN_COLS}
+            for doc_id, tei in zip(pdf["doc_id"], pdf["tei"]):
+                for s in parse_tei(tei):
+                    out["doc_id"].append(doc_id)
+                    out["offset"].append(s["offset"])
+                    out["kind"].append(s["kind"])
+                    out["text"].append(s["text"])
+                    out["media_ref"].append(s["media_ref"])
+            yield pd.DataFrame(out)
+
+    return tei_df.mapInPandas(run, schema=schemas.EXTRACTED_SPANS_SCHEMA)
+
+
 def parse_pdfs(pdf_df: DataFrame, rebalance: bool = True) -> DataFrame:
     """Raw-PDF path (M2): byte-stream tokenizer inside Arrow batches."""
     if rebalance:

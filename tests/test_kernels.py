@@ -343,6 +343,45 @@ def test_window_scan_matches_full_slide():
         assert d == full[0], (needle, hay, (s, d), full)
 
 
+def test_tei_walker_abstract_body_and_chrome():
+    from pdf_parse_bench_spark.kernels.teidoc import parse_tei
+    tei = (
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><profileDesc>'
+        "<abstract><p>The abstract.</p></abstract></profileDesc></teiHeader>"
+        "<text><body><div>"
+        '<note place="headnote">chrome line</note>'
+        "<head>Section 1</head>"
+        '<p>Before <formula rend="inline">x_{1}</formula> after.</p>'
+        "<formula> \\sum_{i} w_i </formula>"
+        '<figure type="table"><table>r &amp; 1 \\\\</table></figure>'
+        '<figure><graphic url="page_1_2_3_4.png"/></figure>'
+        '<note place="footnote">page 1</note>'
+        "</div></body></text></TEI>"
+    )
+    spans = parse_tei(tei)
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in spans] == [
+        ("text", "The abstract.", ""),
+        ("text", "Section 1", ""),
+        ("text", "Before", ""),
+        ("inline-formula", "$x_{1}$", ""),
+        ("text", "after.", ""),
+        ("display-formula", "$$\\sum_{i} w_i$$", ""),
+        ("table", "r & 1 \\\\", ""),
+        ("image", "", "page_1_2_3_4.png"),
+    ]
+    assert [s["offset"] for s in spans] == list(range(8))
+
+
+def test_tei_nested_divs_and_bad_xml():
+    from pdf_parse_bench_spark.kernels.teidoc import parse_tei
+    tei = ("<TEI><text><body><div><head>Outer</head>"
+           "<div><p>Inner para.</p></div></div></body></text></TEI>")
+    assert [(s["kind"], s["text"]) for s in parse_tei(tei)] == [
+        ("text", "Outer"), ("text", "Inner para.")]
+    assert parse_tei("<TEI><unclosed>") == []
+    assert parse_tei("not xml at all") == []
+
+
 def test_html_entities_and_inline_math():
     from pdf_parse_bench_spark.kernels.htmldoc import parse_html
     html = ('<body><main><p>a &amp; b <span class="math">$x&lt;y$</span> c</p>'
