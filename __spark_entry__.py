@@ -264,6 +264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"))
     q["simhash_signatures"] = lambda s, d: _cast(
         dd.simhash_signatures(_t(s, d, "documents")), simhash="long")
+    q["simhash_near_dups"] = lambda s, d: dd.simhash_near_dups(
+        _t(s, d, "documents"))
     q["embedding_near_dups"] = lambda s, d: dd.embedding_near_dups(
         _t(s, d, "embeddings"))
 
@@ -467,6 +469,46 @@ def _simhash_sql() -> str:
         "h AS (SELECT doc_id, md5(unnest(w)) AS h FROM words), "
         f"v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id) "
         f"SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM v"
+    )
+
+
+def _simhash64_near_dups_sql() -> str:
+    """64-bit SimHash Hamming-neighbor oracle mirroring
+    dedup.simhash_near_dups: 4x16-bit blocks, block-equality candidates,
+    popcount(xor) verify."""
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(h{k // 32}, {(k % 32) + 1}, 1) >= '8' "
+        f"THEN 1 ELSE -1 END) AS v{k}"
+        for k in range(64)
+    )
+    blocks = ", ".join(
+        "CAST(" + " + ".join(
+            f"(CASE WHEN v{j * 16 + r} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(16)
+        ) + f" AS INT) AS b{j}"
+        for j in range(dd.SIMHASH64_BLOCKS)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(x.b{j}, y.b{j}))" for j in range(dd.SIMHASH64_BLOCKS)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS blk, b{j} AS blk_val FROM sig"
+        for j in range(dd.SIMHASH64_BLOCKS)
+    )
+    return (
+        f"WITH {_WORDS_CTE}, "
+        "h AS (SELECT doc_id, md5(unnest(w)) AS h0, "
+        "md5(unnest(w) || '#1') AS h1 FROM words), "
+        f"v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {blocks} FROM v), "
+        f"bands AS ({bands}), "
+        "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.blk = b.blk "
+        "AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id) "
+        f"SELECT doc_a, doc_b, CAST({hamming} AS BIGINT) AS hamming "
+        "FROM cands JOIN sig x ON cands.doc_a = x.doc_id "
+        "JOIN sig y ON cands.doc_b = y.doc_id "
+        f"WHERE {hamming} <= {dd.SIMHASH64_MAX_HAMMING}"
     )
 
 
@@ -683,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
         "WHERE floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1000000 + 0.5) / 1000000 >= 0.5"
     )
     o["simhash_signatures"] = _simhash_sql()
+    o["simhash_near_dups"] = _simhash64_near_dups_sql()
     # banded random-projection LSH (16 planes, 4 bands x 4 bits) mirroring
     # dedup.embedding_near_dups; bands CTE self-joins per (band, band_key)
     emb_cte16 = _EMB_NORM_CTE.format(bucket=_sign_bucket_sql(16))

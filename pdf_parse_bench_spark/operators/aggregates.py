@@ -89,6 +89,38 @@ def leaderboard(scores: DataFrame, judge_model: str = "judge-x") -> DataFrame:
     return avg.withColumn("rank", F.row_number().over(w))
 
 
+def leaderboard_markdown(scores: DataFrame,
+                         judge_model: str = "judge-x") -> str:
+    """Render the ranked leaderboard as the human-facing markdown artifact
+    (utilities/generate_benchmark_table.py:40-74: sort by overall average
+    desc, emit | Rank | Parser | Overall | Inline | Display | rows with
+    2-decimal scores). The aggregation is distributed; only the tiny
+    per-parser summary (a handful of rows) is collected to format."""
+    avg = (
+        scores.where((F.col("judge_model") == judge_model)
+                     & F.col("kind").isin("inline-formula", "display-formula"))
+        .groupBy("parser_name")
+        .agg(
+            F.avg("score").alias("overall"),
+            F.avg(F.when(F.col("kind") == "inline-formula", F.col("score")))
+            .alias("inline"),
+            F.avg(F.when(F.col("kind") == "display-formula", F.col("score")))
+            .alias("display"),
+        )
+    )
+    rows = sorted(avg.collect(), key=lambda r: (-r.overall, r.parser_name))
+    lines = [
+        "| Rank | Parser | Overall | Inline | Display |",
+        "|------|--------|---------|--------|---------|",
+    ]
+    for rank, r in enumerate(rows, start=1):
+        lines.append(
+            f"| {rank} | {r.parser_name} | {(r.overall or 0.0):.2f} "
+            f"| {(r.inline or 0.0):.2f} | {(r.display or 0.0):.2f} |"
+        )
+    return "\n".join(lines)
+
+
 def pending_scores(scores: DataFrame, judge_model: str = "judge-y") -> DataFrame:
     """U2/P5: (doc, index, parser) units still lacking a given judge's score —
     the anti-join at the heart of incremental resume."""

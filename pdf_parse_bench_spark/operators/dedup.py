@@ -184,6 +184,80 @@ EMB_LSH_PLANES = 16
 EMB_LSH_ROWS = 4  # bits per band → EMB_LSH_PLANES/EMB_LSH_ROWS bands
 
 
+SIMHASH64_BLOCKS = 4   # 4 x 16-bit blocks of the 64-bit signature
+SIMHASH64_MAX_HAMMING = 3
+
+
+def simhash64_blocks(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over word unigrams, stored as four 16-bit ints
+    (b0..b3) to stay engine-portable (bit 63 of a BIGINT is the sign bit).
+
+    Bit k's vote uses the MSB of hex nibble (k mod 32) of
+    md5(word || '#' || k div 32) — two md5 calls per word yield 64
+    independent bits. One shuffle: groupBy(doc_id) with 64 map-side partial
+    sums (the shuffle carries 64 longs per doc)."""
+    w = docs.select("doc_id", F.explode(_words()).alias("word"))
+    h = w.select(
+        "doc_id",
+        F.md5("word").alias("h0"),
+        F.md5(F.concat("word", F.lit("#1"))).alias("h1"),
+    )
+    votes = h.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.substring(f"h{k // 32}", (k % 32) + 1, 1) >= "8", 1)
+            .otherwise(-1)
+        ).alias(f"v{k}")
+        for k in range(64)
+    ])
+    blocks = [
+        sum(
+            F.when(F.col(f"v{j * 16 + r}") > 0, F.lit(1 << r)).otherwise(F.lit(0))
+            for r in range(16)
+        ).cast("int").alias(f"b{j}")
+        for j in range(SIMHASH64_BLOCKS)
+    ]
+    return votes.select("doc_id", *blocks)
+
+
+def simhash_near_dups(docs: DataFrame,
+                      max_hamming: int = SIMHASH64_MAX_HAMMING) -> DataFrame:
+    """Hamming-<=3 neighbor pairs over 64-bit SimHash signatures without an
+    all-pairs join (Manku et al., WWW'07 block-permutation trick): two
+    signatures within Hamming distance 3 must agree EXACTLY on at least one
+    of the 4 16-bit blocks (pigeonhole), so candidates come from a self-join
+    per (block_idx, block_value) bucket — the same banding shape as
+    MinHash-LSH — and the exact popcount(xor) check runs on candidates only."""
+    sig = simhash64_blocks(docs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("blk"), F.col(f"b{j}").alias("blk_val"))
+            for j in range(SIMHASH64_BLOCKS)
+        ])).alias("bk"),
+    ).select("doc_id", "bk.blk", "bk.blk_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, ["blk", "blk_val"])  # identical plans → ReusedExchange
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"b{j}").alias(f"c{j}") for j in range(4)])
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"c{j}")))
+        for j in range(4)
+    )
+    return (
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.4,
                         n_planes: int = EMB_LSH_PLANES,
                         band_rows: int = EMB_LSH_ROWS) -> DataFrame:
