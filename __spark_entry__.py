@@ -51,6 +51,7 @@ from pdf_parse_bench_spark.operators.extract import (  # noqa: E402
     parse_pdfs,
     substitute_table_refs,
 )
+from pdf_parse_bench_spark.operators import media as mediaops  # noqa: E402
 from pdf_parse_bench_spark.operators.media import media_features  # noqa: E402
 from pdf_parse_bench_spark.operators.resume import (  # noqa: E402
     extract_with_lineage,
@@ -220,6 +221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["score_cube"] = lambda s, d: _cast_n(
         agg.score_cube(_f(s, d, "extraction_scores"))
     ).withColumn("gid", F.col("gid").cast("long"))
+    q["decode_media"] = lambda s, d: _cast(
+        mediaops.decode_media(_f(s, d, "media_files")),
+        n_bytes="long")
     q["extracted_complexity_cube"] = lambda s, d: (
         agg.extracted_complexity_cube(extract_spans(_f(s, d, "parsed_markdown")))
         .select("kind", "complexity",
@@ -609,6 +613,11 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN kind = 'image' THEN '![](' || media_ref || ')' ELSE text END, "
         'chr(10) || chr(10) ORDER BY "offset") AS markdown '
         f"FROM {_GOLD} WHERE text <> '' OR kind = 'image' GROUP BY doc_id"
+    )
+    o["decode_media"] = (
+        'SELECT doc_id, "offset", media_ref, width, height, channels, '
+        "n_bytes, mean_intensity "
+        f"FROM '{ORACLE_FX}/golden_media_stats.parquet'"
     )
     o["media_features"] = (
         'SELECT doc_id, "offset", media_ref, '

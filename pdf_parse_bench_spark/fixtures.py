@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v12"  # bump to force regeneration
+FIXTURE_VERSION = "v13"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -125,6 +125,37 @@ def _mk_image(rng: np.random.Generator) -> str:
     x, y = int(rng.integers(0, 500)), int(rng.integers(0, 700))
     w, h = int(rng.integers(50, 400)), int(rng.integers(50, 300))
     return f"page_{x}_{y}_{w}_{h}.png"
+
+
+def _mk_image_bytes(media_ref: str, doc_id: int) -> tuple[bytes, dict]:
+    """Deterministic PNG payload + pre-computed golden decode stats.
+
+    Pixels are a gradient pattern seeded by the ref geometry and doc_id;
+    encode→decode is lossless, so stats computed here on the raw array are
+    the exact decode_media output (the formula_renderer.py:119-164 analog
+    surface)."""
+    from pdf_parse_bench_spark.kernels.png import encode_png
+
+    x, y, w, h = (int(v) for v in media_ref[5:-4].split("_"))
+    W = min(48, max(8, w // 8))
+    H = min(40, max(8, h // 8))
+    xx, yy = np.meshgrid(np.arange(W), np.arange(H))
+    base = ((xx * 3 + yy * 7 + x + y + doc_id) % 256).astype(np.uint8)
+    if (x + y + doc_id) % 2 == 0:
+        img = base  # grayscale
+    else:
+        img = np.stack([base, (base.astype(int) * 2 + 13) % 256,
+                        (base.astype(int) * 5 + 31) % 256], axis=-1
+                       ).astype(np.uint8)
+    png = encode_png(img)
+    mean = float(img.mean()) / 255.0
+    stats = {
+        "width": W, "height": H,
+        "channels": 1 if img.ndim == 2 else 3,
+        "n_bytes": len(png),
+        "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
+    }
+    return png, stats
 
 
 _KIND_CODES = ("text", "inline-formula", "display-formula", "table", "image")
@@ -843,7 +874,7 @@ def ensure_fixtures(sf_dir: str) -> Path:
     blocks_rows, golden_layout_rows = [], []
     pdf_rows, pdf_text_rows, score_rows = [], [], []
     md_refs_rows, table_rows, golden_md_refs_rows = [], [], []
-    tei_rows = []
+    tei_rows, media_rows, media_stats_rows = [], [], []
     for rec in base.itertuples(index=False):
         did = int(rec.doc_id)
         doc_id = f"{did:09d}"
@@ -906,6 +937,15 @@ def ensure_fixtures(sf_dir: str) -> Path:
                              "markdown": "\n\n".join(ref_pieces)})
         golden_md_refs_rows.append({"doc_id": doc_id,
                                     "markdown": "\n\n".join(golden_pieces)})
+        for s in spans:  # PNG payloads + golden decode stats per image span
+            if s["kind"] == "image":
+                png, stats = _mk_image_bytes(s["media_ref"], did)
+                media_rows.append({"doc_id": doc_id, "offset": s["offset"],
+                                   "media_ref": s["media_ref"],
+                                   "media_bytes": png})
+                media_stats_rows.append({"doc_id": doc_id,
+                                         "offset": s["offset"],
+                                         "media_ref": s["media_ref"], **stats})
 
     def _write(name: str, rows: list[dict], schema: pa.Schema):
         tbl = pa.Table.from_pylist(rows, schema=schema)
@@ -941,6 +981,14 @@ def ensure_fixtures(sf_dir: str) -> Path:
            pa.schema([("doc_id", pa.string()), ("text", pa.string())]))
     _write("tei_documents.parquet", tei_rows,
            pa.schema([("doc_id", pa.string()), ("tei", pa.string())]))
+    _write("media_files.parquet", media_rows,
+           pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
+                      ("media_ref", pa.string()), ("media_bytes", pa.binary())]))
+    _write("golden_media_stats.parquet", media_stats_rows,
+           pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
+                      ("media_ref", pa.string()), ("width", pa.int32()),
+                      ("height", pa.int32()), ("channels", pa.int32()),
+                      ("n_bytes", pa.int64()), ("mean_intensity", pa.float64())]))
     _write("markdown_with_refs.parquet", md_refs_rows,
            pa.schema([("doc_id", pa.string()), ("markdown", pa.string())]))
     _write("doc_tables.parquet", table_rows,
@@ -960,6 +1008,8 @@ def ensure_fixtures(sf_dir: str) -> Path:
 
 if __name__ == "__main__":
     import sys
+    # direct-script invocation: script dir shadows the repo root on sys.path
+    sys.path.insert(0, str(REPO_ROOT))
     for sf in sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
         p = ensure_fixtures(sf)
         print("fixtures ready:", p)

@@ -2,12 +2,11 @@
 metadata (the `media_ref` side of the span model; olmOCR figure-ref
 convention parsers/olmocr/__main__.py:59-61).
 
-Spark-side plumbing (schema, partitioning, Arrow batch shape) is real and
-tested; the actual pixel decode is STUBBED because no image/audio libraries
-exist in this container — `decode_media` raises NotImplementedError unless
-PIL is importable, and `media_features` derives deterministic features from
-the media_ref geometry instead (the same UDF signature a real decoder
-would use).
+`decode_media` is a REAL pixel decode: a dependency-free PNG codec
+(kernels/png.py, stdlib zlib + filters) runs inside Arrow batches — the
+analog of the reference's formula-PNG rendering surface
+(utilities/formula_renderer.py:119-164). Non-PNG formats (jpeg/audio/video)
+would slot into the same batch shape behind the format sniff.
 """
 
 from __future__ import annotations
@@ -15,16 +14,13 @@ from __future__ import annotations
 import re
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-_REF_RE = re.compile(r"page_(\d+)_(\d+)_(\d+)_(\d+)\.png")
+from pdf_parse_bench_spark.kernels.png import decode_png
 
-try:  # pragma: no cover - not installed in this container
-    from PIL import Image  # noqa: F401
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
+_REF_RE = re.compile(r"page_(\d+)_(\d+)_(\d+)_(\d+)\.png")
 
 
 def media_features(spans: DataFrame) -> DataFrame:
@@ -45,33 +41,48 @@ def media_features(spans: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(media_df: DataFrame, fake: bool = True) -> DataFrame:
-    """mapInPandas decode stage over (doc_id, media_ref, media_bytes).
+_DECODE_COLS = ["doc_id", "offset", "media_ref", "width", "height",
+                "channels", "n_bytes", "mean_intensity"]
 
-    With `fake=True` (default in this container) emits deterministic fake
-    pixels stats derived from the byte length; with a real imaging lib the
-    same batch shape decodes actual content.
-    """
+
+def decode_media(media_df: DataFrame) -> DataFrame:
+    """mapInPandas decode over (doc_id, offset, media_ref, media_bytes):
+    real PNG decode (kernels/png.py) → width/height/channels + mean pixel
+    intensity in [0, 1] (rounded half-up to 6 dp, engine-portable).
+    Undecodable payloads yield null stats instead of failing the task
+    (X4 isolation)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                if not _HAS_PIL:
-                    raise NotImplementedError(
-                        "real media decode requires PIL; container has none "
-                        "— run with fake=True"
-                    )
-            n_bytes = pdf["media_bytes"].map(lambda b: len(b) if b is not None else 0)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_ref": pdf["media_ref"],
-                    "n_bytes": n_bytes.astype("int64"),
-                    "mean_intensity": (n_bytes % 251).astype("double") / 250.0,
-                }
-            )
+            out = {c: [] for c in _DECODE_COLS}
+            for doc_id, off, ref, b in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"],
+                pdf["media_bytes"],
+            ):
+                out["doc_id"].append(doc_id)
+                out["offset"].append(off)
+                out["media_ref"].append(ref)
+                out["n_bytes"].append(len(b) if b is not None else 0)
+                try:
+                    img = decode_png(bytes(b))
+                    h, w = img.shape[:2]
+                    ch = 1 if img.ndim == 2 else img.shape[2]
+                    mean = float(img.mean()) / 255.0
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(ch)
+                    out["mean_intensity"].append(
+                        float(np.floor(mean * 1e6 + 0.5)) / 1e6)
+                except Exception:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["channels"].append(None)
+                    out["mean_intensity"].append(None)
+            yield pd.DataFrame(out)
 
     return media_df.mapInPandas(
         run,
-        schema="doc_id string, media_ref string, n_bytes long, mean_intensity double",
+        schema=("doc_id string, offset int, media_ref string, width int, "
+                "height int, channels int, n_bytes long, "
+                "mean_intensity double"),
     )

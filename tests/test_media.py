@@ -1,11 +1,13 @@
-"""Multimodal plumbing tests: media metadata extraction is pure column
-expressions; the decode stage runs as mapInPandas with a deterministic
-fake (real decode is stubbed — no imaging libs in this container)."""
+"""Multimodal tests: metadata extraction is pure column expressions; the
+decode stage is a REAL stdlib PNG codec (kernels/png.py) run in Arrow
+batches — round-trips, all five scanline filters, and failure isolation."""
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import functions as F
 
+from pdf_parse_bench_spark.kernels.png import decode_png, encode_png
 from pdf_parse_bench_spark.operators.media import decode_media, media_features
 
 
@@ -18,14 +20,77 @@ def test_media_features_parse_geometry(spark, fx_smoke):
     assert feats.where(F.col("w") <= 0).isEmpty()
 
 
-def test_decode_media_fake_batches(spark):
+def test_png_roundtrip_gray_and_rgb():
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(gray)), gray)
+    rgb = rng.integers(0, 256, (11, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+    rgba = rng.integers(0, 256, (6, 7, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+
+
+def test_png_decode_all_filters():
+    """Decode Average(3) and Paeth(4) rows, which our encoder never emits —
+    build the IDAT by hand so the decoder's filter coverage is real."""
+    import struct
+    import zlib
+    from pdf_parse_bench_spark.kernels.png import _SIG, _chunk
+
+    w, h = 4, 5
+    img = (np.arange(w * h, dtype=np.uint8).reshape(h, w) * 7) % 256
+    raw = bytearray()
+    prev = np.zeros(w, np.int32)
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        row = img[y].astype(np.int32)
+        out = np.zeros(w, np.int32)
+        for i in range(w):
+            a = int(row[i - 1]) if i >= 1 else 0
+            b = int(prev[i])
+            c = int(prev[i - 1]) if i >= 1 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (int(row[i]) - pred) % 256
+        raw.append(ft)
+        raw += out.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), img)
+
+
+def test_decode_media_real_png_batches(spark):
+    img1 = np.full((4, 6), 255, dtype=np.uint8)          # all-white gray
+    img2 = np.zeros((3, 5, 3), dtype=np.uint8)           # all-black RGB
     df = spark.createDataFrame(
-        [("d1", "a.png", bytearray(b"\x00" * 10)),
-         ("d2", "b.png", bytearray(b"\x01" * 300))],
-        "doc_id string, media_ref string, media_bytes binary",
+        [("d1", 0, "a.png", bytearray(encode_png(img1))),
+         ("d2", 1, "b.png", bytearray(encode_png(img2))),
+         ("d3", 2, "junk.png", bytearray(b"not a png"))],
+        "doc_id string, offset int, media_ref string, media_bytes binary",
     )
-    out = decode_media(df).collect()
-    by_ref = {r.media_ref: r for r in out}
-    assert by_ref["a.png"].n_bytes == 10
-    assert by_ref["b.png"].n_bytes == 300
-    assert 0.0 <= by_ref["a.png"].mean_intensity <= 1.0
+    out = {r.media_ref: r for r in decode_media(df).collect()}
+    a = out["a.png"]
+    assert (a.width, a.height, a.channels, a.mean_intensity) == (6, 4, 1, 1.0)
+    b = out["b.png"]
+    assert (b.width, b.height, b.channels, b.mean_intensity) == (5, 3, 3, 0.0)
+    j = out["junk.png"]  # X4: undecodable isolates to null stats, no abort
+    assert j.width is None and j.n_bytes == 9
+
+
+def test_decode_media_matches_fixture_golden(spark, fx_smoke):
+    files = spark.read.parquet(str(fx_smoke / "media_files.parquet"))
+    golden = spark.read.parquet(str(fx_smoke / "golden_media_stats.parquet"))
+    got = decode_media(files)
+    assert got.exceptAll(golden).isEmpty()
+    assert golden.exceptAll(got).isEmpty()
