@@ -48,7 +48,7 @@ def _extract_seconds(spark, sf_dir: str, runs: int = 2) -> tuple[float, int]:
     return best, n_docs
 
 
-SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "8"))
+SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "24"))
 SCALE_FILES = 128
 
 
@@ -80,20 +80,28 @@ def _ensure_scaling_corpus(sf_dir: str) -> str:
 
 def scale_worker(cores: int) -> None:
     """One parallelism level: fresh JVM at local[cores], fine-grained input
-    (2MB splits, 1024-row Arrow batches), steady-state best of 3 runs of the
-    extraction pipeline. Launched via subprocess == `spark-submit --master
-    local[cores] --py-files ...` with identical configs (jobs/extract_job.py
-    is the literal spark-submit form)."""
+    (2MB splits, SPARK_GRAFT_BATCH-row Arrow batches), steady-state best of
+    3 runs of the extraction pipeline. Launched via subprocess ==
+    `spark-submit --master local[cores] --py-files ...` with identical
+    configs (jobs/extract_job.py is the literal spark-submit form).
+
+    Tunables (env): SPARK_GRAFT_BATCH (Arrow rows/batch, default 1024),
+    SPARK_GRAFT_SPLIT_MB (input split size, default 2),
+    SPARK_GRAFT_ENGINE (arrow|pandas kernel exchange, default arrow)."""
     from pyspark.sql import SparkSession
 
+    batch = int(os.environ.get("SPARK_GRAFT_BATCH", "1024"))
+    split_mb = int(os.environ.get("SPARK_GRAFT_SPLIT_MB", "2"))
+    engine = os.environ.get("SPARK_GRAFT_ENGINE", "arrow")
     corpus = _ensure_scaling_corpus(SF_DIR)
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"bench-scale-{cores}")
         .config("spark.sql.shuffle.partitions", str(max(16, 2 * cores)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-        .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch))
+        .config("spark.sql.files.maxPartitionBytes", str(split_mb * 1024 * 1024))
+        .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -105,11 +113,48 @@ def scale_worker(cores: int) -> None:
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
-            extract_spans(md, boilerplate=frozenset(), rebalance=False).count()
+            extract_spans(md, boilerplate=frozenset(), rebalance=False,
+                          engine=engine).count()
             best = min(best, time.time() - t0)
         print(json.dumps({"cores": cores, "sec": best, "docs": n_docs}))
     finally:
         spark.stop()
+
+
+def _burn_worker(args):
+    """Pure-python shard: run the extraction kernel flat out (no Spark) —
+    the per-process hardware ceiling for this workload on this box."""
+    docs, n_iter = args
+    from pdf_parse_bench_spark.kernels.markdown import parse_markdown
+    c = 0
+    for _ in range(n_iter):
+        for md in docs:
+            c += len(parse_markdown(md, frozenset()))
+    return c
+
+
+def hardware_ceiling(levels: list[int]) -> dict[int, float]:
+    """docs/sec of a pure multiprocessing burn of the SAME kernel at each
+    process count. The N→4N ratio of these numbers is what the shared box
+    physically permits (all-core turbo downclock + SMT sharing) — the
+    engine's scaling efficiency is reported raw AND normalized to this."""
+    import multiprocessing as mp
+    import pyarrow.parquet as pq
+    import __spark_entry__ as entry
+
+    fx_dir = Path(entry.fx.ensure_fixtures(SF_DIR))
+    t = pq.read_table(str(fx_dir / "parsed_markdown.parquet"),
+                      columns=["markdown"])
+    mds = t.column("markdown").to_pylist()[:1250]
+    out = {}
+    for procs in levels:
+        n_iter = max(2, 16 // max(1, procs // 8))  # ~2s+ per level
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            p.map(_burn_worker, [(mds, n_iter)] * procs)
+            dt = time.time() - t0
+        out[procs] = procs * len(mds) * n_iter / dt
+    return out
 
 
 def run_scaling(pairs: list[tuple[int, int]]) -> list[dict]:
@@ -122,17 +167,24 @@ def run_scaling(pairs: list[tuple[int, int]]) -> list[dict]:
         )
         line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
         out[cores] = json.loads(line)
+    ceil = hardware_ceiling(levels)
     results = []
     for n_small, n_big in pairs:
         thr_small = out[n_small]["docs"] / out[n_small]["sec"]
         thr_big = out[n_big]["docs"] / out[n_big]["sec"]
+        eff = thr_big / thr_small / (n_big / n_small)
+        ceil_eff = ceil[n_big] / ceil[n_small] / (n_big / n_small)
         results.append({
             "cores_small": n_small,
             "cores_big": n_big,
             "docs_per_sec_small": round(thr_small, 2),
             "docs_per_sec_big": round(thr_big, 2),
             "speedup": round(thr_big / thr_small, 3),
-            "efficiency": round(thr_big / thr_small / (n_big / n_small), 3),
+            "efficiency": round(eff, 3),
+            "hw_ceiling_efficiency": round(ceil_eff, 3),
+            "efficiency_vs_ceiling": round(min(1.0, eff / ceil_eff), 3),
+            "burn_docs_per_sec_small": round(ceil[n_small], 2),
+            "burn_docs_per_sec_big": round(ceil[n_big], 2),
         })
     return results
 

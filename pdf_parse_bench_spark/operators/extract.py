@@ -66,14 +66,48 @@ def _collect_boilerplate(md_df: DataFrame, min_docs: int = 5) -> frozenset[str]:
 
 
 def extract_spans(md_df: DataFrame, boilerplate: frozenset[str] | None = None,
-                  rebalance: bool = True) -> DataFrame:
-    """Unguided extraction: markdown → ordered spans (flagship path)."""
+                  rebalance: bool = True, engine: str = "pandas") -> DataFrame:
+    """Unguided extraction: markdown → ordered spans (flagship path).
+
+    engine='pandas' (default) is the mapInPandas form; engine='arrow' runs
+    the identical kernel via mapInArrow (no pandas Block-manager
+    round-trip). Measured on this box the pandas exchange is ~8% faster at
+    both 8 and 32 cores (string-heavy output: Arrow→pandas object arrays
+    beat RecordBatch.from_pydict building), so it stays the default; the
+    sweep knob lives in bench.py (SPARK_GRAFT_ENGINE)."""
     if boilerplate is None:
         boilerplate = _collect_boilerplate(md_df)
     spark = md_df.sparkSession
     bp = spark.sparkContext.broadcast(boilerplate)
     if rebalance:
         md_df = rebalance_by_size(md_df, size_col=F.length("markdown"))
+
+    if engine == "arrow":
+        import pyarrow as pa
+
+        arrow_schema = pa.schema([
+            ("doc_id", pa.string()), ("offset", pa.int32()),
+            ("kind", pa.string()), ("text", pa.string()),
+            ("media_ref", pa.string()),
+        ])
+
+        def run_arrow(batches):
+            bset = bp.value
+            for rb in batches:
+                doc_ids = rb.column(0).to_pylist()
+                mds = rb.column(1).to_pylist()
+                out = {c: [] for c in _SPAN_COLS}
+                for doc_id, md in zip(doc_ids, mds):
+                    for s in parse_markdown(md, bset):
+                        out["doc_id"].append(doc_id)
+                        out["offset"].append(s["offset"])
+                        out["kind"].append(s["kind"])
+                        out["text"].append(s["text"])
+                        out["media_ref"].append(s["media_ref"])
+                yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
+
+        return md_df.select("doc_id", "markdown").mapInArrow(
+            run_arrow, schema=schemas.EXTRACTED_SPANS_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bset = bp.value
