@@ -204,8 +204,11 @@ def main() -> None:
     qs = entry.queries()
     headline = [
         "extract_spans", "align_extractions", "layout_spans", "pdf_parse",
-        "lsh_candidate_pairs", "simhash_signatures", "dedup_exact",
-        "ann_topk", "lang_id", "quality_score", "fingerprint",
+        "html_spans", "tei_spans", "page_assembly_refs", "decode_media",
+        "extracted_complexity_cube",
+        "lsh_candidate_pairs", "simhash_signatures", "simhash_near_dups",
+        "dedup_exact", "embedding_near_dups",
+        "ann_topk", "ann_lsh", "lang_id", "quality_score", "fingerprint",
         "grouped_mean_scores", "leaderboard", "pending_scores",
         "tpch_q1", "revenue_by_region", "sessionize_events", "windowed_counts",
     ]
