@@ -136,6 +136,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["judge_scores"] = lambda s, d: score_spans_judged(
         _f(s, d, "golden_noisy_spans"), _f(s, d, "golden_spans")
     )
+    q["judged_complexity_cube"] = lambda s, d: _cast_n(
+        agg.judged_complexity_cube(
+            score_spans_judged(_f(s, d, "golden_noisy_spans"),
+                               _f(s, d, "golden_spans")),
+            _f(s, d, "golden_noisy_spans"),
+        )
+    ).withColumn("gid", F.col("gid").cast("long"))
     q["boilerplate_lines"] = lambda s, d: compute_boilerplate(
         _f(s, d, "parsed_markdown")
     )
@@ -573,6 +580,22 @@ def oracle_sql() -> dict[str, str]:
         "/ greatest(length(n.text), length(g.text), 1)) + 0.5) AS INT)) AS score "
         f"FROM '{ORACLE_FX}/golden_noisy_spans.parquet' n "
         f"JOIN {_GOLD} g ON n.doc_id = g.doc_id AND n.\"offset\" = g.\"offset\""
+    )
+    o["judged_complexity_cube"] = (
+        "WITH judged AS (SELECT n.doc_id, n.\"offset\", n.kind, "
+        "greatest(0, CAST(floor(10.0 * (1 - CAST(levenshtein(n.text, g.text) AS DOUBLE) "
+        "/ greatest(length(n.text), length(g.text), 1)) + 0.5) AS INT)) AS score, "
+        "CASE WHEN n.kind = 'table' THEN ("
+        "CASE WHEN len(string_split(n.text, '\\\\')) - 2 <= 3 THEN 'simple' "
+        "WHEN len(string_split(n.text, '\\\\')) - 2 <= 6 THEN 'moderate' "
+        "ELSE 'complex' END) END AS complexity "
+        f"FROM '{ORACLE_FX}/golden_noisy_spans.parquet' n "
+        f"JOIN {_GOLD} g ON n.doc_id = g.doc_id AND n.\"offset\" = g.\"offset\") "
+        "SELECT kind, complexity, "
+        "floor(avg(score) * 1000000 + 0.5) / 1000000 AS avg_score, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(GROUPING(kind, complexity) AS BIGINT) AS gid "
+        "FROM judged GROUP BY CUBE (kind, complexity)"
     )
     o["layout_spans"] = (
         f'SELECT doc_id, "offset", kind, text, media_ref FROM {_GLAY}'

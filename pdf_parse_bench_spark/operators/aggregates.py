@@ -52,6 +52,24 @@ def extracted_complexity_cube(spans: DataFrame) -> DataFrame:
     )
 
 
+def judged_complexity_cube(judged: DataFrame, extracted: DataFrame) -> DataFrame:
+    """The reference's summary cube over REAL extractions: judge scores
+    grouped by kind x complexity where complexity comes from the extracted
+    tabular text itself (not a fixture label) — the pipeline/pipeline.py:
+    181-244 accumulation with eval/llm_judge.py:45's complexity dimension,
+    now derivable mid-pipeline. One equi-join on (doc_id, offset) + one
+    grouping-sets aggregation."""
+    cx = extracted.select(
+        "doc_id", "offset", table_complexity_expr().alias("complexity"))
+    return (
+        judged.join(cx, ["doc_id", "offset"])
+        .cube("kind", "complexity")
+        .agg(round_half_up(F.avg("score")).alias("avg_score"),
+             F.count("*").alias("n"),
+             F.grouping_id().alias("gid"))
+    )
+
+
 def benchmark_counts(scores: DataFrame) -> DataFrame:
     """A2: corpus counts per parser (docs, inline/display formulas, tables)."""
     return scores.groupBy("parser_name").agg(

@@ -99,6 +99,20 @@ def stateful_user_totals(stream: DataFrame):
     )
 
 
+def stream_dedup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup for a 100 TB ingest path: watermarked
+    dropDuplicates on the content hash — state holds one md5 per distinct
+    doc within the watermark horizon and is evicted after it, so state size
+    is bounded by the dedup window, not the corpus. The batch twin is
+    dedup_exact (operators/dedup.py); this is what runs on the firehose."""
+    src = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        src.withColumn("text_hash", F.md5("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["text_hash"])
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user (batch formulation: lag + cumulative
     sum over an event-time window — the applyInPandasWithState analog that

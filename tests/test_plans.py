@@ -89,6 +89,35 @@ def test_embedding_near_dups_banded_no_cartesian(spark):
     assert "band_key" in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, fx_smoke, tmp_path):
+    """Both sides written bucketed on doc_id → the join must plan with NO
+    Exchange (the storage-partitioned join the Iceberg layout gives the
+    full pipeline at cluster scale)."""
+    from pdf_parse_bench_spark.sources.bucketed import (
+        read_bucketed, write_bucketed)
+    spans = spark.read.parquet(str(fx_smoke / "golden_spans.parquet")).limit(500)
+    md = spark.read.parquet(str(fx_smoke / "parsed_markdown.parquet")).limit(200)
+    write_bucketed(spans, "t_spans_b", path=str(tmp_path / "spans_b"))
+    write_bucketed(md, "t_md_b", path=str(tmp_path / "md_b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_bucketed(spark, "t_spans_b").join(
+            read_bucketed(spark, "t_md_b"), "doc_id")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # groupBy on the bucket key is exchange-free too
+        agg_plan = formatted_plan(
+            read_bucketed(spark, "t_spans_b").groupBy("doc_id").count())
+        assert "Exchange" not in agg_plan, agg_plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_spans_b")
+        spark.sql("DROP TABLE IF EXISTS t_md_b")
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 

@@ -50,6 +50,40 @@ def test_windowed_counts_streaming_mode(spark, tmp_path):
     assert got.agg(F.sum("n")).first()[0] == events.count()
 
 
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """Watermarked dropDuplicates: a duplicate text arriving in a LATER
+    micro-batch (within the watermark horizon) must be dropped — state
+    carries the content hash across batches."""
+    from pdf_parse_bench_spark.streaming import stream_dedup
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    rows1 = [(1, "2026-01-01 10:00:00", "alpha beta"),
+             (2, "2026-01-01 10:01:00", "gamma delta"),
+             (3, "2026-01-01 10:02:00", "alpha beta")]      # dup in batch 1
+    rows2 = [(4, "2026-01-01 10:30:00", "alpha beta"),      # dup across batches
+             (5, "2026-01-01 10:31:00", "epsilon zeta")]
+    schema = "doc_id long, ts string, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "b1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "b2"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    q = (
+        stream_dedup(stream).writeStream.format("memory")
+        .queryName("t_dedup").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_dedup")
+    texts = sorted(r.text for r in got.collect())
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+
+
 def test_stateful_user_totals_across_microbatches(spark, tmp_path):
     """applyInPandasWithState: state must carry across micro-batches — with
     maxFilesPerTrigger=1 the second batch's emission per user equals the
