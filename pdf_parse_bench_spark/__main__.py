@@ -84,13 +84,15 @@ def main(argv: list[str] | None = None) -> int:
                   f"judged mean: {avg:.3f}/10")
         elif args.cmd == "summarize":
             from pdf_parse_bench_spark.operators.aggregates import (
-                grouped_mean_scores, leaderboard,
+                grouped_mean_scores, leaderboard, leaderboard_markdown,
             )
             scores = spark.read.parquet(args.scores)
             grouped_mean_scores(scores).orderBy(
                 "parser_name", "kind", "judge_model"
             ).show(50, truncate=False)
             leaderboard(scores).show(truncate=False)
+            # the human-facing artifact (generate_benchmark_table.py analog)
+            print(leaderboard_markdown(scores))
         return 0
     finally:
         spark.stop()

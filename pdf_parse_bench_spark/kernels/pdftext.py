@@ -222,11 +222,11 @@ class _PdfDoc:
     # -- xref ---------------------------------------------------------------
     def _load_xref(self) -> None:
         data = self.data
-        tail = data[-256:]
-        m = re.search(rb"startxref\s+(\d+)", tail)
-        if not m:
+        tail = data[-1024:]
+        ms = list(re.finditer(rb"startxref\s+(\d+)", tail))
+        if not ms:
             raise ValueError("no startxref")
-        pos = int(m.group(1))
+        pos = int(ms[-1].group(1))  # LAST startxref = newest update
         seen: set[int] = set()
         while pos not in seen and 0 <= pos < len(data):
             seen.add(pos)

@@ -21,6 +21,7 @@ from pdf_parse_bench_spark.operators.extract import (
     extract_spans,
     extract_spans_from_html,
     extract_spans_from_layout,
+    extract_spans_from_tei,
     parse_pdfs,
 )
 
@@ -49,5 +50,6 @@ def list_backends() -> list[str]:
 
 register_backend("markdown")(extract_spans)
 register_backend("html")(extract_spans_from_html)
+register_backend("tei")(extract_spans_from_tei)  # GROBID M4 flavor
 register_backend("layout")(extract_spans_from_layout)
 register_backend("pdf-text")(parse_pdfs)

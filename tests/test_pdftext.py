@@ -171,6 +171,24 @@ def test_xrefless_fallback_scan():
     assert extract_pdf_text(truncated) == "rescued"
 
 
+def test_incremental_update_prev_chain():
+    """An appended incremental update (new xref with /Prev to the old one)
+    must win: the updated content stream replaces the original object."""
+    base = _one_page(b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (old text) Tj ET")
+    assert extract_pdf_text(base) == "old text"
+    old_xref_at = base.index(b"xref")
+    s2 = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (new text) Tj ET"
+    out = bytearray(base)
+    new_obj_at = len(out)
+    out += (b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            % (len(s2), s2))
+    new_xref_at = len(out)
+    out += b"xref\n4 1\n%010d 00000 n \n" % new_obj_at
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+            % (old_xref_at, new_xref_at))
+    assert extract_pdf_text(bytes(out)) == "new text"
+
+
 def test_garbage_returns_empty():
     assert extract_pdf_text(b"%PDF-1.4\nnot a real pdf") == ""
     assert extract_pdf_text(b"") == ""
