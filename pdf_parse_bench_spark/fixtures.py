@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v13"  # bump to force regeneration
+FIXTURE_VERSION = "v14"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -635,6 +635,18 @@ def _pdf_escape(s: str, rng=None) -> str:
 _DECO_STREAM = "(\\200 Synthetic digest \\201 r\\202sum\\202) Tj"
 _DECO_TEXT = "• Synthetic digest — résumé"
 
+# Second decoration variant via font F3 whose /ToUnicode CMap maps
+# \240→α \242→∑ \260→① (bfchar + bfrange, PDF 32000-1 §9.10.3).
+_DECO2_STREAM = "(\\240\\242 weekly digest \\260) Tj"
+_DECO2_TEXT = "α∑ weekly digest ①"
+_TOUNICODE_CMAP = (
+    b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+    b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+    b"2 beginbfchar\n<A0> <03B1>\n<A2> <2211>\nendbfchar\n"
+    b"1 beginbfrange\n<B0> <B2> <2460>\nendbfrange\n"
+    b"endcmap\nend"
+)
+
 
 def _tj_line(ln: str, rng) -> str:
     """Render one line as a TJ array: word gaps become -250/1000 em kerning
@@ -729,7 +741,7 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
     while pos < len(lines) or not pages:
         two_col = bool(rng.random() < 0.4)
         letter = bool(rng.random() < 0.25)
-        deco = bool(rng.random() < 0.3)
+        deco_draw = float(rng.random())
         page_h = 792.0 if letter else 842.0
         y0 = page_h - 72.0
         per_page = 100 if two_col else 50
@@ -741,11 +753,16 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
         else:
             cols = [(72.0, page_lines)]
         ops: list[str] = []
-        if deco:
+        if deco_draw < 0.3:  # /Differences-encoded chrome line (F2)
             ops.append(f"BT /F2 12 Tf 1 0 0 1 72.0 {y0:.1f} Tm "
                        + _DECO_STREAM + " ET")
             golden_lines.append(_DECO_TEXT)
             y0 -= 20.0  # 8pt whitespace gap: XY-cut keeps deco first
+        elif deco_draw < 0.5:  # /ToUnicode-CMap-encoded line (F3)
+            ops.append(f"BT /F3 12 Tf 1 0 0 1 72.0 {y0:.1f} Tm "
+                       + _DECO2_STREAM + " ET")
+            golden_lines.append(_DECO2_TEXT)
+            y0 -= 20.0
         for x, col_lines in cols:
             ops.extend(_emit_column(x, y0, col_lines, rng))
         golden_lines.extend(ln for _, cl in cols for ln in cl)
@@ -770,9 +787,9 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
         if pos >= len(lines):
             break
 
-    # objects: 1=Catalog 2=Pages 3=F1 4=F2, then per page: streams, page dict.
-    # MediaBox + Resources live on the Pages node (inheritance path); Letter
-    # pages override MediaBox locally.
+    # objects: 1=Catalog 2=Pages 3=F1 4=F2 5=F3 6=CMap, then per page:
+    # streams, page dict. MediaBox + Resources live on the Pages node
+    # (inheritance path); Letter pages override MediaBox locally.
     objs: list[bytes] = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"",  # Pages placeholder (needs kid numbers)
@@ -780,6 +797,10 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding "
         b"<< /BaseEncoding /WinAnsiEncoding "
         b"/Differences [ 128 /bullet /emdash /eacute ] >> >>",
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /Synth "
+        b"/ToUnicode 6 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(_TOUNICODE_CMAP), _TOUNICODE_CMAP),
     ]
     page_nums: list[int] = []
     for page in pages:
@@ -797,7 +818,7 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
         page_nums.append(len(objs))
     kids = b" ".join(b"%d 0 R" % n for n in page_nums)
     objs[1] = (b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 595 842] "
-               b"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> >>"
+               b"/Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 5 0 R >> >> >>"
                % (kids, len(page_nums)))
 
     out = bytearray(b"%PDF-1.4\n")

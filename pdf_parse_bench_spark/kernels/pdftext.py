@@ -395,7 +395,61 @@ class _PdfDoc:
             elif isinstance(item, _Name) and 0 <= code < 256:
                 table[code] = _GLYPHS.get(str(item), "�")
                 code += 1
+        # /ToUnicode CMap wins over /Encoding (pypdf precedence): the
+        # embedded-font path real PDFs use for non-latin glyphs.
+        tu = font.get("ToUnicode")
+        if isinstance(tu, _Ref):
+            cmap = self.stream_bytes(tu)
+            if cmap:
+                _apply_tounicode(table, cmap)
         return table
+
+
+_BFCHAR_SECTION_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_SECTION_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_BFCHAR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_BFRANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+    re.S,
+)
+_HEX_ITEM_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16be(hexstr: bytes) -> str:
+    try:
+        return bytes.fromhex(hexstr.decode("ascii")).decode(
+            "utf-16-be", "replace")
+    except ValueError:
+        return "�"
+
+
+def _apply_tounicode(table: list[str], cmap: bytes) -> None:
+    """Overlay bfchar/bfrange mappings of a /ToUnicode CMap onto a 256-entry
+    single-byte table (PDF 32000-1 §9.10.3; destination hex = UTF-16BE)."""
+    for section in _BFCHAR_SECTION_RE.findall(cmap):
+        for src, dst in _BFCHAR_RE.findall(section):
+            code = int(src, 16)
+            if 0 <= code < 256:
+                table[code] = _utf16be(dst)
+    for section in _BFRANGE_SECTION_RE.findall(cmap):
+        for m in _BFRANGE_RE.finditer(section):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            if m.group(3) is not None:  # <lo> <hi> <dstStart>
+                start = m.group(3)
+                base_cp = bytes.fromhex(start.decode("ascii"))
+                for k in range(hi - lo + 1):
+                    code = lo + k
+                    if 0 <= code < 256:
+                        # increment the last code unit (spec semantics)
+                        incremented = (int.from_bytes(base_cp, "big") + k
+                                       ).to_bytes(len(base_cp), "big")
+                        table[code] = incremented.decode("utf-16-be", "replace")
+            else:  # <lo> <hi> [<dst1> <dst2> ...]
+                dsts = _HEX_ITEM_RE.findall(m.group(4))
+                for k, dst in enumerate(dsts):
+                    code = lo + k
+                    if code <= hi and 0 <= code < 256:
+                        table[code] = _utf16be(dst)
 
 
 _BASE_TABLES: dict[str, list[str]] = {}

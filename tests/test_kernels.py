@@ -267,7 +267,10 @@ def test_pdf_escapes():
     spans = [{"kind": "text", "text": "parens (and) back\\slash", "media_ref": "",
               "offset": 0, "complexity": None}]
     pdf, golden = generate_pdf(3, spans)
-    assert extract_pdf_text(pdf) == golden == "parens (and) back\\slash"
+    # the generator may prepend a decoration line; the content line must
+    # round-trip exactly
+    assert extract_pdf_text(pdf) == golden
+    assert "parens (and) back\\slash" in golden.splitlines()
 
 
 def test_pdf_empty():

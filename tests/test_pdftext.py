@@ -171,6 +171,29 @@ def test_xrefless_fallback_scan():
     assert extract_pdf_text(truncated) == "rescued"
 
 
+def test_tounicode_cmap_bfchar_and_bfrange():
+    """/ToUnicode CMap decode: bfchar singles, bfrange with dst-start
+    increment, bfrange with dst array; CMap wins over /Encoding."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n1 begincodespacerange <00> <FF> endcodespacerange\n"
+            b"3 beginbfchar\n<A0> <03B1>\n<A1> <03B2>\n<A2> <2211>\nendbfchar\n"
+            b"1 beginbfrange\n<B0> <B2> <2460>\nendbfrange\n"
+            b"1 beginbfrange\n<C0> <C1> [<0393> <0394>]\nendbfrange\n"
+            b"endcmap\nend")
+    s = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (\xa0\xa1\xa2 \xb0\xb1\xb2 \xc0\xc1) Tj ET"
+    pdf = _mk_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 595 842] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(s), s),
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /Custom"
+        b" /Encoding /WinAnsiEncoding /ToUnicode 6 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    ])
+    assert extract_pdf_text(pdf) == "αβ∑ ①②③ ΓΔ"
+
+
 def test_incremental_update_prev_chain():
     """An appended incremental update (new xref with /Prev to the old one)
     must win: the updated content stream replaces the original object."""
