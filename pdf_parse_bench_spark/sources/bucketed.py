@@ -32,3 +32,12 @@ def write_bucketed(df: DataFrame, table: str, key: str = "doc_id",
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_partitioned(df: DataFrame, path: str,
+                      partition_col: str = "source") -> None:
+    """Hive-style partitioned parquet layout (the path-prefix analog of the
+    Iceberg identity partition): a filter on `partition_col` prunes whole
+    directories at planning time — the scan's PartitionFilters line, not a
+    post-scan Filter (asserted in tests/test_plans.py)."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)

@@ -118,6 +118,23 @@ def test_bucketed_join_is_shuffle_free(spark, fx_smoke, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_md_b")
 
 
+def test_partitioned_layout_prunes_at_plan_time(spark, tmp_path):
+    """A filter on the partition column must appear as PartitionFilters on
+    the scan (directory pruning), and the pruned scan must read fewer files
+    than the full table."""
+    from pdf_parse_bench_spark.sources.bucketed import write_partitioned
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "docs_by_source")
+    write_partitioned(docs, out, partition_col="source")
+    one_source = docs.select("source").first().source
+    pruned = (spark.read.parquet(out)
+              .where(F.col("source") == one_source))
+    plan = formatted_plan(pruned)
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "source" in m[0], plan
+    assert pruned.count() == docs.where(F.col("source") == one_source).count()
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
