@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dd.simhash_signatures(_t(s, d, "documents")), simhash="long")
     q["simhash_near_dups"] = lambda s, d: dd.simhash_near_dups(
         _t(s, d, "documents"))
+    q["dedup_clusters"] = lambda s, d: dd.dedup_clusters(
+        _t(s, d, "documents"))
     q["embedding_near_dups"] = lambda s, d: dd.embedding_near_dups(
         _t(s, d, "embeddings"))
 
@@ -464,6 +466,33 @@ def _lsh_pairs_sql() -> str:
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key "
         "AND a.doc_id < b.doc_id"
+    )
+
+
+def _dedup_clusters_sql(threshold: float = 0.5) -> str:
+    """Connected components of the Jaccard>=threshold graph via a recursive
+    CTE (min-label propagation) — the oracle twin of dd.dedup_clusters."""
+    jac = ("floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1000000 + 0.5)"
+           " / 1000000")
+    return (
+        f"WITH RECURSIVE {_lsh_bands_sql()}, "
+        "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key "
+        "AND a.doc_id < b.doc_id), "
+        f"dsh AS (SELECT doc_id, list_distinct(shingles) AS sh FROM ({_minhash_shingles_only()})), "
+        "edges AS (SELECT doc_a, doc_b FROM ("
+        "SELECT doc_a, doc_b, len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS inter, "
+        "len(x.sh) AS la, len(y.sh) AS lb "
+        "FROM cands JOIN dsh x ON cands.doc_a = x.doc_id "
+        "JOIN dsh y ON cands.doc_b = y.doc_id) "
+        f"WHERE {jac} >= {threshold}), "
+        "sym AS (SELECT doc_a, doc_b FROM edges "
+        "UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges), "
+        "comp(doc_id, label) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT s.doc_b, c.label FROM comp c JOIN sym s ON s.doc_a = c.doc_id) "
+        "SELECT doc_id, min(label) AS cluster_id FROM comp GROUP BY doc_id"
     )
 
 
@@ -758,6 +787,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["simhash_signatures"] = _simhash_sql()
     o["simhash_near_dups"] = _simhash64_near_dups_sql()
+    o["dedup_clusters"] = _dedup_clusters_sql()
     # banded random-projection LSH (16 planes, 4 bands x 4 bits) mirroring
     # dedup.embedding_near_dups; bands CTE self-joins per (band, band_key)
     emb_cte16 = _EMB_NORM_CTE.format(bucket=_sign_bucket_sql(16))

@@ -184,6 +184,51 @@ EMB_LSH_PLANES = 16
 EMB_LSH_ROWS = 4  # bits per band → EMB_LSH_PLANES/EMB_LSH_ROWS bands
 
 
+def dedup_clusters(docs: DataFrame, threshold: float = 0.5,
+                   max_iter: int = 20) -> DataFrame:
+    """Connected components over the verified near-dup graph: every doc gets
+    cluster_id = min doc_id reachable through Jaccard>=threshold edges
+    (singletons cluster with themselves) — the canonical-doc selection step
+    a dedup pipeline runs after pair generation.
+
+    Iterative label propagation (the BSP/Pregel shape): each round joins
+    labels to the symmetrized edge list and takes the min neighbor label;
+    stop when no label changed. Rounds needed = graph diameter (near-dup
+    clusters are small, so a handful); every round is one distributed
+    join + groupBy — no driver-side graph. Lineage is truncated per round
+    via localCheckpoint so plans don't grow with iterations."""
+    edges = ngram_jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        neigh = (
+            labels.join(sym, labels["doc_id"] == sym["doc_a"])
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        updated = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("cluster_id", F.coalesce("neigh_min", "cluster_id"))
+                .alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u").join(labels.alias("l"), "doc_id")
+            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1).count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 SIMHASH64_BLOCKS = 4   # 4 x 16-bit blocks of the 64-bit signature
 SIMHASH64_MAX_HAMMING = 3
 
