@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v14"  # bump to force regeneration
+FIXTURE_VERSION = "v15"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -647,6 +647,18 @@ _TOUNICODE_CMAP = (
     b"endcmap\nend"
 )
 
+# Third decoration variant via Type0/Identity-H font F4 (2-byte CID codes):
+# CMap maps <0100>..<0103> to CJK and an identity bfrange for ASCII.
+_DECO3_TEXT = "数据 pipeline 测试"
+_DECO3_CODES = [0x0100, 0x0101] + [ord(c) for c in " pipeline "] + [0x0102, 0x0103]
+_DECO3_STREAM = "<" + "".join(f"{c:04X}" for c in _DECO3_CODES) + "> Tj"
+_CID_CMAP = (
+    b"begincmap\n1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+    b"4 beginbfchar\n<0100> <6570>\n<0101> <636E>\n<0102> <6D4B>\n"
+    b"<0103> <8BD5>\nendbfchar\n"
+    b"1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\nendcmap"
+)
+
 
 def _tj_line(ln: str, rng) -> str:
     """Render one line as a TJ array: word gaps become -250/1000 em kerning
@@ -763,6 +775,11 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
                        + _DECO2_STREAM + " ET")
             golden_lines.append(_DECO2_TEXT)
             y0 -= 20.0
+        elif deco_draw < 0.65:  # Type0/Identity-H CID line (F4, 2-byte codes)
+            ops.append(f"BT /F4 12 Tf 1 0 0 1 72.0 {y0:.1f} Tm "
+                       + _DECO3_STREAM + " ET")
+            golden_lines.append(_DECO3_TEXT)
+            y0 -= 20.0
         for x, col_lines in cols:
             ops.extend(_emit_column(x, y0, col_lines, rng))
         golden_lines.extend(ln for _, cl in cols for ln in cl)
@@ -787,7 +804,8 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
         if pos >= len(lines):
             break
 
-    # objects: 1=Catalog 2=Pages 3=F1 4=F2 5=F3 6=CMap, then per page:
+    # objects: 1=Catalog 2=Pages 3=F1 4=F2 5=F3 6=CMap 7=F4 8=CIDCMap,
+    # then per page:
     # streams, page dict. MediaBox + Resources live on the Pages node
     # (inheritance path); Letter pages override MediaBox locally.
     objs: list[bytes] = [
@@ -801,6 +819,10 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
         b"/ToUnicode 6 0 R >>",
         b"<< /Length %d >>\nstream\n%s\nendstream"
         % (len(_TOUNICODE_CMAP), _TOUNICODE_CMAP),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+        b"/Encoding /Identity-H /ToUnicode 8 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(_CID_CMAP), _CID_CMAP),
     ]
     page_nums: list[int] = []
     for page in pages:
@@ -818,7 +840,8 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
         page_nums.append(len(objs))
     kids = b" ".join(b"%d 0 R" % n for n in page_nums)
     objs[1] = (b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 595 842] "
-               b"/Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 5 0 R >> >> >>"
+               b"/Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 5 0 R "
+               b"/F4 7 0 R >> >> >>"
                % (kids, len(page_nums)))
 
     out = bytearray(b"%PDF-1.4\n")

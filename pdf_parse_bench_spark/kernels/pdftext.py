@@ -363,8 +363,9 @@ class _PdfDoc:
         yield body, self._fonts(resources), page_h
 
     # -- fonts / encodings ----------------------------------------------------
-    def _fonts(self, resources) -> dict[str, list[str]]:
-        fonts: dict[str, list[str]] = {}
+    def _fonts(self, resources) -> dict:
+        """name -> decode callable (bytes -> str)."""
+        fonts: dict = {}
         resources = self.resolve(resources)
         if not isinstance(resources, dict):
             return fonts
@@ -374,10 +375,19 @@ class _PdfDoc:
         for name, ref in fdict.items():
             font = self.resolve(ref)
             if isinstance(font, dict):
-                fonts[name] = self._encoding_table(font)
+                fonts[name] = self._font_decoder(font)
         return fonts
 
-    def _encoding_table(self, font: dict) -> list[str]:
+    def _font_decoder(self, font: dict):
+        tounicode: dict[int, str] = {}
+        tu = font.get("ToUnicode")
+        if isinstance(tu, _Ref):
+            cmap = self.stream_bytes(tu)
+            if cmap:
+                tounicode = _parse_tounicode(cmap)
+        if str(font.get("Subtype", "")) == "Type0":
+            # composite CID font (/Identity-H et al.): 2-byte codes
+            return _cid2_decoder(tounicode)
         enc = self.resolve(font.get("Encoding"))
         base = enc if isinstance(enc, _Name) else None
         diffs: list = []
@@ -395,14 +405,12 @@ class _PdfDoc:
             elif isinstance(item, _Name) and 0 <= code < 256:
                 table[code] = _GLYPHS.get(str(item), "�")
                 code += 1
-        # /ToUnicode CMap wins over /Encoding (pypdf precedence): the
-        # embedded-font path real PDFs use for non-latin glyphs.
-        tu = font.get("ToUnicode")
-        if isinstance(tu, _Ref):
-            cmap = self.stream_bytes(tu)
-            if cmap:
-                _apply_tounicode(table, cmap)
-        return table
+        # /ToUnicode wins over /Encoding (pypdf precedence): the embedded-
+        # font path real PDFs use for non-latin glyphs.
+        for c, s in tounicode.items():
+            if 0 <= c < 256:
+                table[c] = s
+        return _simple_decoder(table)
 
 
 _BFCHAR_SECTION_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
@@ -423,33 +431,51 @@ def _utf16be(hexstr: bytes) -> str:
         return "�"
 
 
-def _apply_tounicode(table: list[str], cmap: bytes) -> None:
-    """Overlay bfchar/bfrange mappings of a /ToUnicode CMap onto a 256-entry
-    single-byte table (PDF 32000-1 §9.10.3; destination hex = UTF-16BE)."""
+def _parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """bfchar/bfrange mappings of a /ToUnicode CMap as {code: text}
+    (PDF 32000-1 §9.10.3; destination hex = UTF-16BE). Codes may be 1- or
+    2-byte — the font's code width decides how show-strings index this."""
+    out: dict[int, str] = {}
     for section in _BFCHAR_SECTION_RE.findall(cmap):
         for src, dst in _BFCHAR_RE.findall(section):
-            code = int(src, 16)
-            if 0 <= code < 256:
-                table[code] = _utf16be(dst)
+            out[int(src, 16)] = _utf16be(dst)
     for section in _BFRANGE_SECTION_RE.findall(cmap):
         for m in _BFRANGE_RE.finditer(section):
             lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            if hi - lo > 0x10000:  # malformed guard
+                continue
             if m.group(3) is not None:  # <lo> <hi> <dstStart>
-                start = m.group(3)
-                base_cp = bytes.fromhex(start.decode("ascii"))
+                base_cp = bytes.fromhex(m.group(3).decode("ascii"))
+                width = len(base_cp)
+                base_int = int.from_bytes(base_cp, "big")
                 for k in range(hi - lo + 1):
-                    code = lo + k
-                    if 0 <= code < 256:
-                        # increment the last code unit (spec semantics)
-                        incremented = (int.from_bytes(base_cp, "big") + k
-                                       ).to_bytes(len(base_cp), "big")
-                        table[code] = incremented.decode("utf-16-be", "replace")
+                    # increment the last code unit (spec semantics)
+                    out[lo + k] = (base_int + k).to_bytes(width, "big").decode(
+                        "utf-16-be", "replace")
             else:  # <lo> <hi> [<dst1> <dst2> ...]
-                dsts = _HEX_ITEM_RE.findall(m.group(4))
-                for k, dst in enumerate(dsts):
-                    code = lo + k
-                    if code <= hi and 0 <= code < 256:
-                        table[code] = _utf16be(dst)
+                for k, dst in enumerate(_HEX_ITEM_RE.findall(m.group(4))):
+                    if lo + k <= hi:
+                        out[lo + k] = _utf16be(dst)
+    return out
+
+
+def _simple_decoder(table: list[str]):
+    def decode(raw: bytes) -> str:
+        return "".join(table[b] for b in raw)
+    return decode
+
+
+def _cid2_decoder(cmap: dict[int, str]):
+    """Type0 /Identity-H: 2-byte big-endian codes through the ToUnicode
+    map; unmapped codes fall back to the identity codepoint (pypdf
+    behavior for Identity-H without a complete map)."""
+    def decode(raw: bytes) -> str:
+        out = []
+        for i in range(0, len(raw) - 1, 2):
+            code = (raw[i] << 8) | raw[i + 1]
+            out.append(cmap.get(code, chr(code)))
+        return "".join(out)
+    return decode
 
 
 _BASE_TABLES: dict[str, list[str]] = {}
@@ -466,7 +492,7 @@ def _base_table(name: str) -> list[str]:
     return tbl
 
 
-_DEFAULT_TABLE = _base_table("")
+_DEFAULT_DECODER = _simple_decoder(_base_table(""))
 
 # AGL subset: glyph names used by /Differences arrays (Adobe Glyph List).
 _GLYPHS: dict[str, str] = {
@@ -513,7 +539,7 @@ _CONTENT_TOKEN = re.compile(
 )
 
 
-def _page_runs(content: bytes, fonts: dict[str, list[str]]):
+def _page_runs(content: bytes, fonts: dict):
     """Interpret one page's content stream; return [(x, y_pdf, text), ...].
 
     Tracks the text line matrix translation across Tm/Td/TD/T* so one BT/ET
@@ -524,7 +550,7 @@ def _page_runs(content: bytes, fonts: dict[str, list[str]]):
     stack: list = []
     lx = ly = 0.0
     leading = 0.0
-    cur_font = _DEFAULT_TABLE
+    cur_font = _DEFAULT_DECODER
     buf: list[str] = []
     buf_pos = (0.0, 0.0)
 
@@ -540,7 +566,7 @@ def _page_runs(content: bytes, fonts: dict[str, list[str]]):
         nonlocal buf_pos
         if not buf:
             buf_pos = (lx, ly)
-        buf.append("".join(cur_font[b] for b in raw))
+        buf.append(cur_font(raw))
 
     def move(tx: float, ty: float):
         nonlocal lx, ly
@@ -615,7 +641,7 @@ def _page_runs(content: bytes, fonts: dict[str, list[str]]):
             elif op == b"TL" and stack:
                 leading = float(stack[-1])
             elif op == b"Tf" and len(stack) >= 2 and isinstance(stack[-2], _Name):
-                cur_font = fonts.get(str(stack[-2]), _DEFAULT_TABLE)
+                cur_font = fonts.get(str(stack[-2]), _DEFAULT_DECODER)
             elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
                 show(stack[-1])
             elif op == b"'" and stack and isinstance(stack[-1], bytes):

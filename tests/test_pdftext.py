@@ -194,6 +194,30 @@ def test_tounicode_cmap_bfchar_and_bfrange():
     assert extract_pdf_text(pdf) == "αβ∑ ①②③ ΓΔ"
 
 
+def test_type0_identity_h_cid_font():
+    """Composite Type0 font with 2-byte codes: ToUnicode-mapped CJK plus
+    identity fallback for unmapped codes."""
+    cmap = (b"begincmap\n"
+            b"2 beginbfchar\n<0001> <4E2D>\n<0002> <6587>\nendbfchar\n"
+            b"1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\n"
+            b"endcmap")
+    # codes: 0001 0002 0020 'doc' (via ascii identity range) 0020 4E94(unmapped)
+    codes = "".join(f"{c:04X}" for c in
+                    [1, 2, 0x20, ord("d"), ord("o"), ord("c"), 0x20, 0x4E94])
+    s = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <" + codes.encode() + b"> Tj ET"
+    pdf = _mk_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 595 842] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(s), s),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID"
+        b" /Encoding /Identity-H /ToUnicode 6 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    ])
+    assert extract_pdf_text(pdf) == "中文 doc 五"
+
+
 def test_incremental_update_prev_chain():
     """An appended incremental update (new xref with /Prev to the old one)
     must win: the updated content stream replaces the original object."""
