@@ -49,6 +49,7 @@ from pdf_parse_bench_spark.operators.extract import (  # noqa: E402
     extract_spans_from_layout,
     extract_spans_from_tei,
     parse_pdfs,
+    rasterize_pages,
     substitute_table_refs,
 )
 from pdf_parse_bench_spark.operators import media as mediaops  # noqa: E402
@@ -107,6 +108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _f(s, d, "tei_documents")
     )
     q["pdf_parse"] = lambda s, d: parse_pdfs(_f(s, d, "pdf_docs"))
+    q["page_raster_stats"] = lambda s, d: (
+        rasterize_pages(_f(s, d, "pdf_docs"))
+        .select("doc_id", "page_no", "width", "height", "ink_ratio")
+    )
 
     def nested_pipeline(s, d):
         """Full circle on the input_hint nested table: spans array ->
@@ -630,6 +635,10 @@ def oracle_sql() -> dict[str, str]:
         f'SELECT doc_id, "offset", kind, text, media_ref FROM {_GLAY}'
     )
     o["pdf_parse"] = f"SELECT doc_id, text FROM {_GPDF}"
+    o["page_raster_stats"] = (
+        "SELECT doc_id, page_no, width, height, ink_ratio "
+        f"FROM '{ORACLE_FX}/golden_raster_stats.parquet'"
+    )
     o["boilerplate_lines"] = (
         "WITH lines AS (SELECT doc_id, list_filter(list_transform("
         "string_split(markdown, chr(10)), x -> trim(x)), x -> x <> '') AS ls "

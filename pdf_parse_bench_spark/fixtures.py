@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v15"  # bump to force regeneration
+FIXTURE_VERSION = "v16"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -919,6 +919,7 @@ def ensure_fixtures(sf_dir: str) -> Path:
     pdf_rows, pdf_text_rows, score_rows = [], [], []
     md_refs_rows, table_rows, golden_md_refs_rows = [], [], []
     tei_rows, media_rows, media_stats_rows = [], [], []
+    raster_rows = []
     for rec in base.itertuples(index=False):
         did = int(rec.doc_id)
         doc_id = f"{did:09d}"
@@ -956,6 +957,13 @@ def ensure_fixtures(sf_dir: str) -> Path:
         pdf_bytes, pdf_text = generate_pdf(did, spans)
         pdf_rows.append({"doc_id": doc_id, "pdf_bytes": pdf_bytes})
         pdf_text_rows.append({"doc_id": doc_id, "text": pdf_text})
+        # raster-stats golden: pinned regression artifact — the deterministic
+        # rasterizer is its own spec (the reference's M5 relies on fitz the
+        # same way); this locks page count, pixmap geometry and ink ratio
+        from pdf_parse_bench_spark.kernels.pdftext import rasterize_pdf
+        for page_no, png, w, h, ink in rasterize_pdf(pdf_bytes):
+            raster_rows.append({"doc_id": doc_id, "page_no": page_no,
+                                "width": w, "height": h, "ink_ratio": ink})
         score_rows.extend(generate_scores(did, spans))
         # M10 fixture: page markdown with [tbl_k](tbl_k) placeholder links +
         # the (doc_id, table_id, content) side table + substituted golden
@@ -1025,6 +1033,10 @@ def ensure_fixtures(sf_dir: str) -> Path:
            pa.schema([("doc_id", pa.string()), ("text", pa.string())]))
     _write("tei_documents.parquet", tei_rows,
            pa.schema([("doc_id", pa.string()), ("tei", pa.string())]))
+    _write("golden_raster_stats.parquet", raster_rows,
+           pa.schema([("doc_id", pa.string()), ("page_no", pa.int32()),
+                      ("width", pa.int32()), ("height", pa.int32()),
+                      ("ink_ratio", pa.float64())]))
     _write("media_files.parquet", media_rows,
            pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
                       ("media_ref", pa.string()), ("media_bytes", pa.binary())]))

@@ -332,7 +332,7 @@ class _PdfDoc:
 
     # -- page tree ----------------------------------------------------------
     def pages(self):
-        """Yield (content_bytes, fonts, page_height) in page-tree order."""
+        """Yield (content_bytes, fonts, page_w, page_h) in page-tree order."""
         root = self.resolve(self.trailer.get("Root"))
         if not isinstance(root, dict):
             return
@@ -354,13 +354,14 @@ class _PdfDoc:
         refs = resolved if isinstance(resolved, list) else (
             [contents] if contents is not None else [])
         body = b"\n".join(self.stream_bytes(r) for r in refs if r is not None)
-        page_h = PAGE_H
+        page_w, page_h = 595.0, PAGE_H
         if isinstance(media, list) and len(media) == 4:
             try:
+                page_w = float(self.resolve(media[2])) - float(self.resolve(media[0]))
                 page_h = float(self.resolve(media[3])) - float(self.resolve(media[1]))
             except (TypeError, ValueError):
                 pass
-        yield body, self._fonts(resources), page_h
+        yield body, self._fonts(resources), page_w, page_h
 
     # -- fonts / encodings ----------------------------------------------------
     def _fonts(self, resources) -> dict:
@@ -678,6 +679,47 @@ def _runs_to_text(runs: list[tuple[float, float, str]], page_h: float) -> str:
     return "\n".join(runs[i][2] for i in order)
 
 
+def page_pixmap(runs: list[tuple[float, float, str]], page_w: float,
+                page_h: float, dpi: int = 72) -> np.ndarray:
+    """Deterministic glyph-box rasterization of one page's text runs
+    (the M5 analog of fitz ``page.get_pixmap(dpi=...)``,
+    parsers/dots_ocr/__main__.py:111-118): white canvas, one dark box per
+    run sized by its character count — enough geometry for layout-model
+    inputs without font outlines. Returns a (h, w) uint8 grayscale array."""
+    scale = dpi / 72.0
+    w_px = max(1, int(page_w * scale))
+    h_px = max(1, int(page_h * scale))
+    img = np.full((h_px, w_px), 255, dtype=np.uint8)
+    char_w = 6.0  # nominal advance width (pt) at the fixture's 12pt font
+    for x, y_pdf, text in runs:
+        x0 = int(x * scale)
+        y_top = page_h - y_pdf - _LINE_H  # pdf y is bottom-up
+        y0 = int(y_top * scale)
+        x1 = min(w_px, x0 + max(1, int(len(text) * char_w * scale)))
+        y1 = min(h_px, y0 + max(1, int(_LINE_H * scale)))
+        if x0 < w_px and y1 > 0 and y0 < h_px and x1 > 0:
+            img[max(0, y0):y1, max(0, x0):x1] = 40
+    return img
+
+
+def rasterize_pdf(pdf_bytes: bytes, dpi: int = 72):
+    """Yield (page_no, png_bytes, width, height, ink_ratio6) per page —
+    ink_ratio rounded half-up to 6 dp (engine-portable)."""
+    from pdf_parse_bench_spark.kernels.png import encode_png
+
+    try:
+        doc = _PdfDoc(pdf_bytes)
+        pages = list(doc.pages())
+    except Exception:
+        pages = []
+    for page_no, (body, fonts, page_w, page_h) in enumerate(pages):
+        runs = _page_runs(body, fonts) if body else []
+        img = page_pixmap(runs, page_w or 595.0, page_h or PAGE_H, dpi)
+        ink = float((img < 128).mean())
+        yield (page_no, encode_png(img), img.shape[1], img.shape[0],
+               float(np.floor(ink * 1e6 + 0.5)) / 1e6)
+
+
 # ---------------------------------------------------------------------------
 # Fallback for files with no recoverable page tree
 # ---------------------------------------------------------------------------
@@ -723,7 +765,7 @@ def extract_pdf_text(pdf_bytes: bytes) -> str:
     pages: list[str] = []
     try:
         doc = _PdfDoc(pdf_bytes)
-        for body, fonts, page_h in doc.pages():
+        for body, fonts, _page_w, page_h in doc.pages():
             if body:
                 pages.append(_runs_to_text(_page_runs(body, fonts), page_h))
     except Exception:

@@ -213,6 +213,40 @@ def parse_pdfs(pdf_df: DataFrame, rebalance: bool = True) -> DataFrame:
     return pdf_df.mapInPandas(run, schema=schemas.PDF_TEXT_SCHEMA)
 
 
+def rasterize_pages(pdf_df: DataFrame, dpi: int = 72,
+                    rebalance: bool = True) -> DataFrame:
+    """M5 page rasterization (the fitz ``get_pixmap`` analog,
+    parsers/dots_ocr/__main__.py:111-118): PDF bytes → one PNG pixmap row
+    per page (doc_id, page_no, png, width, height, ink_ratio), rendered by
+    the deterministic glyph-box rasterizer (kernels/pdftext.page_pixmap) and
+    encoded with the stdlib PNG codec. All inside Arrow batches."""
+    from pdf_parse_bench_spark.kernels.pdftext import rasterize_pdf
+
+    if rebalance:
+        pdf_df = rebalance_by_size(pdf_df, size_col=F.length("pdf_bytes"))
+
+    cols = ["doc_id", "page_no", "png", "width", "height", "ink_ratio"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["pdf_bytes"]):
+                for page_no, png, w, h, ink in rasterize_pdf(bytes(b), dpi):
+                    out["doc_id"].append(doc_id)
+                    out["page_no"].append(page_no)
+                    out["png"].append(png)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["ink_ratio"].append(ink)
+            yield pd.DataFrame(out)
+
+    return pdf_df.mapInPandas(
+        run,
+        schema=("doc_id string, page_no int, png binary, width int, "
+                "height int, ink_ratio double"),
+    )
+
+
 def align_extractions(md_df: DataFrame, golden_df: DataFrame,
                       boilerplate: frozenset[str] | None = None) -> DataFrame:
     """GT-guided alignment (reference extract stage): cogroup markdown with

@@ -236,6 +236,32 @@ def test_incremental_update_prev_chain():
     assert extract_pdf_text(bytes(out)) == "new text"
 
 
+def test_rasterize_pages_geometry_and_ink():
+    """M5 pixmap: page-sized canvas at dpi, ink exactly where runs sit,
+    deterministic across calls, PNG round-trips."""
+    import numpy as np
+    from pdf_parse_bench_spark.kernels.pdftext import rasterize_pdf
+    from pdf_parse_bench_spark.kernels.png import decode_png
+
+    s = (b"BT /F1 12 Tf 1 0 0 1 72 770 Tm (ten chars!) Tj ET")
+    pdf = _one_page(s)  # A4: 595x842
+    pages = list(rasterize_pdf(pdf, dpi=72))
+    assert len(pages) == 1
+    page_no, png, w, h, ink = pages[0]
+    assert (page_no, w, h) == (0, 595, 842)
+    img = decode_png(png)
+    assert img.shape == (842, 595)
+    # run box: x=72..72+10*6, y_top = 842-770-12=60 .. 72
+    assert (img[60:72, 72:132] < 128).all()
+    assert img[0:50].min() == 255  # empty margin stays white
+    assert 0 < ink < 0.01
+    again = list(rasterize_pdf(pdf, dpi=72))[0]
+    assert again[1] == png and again[4] == ink  # deterministic
+    # higher dpi scales the canvas
+    _, _, w2, h2, _ = list(rasterize_pdf(pdf, dpi=144))[0]
+    assert (w2, h2) == (1190, 1684)
+
+
 def test_garbage_returns_empty():
     assert extract_pdf_text(b"%PDF-1.4\nnot a real pdf") == ""
     assert extract_pdf_text(b"") == ""
