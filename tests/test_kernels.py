@@ -400,6 +400,50 @@ def test_html_entities_and_inline_math():
 # Property tests: render/parse round-trips on arbitrary seeded corpora
 # ---------------------------------------------------------------------------
 
+_LATIN1_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=255,
+                           blacklist_characters="\x7f"),
+    min_size=1, max_size=60,
+).map(lambda s: s.strip()).filter(lambda s: s)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=30_000, max_value=30_999),
+       st.lists(_LATIN1_TEXT, min_size=1, max_size=25))
+def test_pdf_roundtrip_property(doc_id, texts):
+    """Arbitrary latin-1 text lines survive generate_pdf → extract_pdf_text
+    across every content dialect the generator emits (Tm/Td/T*/TJ/hex,
+    octal escapes, compression, split streams, deco fonts)."""
+    from pdf_parse_bench_spark.fixtures import generate_pdf
+    spans = [{"kind": "text", "text": t, "media_ref": "", "offset": i,
+              "complexity": None} for i, t in enumerate(texts)]
+    pdf, golden = generate_pdf(doc_id, spans)
+    assert extract_pdf_text(pdf) == golden
+
+
+_XML_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF,
+                           blacklist_characters="\x7f"),
+    min_size=1, max_size=60,
+).map(lambda s: " ".join(s.split())).filter(lambda s: s)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=40_000, max_value=40_999),
+       st.lists(_XML_TEXT, min_size=2, max_size=20))
+def test_tei_roundtrip_property(doc_id, texts):
+    """Arbitrary unicode text lines survive render_tei → parse_tei
+    (abstract + div grouping + head/p packing + note chrome)."""
+    from pdf_parse_bench_spark.fixtures import render_tei
+    from pdf_parse_bench_spark.kernels.teidoc import parse_tei
+    spans = [{"kind": "text", "text": t, "media_ref": "", "offset": i,
+              "complexity": None} for i, t in enumerate(texts)]
+    tei = render_tei(doc_id, spans, "srcT")
+    got = parse_tei(tei)
+    assert [(s["kind"], s["text"]) for s in got] == [
+        ("text", s["text"]) for s in spans]
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.integers(min_value=10_000, max_value=10_999),
        st.sampled_from(["alpha beta gamma delta", "spark scan join filter row"]))
