@@ -108,15 +108,17 @@ def decode_png(data: bytes) -> np.ndarray:
             cur = row
         elif ft == 2:  # Up — vectorized
             cur = (row + prev) & 0xFF
-        elif ft in (1, 3, 4):  # Sub/Average/Paeth: left-dependency loop
+        elif ft == 1:  # Sub — vectorized: per-channel-lane cumsum mod 256
+            lanes = row.reshape(w, ch)
+            cur = (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF) \
+                .astype(np.int32).reshape(stride)
+        elif ft in (3, 4):  # Average/Paeth: left-dependency loop
             cur = np.zeros(stride, np.int32)
             for i in range(stride):
                 a = int(cur[i - ch]) if i >= ch else 0
                 b = int(prev[i])
                 c = int(prev[i - ch]) if i >= ch else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
+                if ft == 3:
                     pred = (a + b) >> 1
                 else:
                     p = a + b - c
