@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v16"  # bump to force regeneration
+FIXTURE_VERSION = "v17"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -731,6 +731,68 @@ def _emit_column(x: float, y0: float, col_lines: list[str], rng) -> list[str]:
     return ops
 
 
+def _assemble_modern_pdf(objs: list[bytes], use_predictor: bool) -> bytes:
+    """PDF 1.5 file layout: every non-stream object packed into one /ObjStm,
+    indexed by a cross-reference STREAM (type-2 entries; /W [1 4 2]),
+    optionally /Predictor 12 (PNG Up) encoded — the layout modern producers
+    emit. Object numbers are preserved; ObjStm = K+1, XRef = K+2."""
+    import zlib as _zlib
+
+    k = len(objs)
+    objstm_num, xref_num = k + 1, k + 2
+    packed = [(i + 1, b) for i, b in enumerate(objs) if b"stream" not in b]
+    streams = [(i + 1, b) for i, b in enumerate(objs) if b"stream" in b]
+    packed_idx = {num: j for j, (num, _) in enumerate(packed)}
+
+    header_parts, off = [], 0
+    for num, b in packed:
+        header_parts.append(b"%d %d" % (num, off))
+        off += len(b) + 1
+    hdr = b" ".join(header_parts) + b" "
+    objstm_body = hdr + b" ".join(b for _, b in packed)
+    z = _zlib.compress(objstm_body)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num, b in streams:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + b + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += (b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d"
+            b" /Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+            % (objstm_num, len(packed), len(hdr), len(z), z))
+
+    rows = []
+    for num in range(xref_num + 1):
+        if num == 0:
+            rows.append(b"\x00" + (0).to_bytes(4, "big") + b"\xff\xff")
+        elif num in packed_idx:
+            rows.append(b"\x02" + objstm_num.to_bytes(4, "big")
+                        + packed_idx[num].to_bytes(2, "big"))
+        elif num in offsets:
+            rows.append(b"\x01" + offsets[num].to_bytes(4, "big") + b"\x00\x00")
+        else:  # the xref stream itself
+            rows.append(b"\x01" + len(out).to_bytes(4, "big") + b"\x00\x00")
+    if use_predictor:
+        enc = bytearray()
+        prev = bytes(7)
+        for r in rows:
+            enc += b"\x02" + bytes((r[j] - prev[j]) & 0xFF for j in range(7))
+            prev = r
+        xdata = _zlib.compress(bytes(enc))
+        parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+    else:
+        xdata = _zlib.compress(b"".join(rows))
+        parms = b""
+    xref_at = len(out)
+    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d]"
+            b" /Root 1 0 R /Filter /FlateDecode%s /Length %d >>\nstream\n%s"
+            b"\nendstream\nendobj\n"
+            % (xref_num, xref_num + 1, xref_num + 1, parms, len(xdata), xdata))
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)
+
+
 def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
     """Multi-page PDF from the doc's text spans + expected text.
 
@@ -843,6 +905,12 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
                b"/Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 5 0 R "
                b"/F4 7 0 R >> >> >>"
                % (kids, len(page_nums)))
+
+    # ~30% of docs ship in the PDF 1.5 modern layout (xref STREAM +
+    # /ObjStm-packed dicts, half of those with /Predictor 12)
+    if rng.random() < 0.3:
+        return (_assemble_modern_pdf(objs, bool(rng.random() < 0.5)),
+                "\n".join(golden_lines))
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = []

@@ -206,18 +206,60 @@ _OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _XREF_ENTRY_RE = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
 
 
+def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    """Undo PNG row predictors on a decoded stream (/DecodeParms
+    /Predictor >= 10): each row is filter-type byte + `columns*colors*bpc/8`
+    bytes; xref streams conventionally use Up (type 2)."""
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = columns * bpp
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    n = len(data)
+    while i + 1 + rowlen <= n:
+        ft = data[i]
+        row = bytearray(data[i + 1:i + 1 + rowlen])
+        i += 1 + rowlen
+        if ft == 1:  # Sub
+            for k in range(bpp, rowlen):
+                row[k] = (row[k] + row[k - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for k in range(rowlen):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ft == 3:  # Average
+            for k in range(rowlen):
+                a = row[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + ((a + prev[k]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for k in range(rowlen):
+                a = row[k - bpp] if k >= bpp else 0
+                c = prev[k - bpp] if k >= bpp else 0
+                b = prev[k]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[k] = (row[k] + pr) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class _PdfDoc:
     def __init__(self, data: bytes):
         self.data = data
         self.trailer: dict = {}
         self.offsets: dict[int, int] = {}
+        self.in_objstm: dict[int, tuple[int, int]] = {}  # num -> (stm, idx)
+        self._cache: dict[int, tuple] = {}
+        self._objstm_cache: dict[int, list] = {}
         try:
             self._load_xref()
         except Exception:
             self.offsets = {}
-        if not self.offsets or "Root" not in self.trailer:
+            self.in_objstm = {}
+        if (not self.offsets and not self.in_objstm) \
+                or "Root" not in self.trailer:
             self._scan_objects()
-        self._cache: dict[int, tuple] = {}
 
     # -- xref ---------------------------------------------------------------
     def _load_xref(self) -> None:
@@ -231,34 +273,91 @@ class _PdfDoc:
         while pos not in seen and 0 <= pos < len(data):
             seen.add(pos)
             i = _skip_ws(data, pos)
-            if not data.startswith(b"xref", i):
-                raise ValueError("xref stream / bad offset")  # v1.5 xref streams unsupported
-            i += 4
-            while True:
+            if data.startswith(b"xref", i):
+                nxt = self._load_xref_table(i + 4)
+            else:
+                nxt = self._load_xref_stream(i)  # PDF 1.5+ xref stream
+            if nxt is None:
+                return
+            pos = nxt
+
+    def _load_xref_table(self, i: int) -> int | None:
+        data = self.data
+        while True:
+            i = _skip_ws(data, i)
+            if data.startswith(b"trailer", i):
+                i += 7
+                trailer, i = _parse_obj(data, i)
+                for k, v in trailer.items():
+                    self.trailer.setdefault(k, v)  # newest update wins
+                prev = trailer.get("Prev")
+                return int(prev) if isinstance(prev, (int, float)) else None
+            sub = re.match(rb"(\d+)\s+(\d+)", data[i:i + 40])
+            if not sub:
+                raise ValueError("bad xref subsection")
+            start, count = int(sub.group(1)), int(sub.group(2))
+            i += sub.end()
+            for k in range(count):
                 i = _skip_ws(data, i)
-                if data.startswith(b"trailer", i):
-                    i += 7
-                    trailer, i = _parse_obj(data, i)
-                    for k, v in trailer.items():
-                        self.trailer.setdefault(k, v)  # newest update wins
-                    prev = trailer.get("Prev")
-                    if isinstance(prev, (int, float)):
-                        pos = int(prev)
-                        break
-                    return
-                sub = re.match(rb"(\d+)\s+(\d+)", data[i:i + 40])
-                if not sub:
-                    raise ValueError("bad xref subsection")
-                start, count = int(sub.group(1)), int(sub.group(2))
-                i += sub.end()
-                for k in range(count):
-                    i = _skip_ws(data, i)
-                    em = _XREF_ENTRY_RE.match(data, i)
-                    if not em:
-                        raise ValueError("bad xref entry")
-                    if em.group(3) == b"n":
-                        self.offsets.setdefault(start + k, int(em.group(1)))
-                    i = em.end()
+                em = _XREF_ENTRY_RE.match(data, i)
+                if not em:
+                    raise ValueError("bad xref entry")
+                if em.group(3) == b"n":
+                    self.offsets.setdefault(start + k, int(em.group(1)))
+                i = em.end()
+
+    def _load_xref_stream(self, i: int) -> int | None:
+        """PDF 1.5 cross-reference stream (/Type /XRef): binary entries of
+        /W field widths over /Index subsections; entry type 2 locates
+        objects inside compressed object streams (§7.5.8)."""
+        data = self.data
+        m = _OBJ_HDR_RE.match(data, i)
+        if not m:
+            raise ValueError("xref stream: no object header")
+        d, j = _parse_obj(data, m.end())
+        if not isinstance(d, dict) or str(d.get("Type", "")) != "XRef":
+            raise ValueError("xref stream: not /Type /XRef")
+        j = _skip_ws(data, j)
+        if not data.startswith(b"stream", j):
+            raise ValueError("xref stream: missing stream")
+        s = j + 6
+        if data[s:s + 2] == b"\r\n":
+            s += 2
+        elif data[s:s + 1] in (b"\n", b"\r"):
+            s += 1
+        length = self.resolve(d.get("Length"))
+        raw = data[s:s + int(length)]
+        body = self._decode_stream(d, raw)
+        w = [int(x) for x in self.resolve(d.get("W", [1, 2, 1]))]
+        size = int(self.resolve(d.get("Size", 0)))
+        index = self.resolve(d.get("Index")) or [0, size]
+        ew = sum(w)
+        pos = 0
+
+        def field(buf, off, width, default):
+            if width == 0:
+                return default
+            return int.from_bytes(buf[off:off + width], "big")
+
+        for a in range(0, len(index) - 1, 2):
+            start, count = int(index[a]), int(index[a + 1])
+            for k in range(count):
+                e = body[pos:pos + ew]
+                pos += ew
+                if len(e) < ew:
+                    break
+                etype = field(e, 0, w[0], 1)
+                f2 = field(e, w[0], w[1], 0)
+                f3 = field(e, w[0] + w[1], w[2], 0)
+                num = start + k
+                if etype == 1:
+                    self.offsets.setdefault(num, f2)
+                elif etype == 2:
+                    self.in_objstm.setdefault(num, (f2, f3))
+        for k, v in d.items():
+            self.trailer.setdefault(k, v)
+        prev = d.get("Prev")
+        return int(prev) if isinstance(prev, (int, float)) else None
 
     def _scan_objects(self) -> None:
         for m in _OBJ_HDR_RE.finditer(self.data):
@@ -277,6 +376,10 @@ class _PdfDoc:
         """Return (value, raw_stream_bytes_or_None) for object `num`."""
         if num in self._cache:
             return self._cache[num]
+        if num in self.in_objstm and num not in self.offsets:
+            result = (self._from_objstm(num), None)
+            self._cache[num] = result
+            return result
         off = self.offsets.get(num)
         result = (None, None)
         if off is not None:
@@ -308,6 +411,67 @@ class _PdfDoc:
             _depth += 1
         return v
 
+    def _from_objstm(self, num: int):
+        """Parse an object out of a compressed object stream (/Type /ObjStm,
+        §7.5.7): header of N (objnum, offset) pairs, then bodies
+        back-to-back starting at /First."""
+        stm_num, _idx = self.in_objstm[num]
+        pairs = self._objstm_cache.get(stm_num)
+        if pairs is None:
+            d, raw = self.get_object(stm_num)
+            pairs = []
+            if isinstance(d, dict) and raw is not None:
+                body = self._decode_stream(d, raw)
+                n = int(self.resolve(d.get("N", 0)))
+                first = int(self.resolve(d.get("First", 0)))
+                i = 0
+                header = []
+                for _ in range(2 * n):
+                    i = _skip_ws(body, i)
+                    m = _NUM_RE.match(body, i)
+                    if not m:
+                        break
+                    header.append(int(m.group()))
+                    i = m.end()
+                for k in range(0, len(header) - 1, 2):
+                    pairs.append((header[k], first + header[k + 1]))
+                pairs = [(onum, off, body) for onum, off in pairs]
+            self._objstm_cache[stm_num] = pairs
+        for onum, off, body in pairs:
+            if onum == num:
+                try:
+                    val, _ = _parse_obj(body, off)
+                    return val
+                except Exception:
+                    return None
+        return None
+
+    def _decode_stream(self, d: dict, raw: bytes) -> bytes:
+        """Apply /Filter chain (+/DecodeParms PNG predictors) to raw bytes."""
+        filt = self.resolve(d.get("Filter"))
+        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        parms = self.resolve(d.get("DecodeParms"))
+        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+        body = raw
+        for f, p in zip(filters, parms_list):
+            name = str(self.resolve(f))
+            if name in ("FlateDecode", "Fl"):
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error:
+                    return b""
+                p = self.resolve(p)
+                if isinstance(p, dict):
+                    pred = int(self.resolve(p.get("Predictor", 1)) or 1)
+                    if pred >= 10:  # PNG predictors (xref streams use Up=12)
+                        cols = int(self.resolve(p.get("Columns", 1)) or 1)
+                        colors = int(self.resolve(p.get("Colors", 1)) or 1)
+                        bpc = int(self.resolve(p.get("BitsPerComponent", 8)) or 8)
+                        body = _png_unpredict(body, cols, colors, bpc)
+            else:  # unsupported filter chain
+                return b""
+        return body
+
     def stream_bytes(self, v) -> bytes:
         """Decoded stream content for a stream object (Ref or direct)."""
         if isinstance(v, _Ref):
@@ -316,19 +480,7 @@ class _PdfDoc:
             return b""
         if raw is None or not isinstance(d, dict):
             return b""
-        filt = self.resolve(d.get("Filter"))
-        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-        body = raw
-        for f in filters:
-            name = str(self.resolve(f))
-            if name in ("FlateDecode", "Fl"):
-                try:
-                    body = zlib.decompress(body)
-                except zlib.error:
-                    return b""
-            else:  # unsupported filter chain
-                return b""
-        return body
+        return self._decode_stream(d, raw)
 
     # -- page tree ----------------------------------------------------------
     def pages(self):

@@ -262,6 +262,80 @@ def test_rasterize_pages_geometry_and_ink():
     assert (w2, h2) == (1190, 1684)
 
 
+def _mk_modern_pdf(content: bytes, predictor: bool) -> bytes:
+    """PDF 1.5 layout: catalog/pages/page/font packed in an /ObjStm; xref is
+    a cross-reference stream (type-2 entries for packed objects), optionally
+    with the conventional /Predictor 12 (PNG Up) row encoding."""
+    import zlib
+    packed = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 595 842]"
+            b" /Resources << /Font << /F1 4 0 R >> >> >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+        (4, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    bodies = b" ".join(b for _, b in packed)
+    header = []
+    off = 0
+    for num, b in packed:
+        header.append(b"%d %d" % (num, off))
+        off += len(b) + 1
+    hdr = b" ".join(header) + b" "
+    objstm_body = hdr + bodies
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    # obj 6 = ObjStm, obj 5 = content stream, obj 7 = xref stream
+    offsets[5] = len(out)
+    out += (b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            % (len(content), content))
+    z = zlib.compress(objstm_body)
+    offsets[6] = len(out)
+    out += (b"6 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d"
+            b" /Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+            % (len(packed), len(hdr), len(z), z))
+    # xref stream entries, W=[1,4,2], for objects 0..7
+    rows = []
+    for num in range(8):
+        if num == 0:
+            rows.append(bytes([0]) + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big"))
+        elif num in (1, 2, 3, 4):
+            idx = [p[0] for p in packed].index(num)
+            rows.append(bytes([2]) + (6).to_bytes(4, "big") + idx.to_bytes(2, "big"))
+        elif num in (5, 6):
+            rows.append(bytes([1]) + offsets[num].to_bytes(4, "big") + (0).to_bytes(2, "big"))
+        else:  # the xref stream itself
+            rows.append(bytes([1]) + len(out).to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    if predictor:
+        enc = bytearray()
+        prev = bytes(7)
+        for r in rows:
+            enc += b"\x02" + bytes((r[k] - prev[k]) & 0xFF for k in range(7))
+            prev = r
+        xdata = zlib.compress(bytes(enc))
+        parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+    else:
+        xdata = zlib.compress(b"".join(rows))
+        parms = b""
+    xref_at = len(out)
+    out += (b"7 0 obj\n<< /Type /XRef /Size 8 /W [1 4 2] /Index [0 8]"
+            b" /Root 1 0 R /Filter /FlateDecode%s /Length %d >>\nstream\n%s"
+            b"\nendstream\nendobj\n" % (parms, len(xdata), xdata))
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)
+
+
+def test_xref_stream_and_objstm():
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (modern layout) Tj ET"
+    assert extract_pdf_text(_mk_modern_pdf(content, predictor=False)) \
+        == "modern layout"
+
+
+def test_xref_stream_with_png_predictor():
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (predicted xref) Tj ET"
+    assert extract_pdf_text(_mk_modern_pdf(content, predictor=True)) \
+        == "predicted xref"
+
+
 def test_garbage_returns_empty():
     assert extract_pdf_text(b"%PDF-1.4\nnot a real pdf") == ""
     assert extract_pdf_text(b"") == ""
