@@ -206,6 +206,41 @@ _OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _XREF_ENTRY_RE = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """LZWDecode (PDF 32000-1 §7.4.4 / TIFF variant): variable 9-12 bit
+    codes MSB-first, 256=clear, 257=EOD, early-change code-width bumps."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    width = 9
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width, prev = 9, None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + 1 >= (1 << width) and width < 12:  # early change
+                width += 1
+    return bytes(out)
+
+
 def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     """Undo PNG row predictors on a decoded stream (/DecodeParms
     /Predictor >= 10): each row is filter-type byte + `columns*colors*bpc/8`
@@ -460,16 +495,18 @@ class _PdfDoc:
                     body = zlib.decompress(body)
                 except zlib.error:
                     return b""
-                p = self.resolve(p)
-                if isinstance(p, dict):
-                    pred = int(self.resolve(p.get("Predictor", 1)) or 1)
-                    if pred >= 10:  # PNG predictors (xref streams use Up=12)
-                        cols = int(self.resolve(p.get("Columns", 1)) or 1)
-                        colors = int(self.resolve(p.get("Colors", 1)) or 1)
-                        bpc = int(self.resolve(p.get("BitsPerComponent", 8)) or 8)
-                        body = _png_unpredict(body, cols, colors, bpc)
+            elif name in ("LZWDecode", "LZW"):
+                body = _lzw_decode(body)
             else:  # unsupported filter chain
                 return b""
+            p = self.resolve(p)
+            if isinstance(p, dict):
+                pred = int(self.resolve(p.get("Predictor", 1)) or 1)
+                if pred >= 10:  # PNG predictors (xref streams use Up=12)
+                    cols = int(self.resolve(p.get("Columns", 1)) or 1)
+                    colors = int(self.resolve(p.get("Colors", 1)) or 1)
+                    bpc = int(self.resolve(p.get("BitsPerComponent", 8)) or 8)
+                    body = _png_unpredict(body, cols, colors, bpc)
         return body
 
     def stream_bytes(self, v) -> bytes:

@@ -336,6 +336,47 @@ def test_xref_stream_with_png_predictor():
         == "predicted xref"
 
 
+def _lzw_pack(codes: list[int], width: int = 9) -> bytes:
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc = (acc << width) | c
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_filter():
+    from pdf_parse_bench_spark.kernels.pdftext import _lzw_decode
+    raw = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (lzw text) Tj ET"
+    # minimal conforming stream: clear before every literal, then EOD
+    codes = [256]
+    for b in raw:
+        codes.extend([b, 256])
+    codes[-1] = 257
+    packed = _lzw_pack(codes)
+    assert _lzw_decode(packed) == raw
+    # table-building path: repeated pattern exercises the KwKwK case
+    pat = b"ababababab"
+    codes2 = [256, ord("a"), ord("b"), 258, 260, 259, 257]
+    # 258='ab' 259='ba' 260='aba' -> a b ab aba ba = 'ababababa'... build
+    assert _lzw_decode(_lzw_pack(codes2)) == b"abababa" + b"ba"
+    s = packed
+    pdf2 = _mk_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 595 842] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d /Filter /LZWDecode >>\nstream\n%s\nendstream" % (len(s), s),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ])
+    assert extract_pdf_text(pdf2) == "lzw text"
+
+
 def test_garbage_returns_empty():
     assert extract_pdf_text(b"%PDF-1.4\nnot a real pdf") == ""
     assert extract_pdf_text(b"") == ""
