@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_counts"] = lambda s, d: _cast(
         ts.token_counts(_t(s, d, "documents")), ws_tokens="long", regex_tokens="long")
     q["fingerprint"] = lambda s, d: ts.fingerprint(_t(s, d, "documents"))
+    q["corpus_filter"] = lambda s, d: ts.corpus_filter(_t(s, d, "documents"))
 
     # ---- relational / events ----
     def tpch_q1(s, d):
@@ -880,6 +881,37 @@ def oracle_sql() -> dict[str, str]:
     o["fingerprint"] = (
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) "
         "AS fingerprint FROM documents"
+    )
+    # corpus_filter: the composed C4-style cleaning pass — quality + lang +
+    # fingerprint-canonical dedup, first failing rule wins
+    o["corpus_filter"] = (
+        f"WITH {_WORDS_CTE}, "
+        "base AS (SELECT d.doc_id, d.text, w.w FROM documents d "
+        "JOIN words w ON d.doc_id = w.doc_id), "
+        "m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(len(w) AS BIGINT) AS n_words, "
+        "length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct, "
+        f"len(list_filter(w, x -> list_contains({_STOP_LIST}, x))) AS stop_hits, "
+        f"{scores_sql} FROM base), "
+        "f AS (SELECT doc_id, "
+        "floor((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 1000000 + 0.5) / 1000000 AS punct_ratio, "
+        "floor((least(n_words / 50.0, 1.0) * 0.4 "
+        "+ (1.0 - least(floor((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 1000000 + 0.5) / 1000000 * 5, 1.0)) * 0.3 "
+        "+ least(floor((CAST(stop_hits AS DOUBLE) / greatest(n_words, 1)) * 1000000 + 0.5) / 1000000 * 5, 1.0) * 0.3"
+        ") * 1000000 + 0.5) / 1000000 AS quality, "
+        f"n_words, {_PRED_CASE} AS pred_lang FROM m), "
+        "canon AS (SELECT doc_id, row_number() OVER (PARTITION BY "
+        "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) "
+        "ORDER BY doc_id) = 1 AS is_canonical FROM documents), "
+        "r AS (SELECT f.doc_id, CASE "
+        "WHEN NOT c.is_canonical THEN 'duplicate' "
+        "WHEN f.pred_lang <> 'en' THEN 'lang' "
+        "WHEN f.n_words < 8 THEN 'too_short' "
+        "WHEN f.punct_ratio > 0.2 THEN 'punct' "
+        "WHEN f.quality < 0.3 THEN 'low_quality' END AS reason "
+        "FROM f JOIN canon c ON f.doc_id = c.doc_id) "
+        "SELECT doc_id, reason IS NULL AS keep, "
+        "coalesce(reason, '') AS reject_reason FROM r"
     )
 
     # ---- relational / events ----

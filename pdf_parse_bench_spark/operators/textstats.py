@@ -85,6 +85,44 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_filter(docs: DataFrame, min_words: int = 8,
+                  max_punct_ratio: float = 0.2,
+                  min_quality: float = 0.3,
+                  lang: str = "en") -> DataFrame:
+    """C4/Gopher-style corpus cleaning pass, composed from the stats
+    operators: per doc, keep iff (a) canonical under exact dedup (smallest
+    doc_id for its normalized fingerprint), (b) predicted language matches,
+    (c) word count, punctuation ratio and combined quality clear the bars.
+    Emits (doc_id, keep, reject_reason) with the FIRST failing rule as the
+    reason (dedup > lang > short > punct > quality — the audit trail a
+    training-data pipeline stores next to the corpus).
+
+    Shape at 100 TB: three codegen projections over one pruned scan + one
+    window over the fingerprint hash (no full-row shuffle — only
+    (fingerprint, doc_id) drive the partitioning)."""
+    from pyspark.sql import Window
+
+    q = quality_score(docs)
+    lg = lang_id(docs)
+    fp = fingerprint(docs)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    canon = fp.withColumn("_rn", F.row_number().over(w)).select(
+        "doc_id", (F.col("_rn") == 1).alias("is_canonical"))
+    j = (q.join(lg, "doc_id").join(canon, "doc_id"))
+    reason = (
+        F.when(~F.col("is_canonical"), F.lit("duplicate"))
+        .when(F.col("pred_lang") != lang, F.lit("lang"))
+        .when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("punct_ratio") > max_punct_ratio, F.lit("punct"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+    )
+    return j.select(
+        "doc_id",
+        reason.isNull().alias("keep"),
+        F.coalesce(reason, F.lit("")).alias("reject_reason"),
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count."""
     ws = F.size(_words())

@@ -95,3 +95,60 @@ def test_lang_and_quality_shapes(spark):
     assert tok.regex_tokens >= tok.ws_tokens
     fp = ts.fingerprint(docs)
     assert fp.select("fingerprint").distinct().count() == 50
+
+
+def test_corpus_filter_reason_precedence(spark):
+    """Each rejection rule fires, and earlier rules mask later ones
+    (duplicate > lang > too_short > punct > low_quality)."""
+    from pdf_parse_bench_spark.operators.textstats import corpus_filter
+    good = ("the project and the data of the run went well "
+            "and the numbers looked fine")
+    rows = [
+        (1, good),                       # keep
+        (2, good),                       # exact dup of 1 -> duplicate
+        (3, "el la de " * 5),            # spanish markers -> lang
+        (4, "the and of tiny"),          # en but < 8 words -> too_short
+        (5, "the !! and ?? of ## " * 4),  # punct ratio high -> punct
+        # 9 words, 1 stopword, punct ratio ~0.17 (<=0.2): combined quality
+        # lands under 0.3 without tripping the earlier rules
+        (6, "the zzz zzz zzz zzz zzz zzz zzz zz#######"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.keep, r.reject_reason)
+           for r in corpus_filter(docs).collect()}
+    assert got[1] == (True, "")
+    assert got[2] == (False, "duplicate")
+    assert got[3] == (False, "lang")
+    assert got[4] == (False, "too_short")
+    assert got[5] == (False, "punct")
+    assert got[6] == (False, "low_quality")
+
+
+def test_dedup_clusters_match_union_find(spark):
+    """dedup_clusters must equal the transitive closure (python union-find)
+    of the verified near-dup edge list on a real corpus slice."""
+    from pdf_parse_bench_spark.operators.dedup import (
+        dedup_clusters, ngram_jaccard_pairs)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edges = ngram_jaccard_pairs(docs).collect()
+    labels = {r.doc_id: r.cluster_id for r in dedup_clusters(docs).collect()}
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in edges:
+        ra, rb = find(e.doc_a), find(e.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    n_multi = 0
+    for doc_id, cluster in labels.items():
+        expect = find(doc_id) if doc_id in parent else doc_id
+        assert cluster == expect, (doc_id, cluster, expect)
+        if cluster != doc_id:
+            n_multi += 1
+    assert n_multi > 0  # the corpus slice really has near-dup clusters
