@@ -15,16 +15,48 @@ from pdf_parse_bench_spark.operators.extract import (  # noqa: F401
     assemble_markdown,
     compute_boilerplate,
     extract_spans,
+    extract_spans_from_html,
     extract_spans_from_layout,
+    extract_spans_from_tei,
     parse_pdfs,
+    rasterize_pages,
+    substitute_table_refs,
 )
 from pdf_parse_bench_spark.operators.aggregates import (  # noqa: F401
     benchmark_counts,
+    extracted_complexity_cube,
     extraction_quality,
     grouped_mean_scores,
+    judged_complexity_cube,
     leaderboard,
+    leaderboard_markdown,
     pending_scores,
     score_cube,
+)
+from pdf_parse_bench_spark.operators.dedup import (  # noqa: F401
+    dedup_clusters,
+    dedup_exact,
+    embedding_near_dups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    simhash_signatures,
+)
+from pdf_parse_bench_spark.operators.media import (  # noqa: F401
+    decode_media,
+    media_features,
+)
+from pdf_parse_bench_spark.operators.similarity import (  # noqa: F401
+    brute_force_topk,
+    lsh_topk,
+)
+from pdf_parse_bench_spark.operators.textstats import (  # noqa: F401
+    corpus_filter,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_counts,
 )
 
 __version__ = "0.1.0"

@@ -30,10 +30,8 @@ def _words(col: str = "text"):
     return F.filter(F.split(F.trim(F.col(col)), " +"), lambda x: x != "")
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Marker-word language scoring: count marker hits per language, pick the
-    argmax (ties broken by language code order). Deterministic heuristic —
-    the real-corpus replacement would swap marker lists, not the plan."""
+def _lang_pred_expr():
+    """(pred_lang, marker_hits) expressions over the text column."""
     w = _words()
 
     def _count(marker: str):
@@ -51,14 +49,12 @@ def lang_id(docs: DataFrame) -> DataFrame:
     for lang in reversed(langs):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best <= 0, F.lit("unknown")).otherwise(pred)
-    return docs.select(
-        "doc_id", pred.alias("pred_lang"), best.cast("int").alias("marker_hits")
-    )
+    return pred, best
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Length / punctuation-ratio / stopword-ratio quality features and a
-    combined 0-1 score (larger = likelier natural prose)."""
+def _quality_exprs():
+    """Quality feature expressions over the text column (shared by
+    quality_score and corpus_filter so both stay single-scan)."""
     w = _words()
     n_chars = F.length("text")
     n_words = F.size(w)
@@ -74,14 +70,29 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
         + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
     )
+    return {
+        "n_chars": n_chars, "n_words": n_words, "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio, "mean_word_len": mean_word_len,
+        "quality": score,
+    }
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language scoring: count marker hits per language, pick the
+    argmax (ties broken by language code order). Deterministic heuristic —
+    the real-corpus replacement would swap marker lists, not the plan."""
+    pred, best = _lang_pred_expr()
     return docs.select(
-        "doc_id",
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        mean_word_len.alias("mean_word_len"),
-        score.alias("quality"),
+        "doc_id", pred.alias("pred_lang"), best.cast("int").alias("marker_hits")
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features and a
+    combined 0-1 score (larger = likelier natural prose)."""
+    q = _quality_exprs()
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in q.items()]
     )
 
 
@@ -97,20 +108,28 @@ def corpus_filter(docs: DataFrame, min_words: int = 8,
     reason (dedup > lang > short > punct > quality — the audit trail a
     training-data pipeline stores next to the corpus).
 
-    Shape at 100 TB: three codegen projections over one pruned scan + one
-    window over the fingerprint hash (no full-row shuffle — only
-    (fingerprint, doc_id) drive the partitioning)."""
+    Shape at 100 TB: ONE pruned scan — every feature (quality, language,
+    fingerprint) is a codegen expression in a single projection; the only
+    exchange is the (fingerprint, doc_id) window for dedup canonicality.
+    Joining the separate stats operators instead would re-read the corpus
+    three times."""
     from pyspark.sql import Window
 
-    q = quality_score(docs)
-    lg = lang_id(docs)
-    fp = fingerprint(docs)
+    q = _quality_exprs()
+    pred, _best = _lang_pred_expr()
+    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+    feats = docs.select(
+        "doc_id",
+        q["n_words"].alias("n_words"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["quality"].alias("quality"),
+        pred.alias("pred_lang"),
+        F.md5(norm).alias("fingerprint"),
+    )
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    canon = fp.withColumn("_rn", F.row_number().over(w)).select(
-        "doc_id", (F.col("_rn") == 1).alias("is_canonical"))
-    j = (q.join(lg, "doc_id").join(canon, "doc_id"))
+    j = feats.withColumn("_rn", F.row_number().over(w))
     reason = (
-        F.when(~F.col("is_canonical"), F.lit("duplicate"))
+        F.when(F.col("_rn") > 1, F.lit("duplicate"))
         .when(F.col("pred_lang") != lang, F.lit("lang"))
         .when(F.col("n_words") < min_words, F.lit("too_short"))
         .when(F.col("punct_ratio") > max_punct_ratio, F.lit("punct"))
