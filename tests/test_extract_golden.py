@@ -174,3 +174,17 @@ def test_benchmark_facade(spark, fx_smoke):
     summary = bench.save_benchmark_summary(res["judged"])
     rows = {r.kind: r.avg_score for r in summary.collect()}
     assert all(v == 10.0 for v in rows.values())
+
+
+def test_extraction_partition_invariant(spark, fx_smoke):
+    """Span output must be EXACTLY the same set at any partitioning —
+    no kernel may depend on batch boundaries or partition order (the
+    property that makes local results transfer to a 1000-executor run)."""
+    md = spark.read.parquet(str(fx_smoke / "parsed_markdown.parquet"))
+    from pdf_parse_bench_spark.operators.extract import extract_spans
+    a = extract_spans(md.repartition(2), boilerplate=frozenset(),
+                      rebalance=False)
+    b = extract_spans(md.repartition(17), boilerplate=frozenset(),
+                      rebalance=False)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
