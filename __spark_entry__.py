@@ -302,6 +302,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ts.token_counts(_t(s, d, "documents")), ws_tokens="long", regex_tokens="long")
     q["fingerprint"] = lambda s, d: ts.fingerprint(_t(s, d, "documents"))
     q["corpus_filter"] = lambda s, d: ts.corpus_filter(_t(s, d, "documents"))
+    q["vocab_stats"] = lambda s, d: (
+        ts.vocab_stats(_t(s, d, "documents"))
+        .select("word", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"),
+                F.col("rank").cast("long").alias("rank"))
+    )
 
     # ---- relational / events ----
     def tpch_q1(s, d):
@@ -881,6 +887,15 @@ def oracle_sql() -> dict[str, str]:
     o["fingerprint"] = (
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) "
         "AS fingerprint FROM documents"
+    )
+    o["vocab_stats"] = (
+        f"WITH {_WORDS_CTE}, "
+        "u AS (SELECT doc_id, unnest(w) AS word FROM words), "
+        "agg AS (SELECT word, CAST(count(*) AS BIGINT) AS tf, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM u GROUP BY word) "
+        "SELECT word, tf, df, rank FROM ("
+        "SELECT *, CAST(row_number() OVER (ORDER BY tf DESC, word) AS BIGINT) "
+        "AS rank FROM agg) WHERE rank <= 100"
     )
     # corpus_filter: the composed C4-style cleaning pass — quality + lang +
     # fingerprint-canonical dedup, first failing rule wins

@@ -151,6 +151,28 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def vocab_stats(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary statistics: top-k words by total term frequency
+    (ties broken lexically) with document frequency — the vocab-coverage
+    report a tokenizer-training pipeline runs first. One explode + one
+    groupBy (map-side partial TF and DF; distinct-per-doc handled by
+    counting distinct doc_ids), then a global top-k via window over the
+    tiny aggregated vocab."""
+    from pyspark.sql import Window
+
+    w = docs.select("doc_id", F.explode(_words()).alias("word"))
+    agg = w.groupBy("word").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    win = Window.orderBy(F.desc("tf"), F.asc("word"))
+    return (
+        agg.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("word", "tf", "df", "rank")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of case/punctuation-normalized text (the
     relational stand-in for a rolling hash; identical expression in the
