@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v17"  # bump to force regeneration
+FIXTURE_VERSION = "v18"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -842,6 +842,10 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
                        + _DECO3_STREAM + " ET")
             golden_lines.append(_DECO3_TEXT)
             y0 -= 20.0
+        elif deco_draw < 0.75:  # deco via Form XObject (Do recursion)
+            ops.append("/FmL Do" if letter else "/FmA Do")
+            golden_lines.append(_DECO_TEXT)
+            y0 -= 20.0
         for x, col_lines in cols:
             ops.extend(_emit_column(x, y0, col_lines, rng))
         golden_lines.extend(ln for _, cl in cols for ln in cl)
@@ -866,7 +870,8 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
         if pos >= len(lines):
             break
 
-    # objects: 1=Catalog 2=Pages 3=F1 4=F2 5=F3 6=CMap 7=F4 8=CIDCMap,
+    # objects: 1=Catalog 2=Pages 3=F1 4=F2 5=F3 6=CMap 7=F4 8=CIDCMap
+    # 9=FormA4 10=FormLetter,
     # then per page:
     # streams, page dict. MediaBox + Resources live on the Pages node
     # (inheritance path); Letter pages override MediaBox locally.
@@ -886,6 +891,14 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
         b"<< /Length %d >>\nstream\n%s\nendstream"
         % (len(_CID_CMAP), _CID_CMAP),
     ]
+    # Form XObjects carrying the F2 deco line (A4 / Letter top positions);
+    # no own /Resources — they inherit the page's (Do recursion, §8.10)
+    for ph in (842.0, 792.0):
+        form = (f"BT /F2 12 Tf 1 0 0 1 72.0 {ph - 72.0:.1f} Tm "
+                + _DECO_STREAM + " ET").encode("latin-1")
+        objs.append(
+            b"<< /Type /XObject /Subtype /Form /Length %d >>"
+            b"\nstream\n%s\nendstream" % (len(form), form))
     page_nums: list[int] = []
     for page in pages:
         snums = []
@@ -903,7 +916,7 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
     kids = b" ".join(b"%d 0 R" % n for n in page_nums)
     objs[1] = (b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 595 842] "
                b"/Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 5 0 R "
-               b"/F4 7 0 R >> >> >>"
+               b"/F4 7 0 R >> /XObject << /FmA 9 0 R /FmL 10 0 R >> >> >>"
                % (kids, len(page_nums)))
 
     # ~30% of docs ship in the PDF 1.5 modern layout (xref STREAM +

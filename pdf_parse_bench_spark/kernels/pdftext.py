@@ -550,7 +550,28 @@ class _PdfDoc:
                 page_h = float(self.resolve(media[3])) - float(self.resolve(media[1]))
             except (TypeError, ValueError):
                 pass
-        yield body, self._fonts(resources), page_w, page_h
+        yield (body, self._fonts(resources),
+               self._xobject_lookup(resources), page_w, page_h)
+
+    def _xobject_lookup(self, resources):
+        """Closure resolving a /XObject name to (body, fonts, sub_lookup)
+        for Form XObjects — the `Do` operator recursion (§8.10); forms
+        inherit the parent resources when they carry none."""
+        def lookup(name: str):
+            res = self.resolve(resources)
+            if not isinstance(res, dict):
+                return None
+            xo = self.resolve(res.get("XObject"))
+            if not isinstance(xo, dict):
+                return None
+            ref = xo.get(name)
+            d = self.resolve(ref)
+            if not isinstance(d, dict) or str(d.get("Subtype", "")) != "Form":
+                return None
+            body = self.stream_bytes(ref)
+            sub_res = d.get("Resources") or resources
+            return body, self._fonts(sub_res), self._xobject_lookup(sub_res)
+        return lookup
 
     # -- fonts / encodings ----------------------------------------------------
     def _fonts(self, resources) -> dict:
@@ -729,7 +750,7 @@ _CONTENT_TOKEN = re.compile(
 )
 
 
-def _page_runs(content: bytes, fonts: dict):
+def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
     """Interpret one page's content stream; return [(x, y_pdf, text), ...].
 
     Tracks the text line matrix translation across Tm/Td/TD/T* so one BT/ET
@@ -848,6 +869,14 @@ def _page_runs(content: bytes, fonts: dict):
                         if not buf:
                             buf_pos = (lx, ly)
                         buf.append(" ")
+            elif op == b"Do" and stack and isinstance(stack[-1], _Name):
+                # Form XObject: recurse with the form's own resources;
+                # text state does not leak across the boundary (§8.10)
+                if xobj_fn is not None and depth < 8:
+                    sub = xobj_fn(str(stack[-1]))
+                    if sub:
+                        runs.extend(_page_runs(sub[0], sub[1], sub[2],
+                                               depth + 1))
             elif op == b"BI":  # inline image: skip to EI
                 e = data.find(b"EI", i)
                 i = n if e < 0 else e + 2
@@ -901,8 +930,8 @@ def rasterize_pdf(pdf_bytes: bytes, dpi: int = 72):
         pages = list(doc.pages())
     except Exception:
         pages = []
-    for page_no, (body, fonts, page_w, page_h) in enumerate(pages):
-        runs = _page_runs(body, fonts) if body else []
+    for page_no, (body, fonts, xobj_fn, page_w, page_h) in enumerate(pages):
+        runs = _page_runs(body, fonts, xobj_fn) if body else []
         img = page_pixmap(runs, page_w or 595.0, page_h or PAGE_H, dpi)
         ink = float((img < 128).mean())
         yield (page_no, encode_png(img), img.shape[1], img.shape[0],
@@ -954,9 +983,10 @@ def extract_pdf_text(pdf_bytes: bytes) -> str:
     pages: list[str] = []
     try:
         doc = _PdfDoc(pdf_bytes)
-        for body, fonts, _page_w, page_h in doc.pages():
+        for body, fonts, xobj_fn, _page_w, page_h in doc.pages():
             if body:
-                pages.append(_runs_to_text(_page_runs(body, fonts), page_h))
+                pages.append(_runs_to_text(
+                    _page_runs(body, fonts, xobj_fn), page_h))
     except Exception:
         pages = []
     if not pages:

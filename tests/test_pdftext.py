@@ -218,6 +218,30 @@ def test_type0_identity_h_cid_font():
     assert extract_pdf_text(pdf) == "中文 doc 五"
 
 
+def test_form_xobject_do_recursion():
+    """Text inside Form XObjects must be extracted (Do operator recursion);
+    the form inherits page resources when it has none, and nested forms
+    work."""
+    inner = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (inner form text) Tj ET"
+    outer = (b"BT /F1 12 Tf 1 0 0 1 72 760 Tm (outer form text) Tj ET\n"
+             b"/Fm2 Do")
+    page = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (page text) Tj ET\n/Fm1 Do"
+    pdf = _mk_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 595 842] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> /XObject << /Fm1 6 0 R /Fm2 7 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(page), page),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /XObject /Subtype /Form /Length %d >>\nstream\n%s\nendstream"
+        % (len(outer), outer),
+        b"<< /Type /XObject /Subtype /Form /Length %d >>\nstream\n%s\nendstream"
+        % (len(inner), inner),
+    ])
+    # y-order: outer (760) > inner (720) > page (700)
+    assert extract_pdf_text(pdf) == "outer form text\ninner form text\npage text"
+
+
 def test_incremental_update_prev_chain():
     """An appended incremental update (new xref with /Prev to the old one)
     must win: the updated content stream replaces the original object."""
