@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sim.brute_force_topk(_t(s, d, "embeddings")), rank="long")
     q["ann_lsh"] = lambda s, d: _cast(
         sim.lsh_topk(_t(s, d, "embeddings")), rank="long")
+    q["ann_lsh_recall"] = lambda s, d: sim.lsh_recall(_t(s, d, "embeddings"))
 
     # ---- text analysis ----
     q["lang_id"] = lambda s, d: _cast(
@@ -849,6 +850,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
         "ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM scored) "
         "WHERE rank <= 10"
+    )
+
+    o["ann_lsh_recall"] = (
+        f"WITH {emb_cte8}, "
+        "q1 AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < 5), "
+        "se AS (SELECT q1.query_id, n.vec_id, "
+        "floor((list_dot_product(q1.qv, n.v) / (q1.qnorm * n.norm)) * 1000000 + 0.5) / 1000000 AS cosine "
+        "FROM n, q1 WHERE n.vec_id <> q1.query_id), "
+        "exact AS (SELECT query_id, vec_id FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, vec_id) AS rank FROM se) WHERE rank <= 10), "
+        "q2 AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, "
+        f"unnest([bucket, {probe_flips}]) AS bucket FROM n WHERE vec_id < 5), "
+        "sl AS (SELECT q2.query_id, n.vec_id, "
+        "floor((list_dot_product(q2.qv, n.v) / (q2.qnorm * n.norm)) * 1000000 + 0.5) / 1000000 AS cosine "
+        "FROM n JOIN q2 ON n.bucket = q2.bucket WHERE n.vec_id <> q2.query_id), "
+        "lsh AS (SELECT query_id, vec_id, 1 AS _hit FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, vec_id) AS rank FROM sl) WHERE rank <= 10) "
+        "SELECT e.query_id, "
+        "floor((CAST(sum(coalesce(l._hit, 0)) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS recall "
+        "FROM exact e LEFT JOIN lsh l ON e.query_id = l.query_id "
+        "AND e.vec_id = l.vec_id GROUP BY e.query_id"
     )
 
     # ---- text analysis ----

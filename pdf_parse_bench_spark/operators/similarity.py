@@ -94,6 +94,30 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFra
     )
 
 
+def lsh_recall(emb: DataFrame, n_queries: int = 5, k: int = 10,
+               n_planes: int = ANN_PLANES) -> DataFrame:
+    """Recall@k of the multi-probe LSH against exact brute force, per
+    query — the measurement that calibrates P (more planes = cheaper scans,
+    lower recall) before committing a bucket layout at corpus scale. Tiny
+    result; both inputs are the existing operators, joined on
+    (query_id, vec_id).
+
+    Measured on the synthetic 64-d corpus: P=8/radius-1 ≈ 0.1–0.3 recall at
+    3.5% scan fraction; a larger probe radius trades scan fraction back for
+    recall. The banded construction (dedup.embedding_near_dups) is the
+    high-recall shape for pair mining; bucketed multi-probe is the
+    low-latency shape for point lookups — this operator is how you pick."""
+    exact = brute_force_topk(emb, n_queries, k).select("query_id", "vec_id")
+    approx = lsh_topk(emb, n_queries, k, n_planes).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit"))
+    j = exact.join(approx, ["query_id", "vec_id"], "left")
+    return j.groupBy("query_id").agg(
+        round_half_up(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")
+        ).alias("recall")
+    )
+
+
 def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
              n_planes: int = ANN_PLANES) -> DataFrame:
     """Multi-probe sign-LSH ANN: each corpus vector hashes to one of 2^P
