@@ -1,0 +1,42 @@
+"""Never-crash fuzz: every parser kernel must degrade gracefully on
+arbitrary/corrupt input (X4 isolation starts at the kernel boundary — a
+raised exception inside an Arrow batch would fail a whole task)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_parse_bench_spark.kernels.htmldoc import parse_html
+from pdf_parse_bench_spark.kernels.markdown import parse_markdown
+from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_text, rasterize_pdf
+from pdf_parse_bench_spark.kernels.teidoc import parse_tei
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_pdf_never_raises_on_garbage(data):
+    out = extract_pdf_text(b"%PDF-1.4\n" + data)
+    assert isinstance(out, str)
+    for page in rasterize_pdf(b"%PDF-1.4\n" + data):
+        assert len(page) == 5
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_pdf_never_raises_on_corrupt_valid_prefix(data):
+    """A valid PDF with trailing corruption (truncated update) still parses
+    the intact part or returns empty — never raises."""
+    from tests.test_pdftext import _one_page
+    base = _one_page(b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (x) Tj ET")
+    out = extract_pdf_text(base + data)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=400))
+def test_markdown_html_tei_never_raise(text):
+    for fn in (parse_markdown, parse_html, parse_tei):
+        spans = fn(text)
+        assert isinstance(spans, list)
+        for s in spans:
+            assert set(s) == {"kind", "text", "media_ref", "offset"}
