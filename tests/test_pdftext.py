@@ -401,6 +401,31 @@ def test_lzw_decode_filter():
     assert extract_pdf_text(pdf2) == "lzw text"
 
 
+def test_hybrid_xref_chain_classic_plus_stream_update():
+    """Incremental update whose xref is a STREAM (/Prev pointing at the
+    original classic table, W=[1,2,1] default-ish widths) — the chain mixes
+    both xref flavors, newest entry wins."""
+    import zlib
+    base = _one_page(b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (v1 text) Tj ET")
+    old_xref_at = base.index(b"xref")
+    s2 = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (v2 text) Tj ET"
+    out = bytearray(base)
+    new_obj_at = len(out)
+    out += (b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            % (len(s2), s2))
+    # xref stream covering only object 4 (Index [4 1]) + itself (obj 8)
+    rows = (bytes([1]) + new_obj_at.to_bytes(2, "big") + bytes([0]))
+    xref_at = len(out)
+    rows2 = bytes([1]) + xref_at.to_bytes(2, "big") + bytes([0])
+    xdata = zlib.compress(rows + rows2)
+    out += (b"8 0 obj\n<< /Type /XRef /Size 9 /W [1 2 1] /Index [4 1 8 1]"
+            b" /Root 1 0 R /Prev %d /Filter /FlateDecode /Length %d >>"
+            b"\nstream\n%s\nendstream\nendobj\n"
+            % (old_xref_at, len(xdata), xdata))
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    assert extract_pdf_text(bytes(out)) == "v2 text"
+
+
 def test_garbage_returns_empty():
     assert extract_pdf_text(b"%PDF-1.4\nnot a real pdf") == ""
     assert extract_pdf_text(b"") == ""
