@@ -9,8 +9,12 @@ Scale notes (100 TB): exact dedup is one hash-shuffle with map-side partial
 aggregation; MinHash/LSH shuffles only (band_key, doc_id) pairs — K=16
 signatures, 4 bands × 4 rows — then self-joins *within* band buckets, so the
 candidate join never goes quadratic in the corpus; verification runs only on
-candidate pairs. SimHash emits one 16-bit signature per doc (fingerprint
-join/grouping downstream is trivial).
+candidate pairs. SimHash comes in two sizes: the 16-bit demo signature
+(simhash_signatures) and the production 64-bit form (simhash64_blocks /
+simhash_near_dups) whose Hamming-neighbor search uses block-equality
+banding. Embedding near-dups band random projections the same way, and
+dedup_clusters closes the pair graph into components without leaving the
+DataFrame API.
 """
 
 from __future__ import annotations
