@@ -133,11 +133,13 @@ def _burn_worker(args):
     return c
 
 
-def hardware_ceiling(levels: list[int]) -> dict[int, float]:
-    """docs/sec of a pure multiprocessing burn of the SAME kernel at each
-    process count. The N→4N ratio of these numbers is what the shared box
-    physically permits (all-core turbo downclock + SMT sharing) — the
-    engine's scaling efficiency is reported raw AND normalized to this."""
+def _burn_level(procs: int) -> float:
+    """docs/sec of a pure multiprocessing burn of the SAME kernel at one
+    process count (best of 2). The N→4N ratio of these numbers is what the
+    shared box physically permits (all-core turbo downclock + SMT sharing)
+    — the engine's scaling efficiency is reported raw AND normalized to
+    this. Called immediately after the matching Spark level so both see
+    the same box state (neighbor load swings both equally)."""
     import multiprocessing as mp
     import pyarrow.parquet as pq
     import __spark_entry__ as entry
@@ -146,20 +148,21 @@ def hardware_ceiling(levels: list[int]) -> dict[int, float]:
     t = pq.read_table(str(fx_dir / "parsed_markdown.parquet"),
                       columns=["markdown"])
     mds = t.column("markdown").to_pylist()[:1250]
-    out = {}
-    for procs in levels:
-        n_iter = max(2, 16 // max(1, procs // 8))  # ~2s+ per level
+    n_iter = max(2, 16 // max(1, procs // 8))  # ~2s+ per level
+    best = 0.0
+    for _ in range(2):
         with mp.Pool(procs) as p:
             t0 = time.time()
             p.map(_burn_worker, [(mds, n_iter)] * procs)
             dt = time.time() - t0
-        out[procs] = procs * len(mds) * n_iter / dt
-    return out
+        best = max(best, procs * len(mds) * n_iter / dt)
+    return best
 
 
 def run_scaling(pairs: list[tuple[int, int]]) -> list[dict]:
     levels = sorted({c for p in pairs for c in p})
     out = {}
+    ceil = {}
     for cores in levels:
         r = subprocess.run(
             [sys.executable, __file__, "--scale-worker", str(cores)],
@@ -167,7 +170,7 @@ def run_scaling(pairs: list[tuple[int, int]]) -> list[dict]:
         )
         line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
         out[cores] = json.loads(line)
-    ceil = hardware_ceiling(levels)
+        ceil[cores] = _burn_level(cores)  # same box state as the level
     results = []
     for n_small, n_big in pairs:
         thr_small = out[n_small]["docs"] / out[n_small]["sec"]
