@@ -2,7 +2,7 @@
 run queries() on Spark and oracle_sql() on DuckDB over sf0.01, compare
 row count + sorted column names + order-insensitive values.
 
-The full 39-query sweep lives in tools/check_parity.py; this test pins a
+The full 57-query sweep lives in tools/check_parity.py; this test pins a
 representative subset per operator family so `pytest -x -q` stays fast.
 """
 
@@ -35,6 +35,18 @@ SUBSET = [
     "quality_score",
     "tpch_q1",
     "sessionize_events",
+    # round-2 families
+    "tei_spans",            # TEI walker vs golden
+    "decode_media",         # real PNG decode vs pinned stats
+    "page_raster_stats",    # M5 rasterizer vs pinned stats
+    "extracted_complexity_cube",
+    "page_assembly_refs",   # M10 substitution
+    "simhash_near_dups",    # 64-bit Hamming banding
+    "embedding_near_dups",  # banded random projections
+    "ann_lsh",              # multi-probe buckets
+    "dedup_clusters",       # connected components vs recursive CTE
+    "corpus_filter",        # composed cleaning pass
+    "vocab_stats",
 ]
 
 
