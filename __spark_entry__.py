@@ -303,6 +303,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ts.token_counts(_t(s, d, "documents")), ws_tokens="long", regex_tokens="long")
     q["fingerprint"] = lambda s, d: ts.fingerprint(_t(s, d, "documents"))
     q["corpus_filter"] = lambda s, d: ts.corpus_filter(_t(s, d, "documents"))
+    q["tfidf_top_terms"] = lambda s, d: (
+        ts.tfidf_top_terms(_t(s, d, "documents"))
+        .select("doc_id", "word", "tfidf",
+                F.col("rank").cast("long").alias("rank"))
+    )
     q["vocab_stats"] = lambda s, d: (
         ts.vocab_stats(_t(s, d, "documents"))
         .select("word", F.col("tf").cast("long").alias("tf"),
@@ -911,6 +916,20 @@ def oracle_sql() -> dict[str, str]:
     o["fingerprint"] = (
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) "
         "AS fingerprint FROM documents"
+    )
+    o["tfidf_top_terms"] = (
+        f"WITH {_WORDS_CTE}, "
+        "u AS (SELECT doc_id, unnest(w) AS word FROM words), "
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM u GROUP BY doc_id, word), "
+        "dfr AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
+        "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), "
+        "scored AS (SELECT tf.doc_id, tf.word, "
+        "floor((tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfr.df)) * 1000000 + 0.5) / 1000000 AS tfidf "
+        "FROM tf JOIN dfr ON tf.word = dfr.word CROSS JOIN nd) "
+        "SELECT doc_id, word, tfidf, rank FROM ("
+        "SELECT *, CAST(row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY tfidf DESC, word) AS BIGINT) AS rank FROM scored) "
+        "WHERE rank <= 3"
     )
     o["vocab_stats"] = (
         f"WITH {_WORDS_CTE}, "

@@ -173,6 +173,31 @@ def vocab_stats(docs: DataFrame, k: int = 100) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-doc top-k terms by tf·idf (idf = ln(N/df)), rounded to 6 dp
+    before ranking so ordering is engine-portable; ties break lexically.
+    Shape: one explode + two aggregations; df and the corpus count are
+    tiny aggregates broadcast back onto the (doc, word) tf table."""
+    from pyspark.sql import Window
+
+    w = docs.select("doc_id", F.explode(_words()).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", round_half_up(
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df"))))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "word", "tfidf", "rank")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of case/punctuation-normalized text (the
     relational stand-in for a rolling hash; identical expression in the
