@@ -690,7 +690,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["decode_media"] = (
         'SELECT doc_id, "offset", media_ref, width, height, channels, '
-        "n_bytes, mean_intensity "
+        "n_bytes, mean_intensity, status "
         f"FROM '{ORACLE_FX}/golden_media_stats.parquet'"
     )
     o["media_features"] = (

@@ -110,8 +110,9 @@ def scale_worker(cores: int) -> None:
 
         md = spark.read.parquet(corpus)
         n_docs = md.count()
+        runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
         best = float("inf")
-        for _ in range(3):
+        for _ in range(runs):
             t0 = time.time()
             extract_spans(md, boilerplate=frozenset(), rebalance=False,
                           engine=engine).count()
@@ -159,35 +160,62 @@ def _burn_level(procs: int) -> float:
     return best
 
 
-def run_scaling(pairs: list[tuple[int, int]]) -> list[dict]:
+def _stats(xs: list[float]) -> dict:
+    s = sorted(xs)
+    n = len(s)
+    med = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return {"min": round(s[0], 3), "median": round(med, 3),
+            "max": round(s[-1], 3)}
+
+
+def run_scaling(pairs: list[tuple[int, int]],
+                repeats: int | None = None) -> list[dict]:
+    """Measure each (N, 4N) pair `repeats` times IN ONE INVOCATION and
+    report the distribution (min/median/max) of raw efficiency and of the
+    engine/ceiling ratio — the committed artifact, not a single lucky run,
+    is the evidence for the >=0.8 north rule. Each repeat runs the Spark
+    level and its pure-python burn back-to-back so shared-box load swings
+    hit both equally; the ratio is reported RAW (a value > 1.0 flags
+    box-state drift between the level and its burn rather than being
+    clamped invisible)."""
+    if repeats is None:
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
     levels = sorted({c for p in pairs for c in p})
-    out = {}
-    ceil = {}
-    for cores in levels:
-        r = subprocess.run(
-            [sys.executable, __file__, "--scale-worker", str(cores)],
-            capture_output=True, text=True, timeout=1200,
-        )
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-        out[cores] = json.loads(line)
-        ceil[cores] = _burn_level(cores)  # same box state as the level
+    thr: dict[int, list[float]] = {c: [] for c in levels}
+    burn: dict[int, list[float]] = {c: [] for c in levels}
+    for _ in range(repeats):
+        for cores in levels:
+            r = subprocess.run(
+                [sys.executable, __file__, "--scale-worker", str(cores)],
+                capture_output=True, text=True, timeout=1200,
+            )
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            d = json.loads(line)
+            thr[cores].append(d["docs"] / d["sec"])
+            burn[cores].append(_burn_level(cores))  # same box state
     results = []
     for n_small, n_big in pairs:
-        thr_small = out[n_small]["docs"] / out[n_small]["sec"]
-        thr_big = out[n_big]["docs"] / out[n_big]["sec"]
-        eff = thr_big / thr_small / (n_big / n_small)
-        ceil_eff = ceil[n_big] / ceil[n_small] / (n_big / n_small)
+        effs, ceffs, ratios = [], [], []
+        for i in range(repeats):
+            eff = thr[n_big][i] / thr[n_small][i] / (n_big / n_small)
+            ceff = burn[n_big][i] / burn[n_small][i] / (n_big / n_small)
+            effs.append(eff)
+            ceffs.append(ceff)
+            ratios.append(eff / ceff)
         results.append({
             "cores_small": n_small,
             "cores_big": n_big,
-            "docs_per_sec_small": round(thr_small, 2),
-            "docs_per_sec_big": round(thr_big, 2),
-            "speedup": round(thr_big / thr_small, 3),
-            "efficiency": round(eff, 3),
-            "hw_ceiling_efficiency": round(ceil_eff, 3),
-            "efficiency_vs_ceiling": round(min(1.0, eff / ceil_eff), 3),
-            "burn_docs_per_sec_small": round(ceil[n_small], 2),
-            "burn_docs_per_sec_big": round(ceil[n_big], 2),
+            "repeats": repeats,
+            "docs_per_sec_small": _stats(thr[n_small]),
+            "docs_per_sec_big": _stats(thr[n_big]),
+            "efficiency_raw": _stats(effs),
+            "hw_ceiling_efficiency": _stats(ceffs),
+            "efficiency_vs_ceiling_raw": _stats(ratios),
+            "efficiency_per_repeat": [round(x, 3) for x in effs],
+            "ceiling_per_repeat": [round(x, 3) for x in ceffs],
+            "ratio_per_repeat": [round(x, 3) for x in ratios],
+            "burn_docs_per_sec_small": _stats(burn[n_small]),
+            "burn_docs_per_sec_big": _stats(burn[n_big]),
         })
     return results
 

@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v18"  # bump to force regeneration
+FIXTURE_VERSION = "v20"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -154,8 +154,36 @@ def _mk_image_bytes(media_ref: str, doc_id: int) -> tuple[bytes, dict]:
         "channels": 1 if img.ndim == 2 else 3,
         "n_bytes": len(png),
         "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
+        "status": "ok",
     }
     return png, stats
+
+
+def _mk_jpeg_bytes(w: int, h: int, ch: int) -> bytes:
+    """Minimal well-formed JPEG header stream (SOI + JFIF APP0 + SOF0 + EOI)
+    carrying the given frame dimensions — enough for decode_media's
+    metadata_only path (kernels/jpeg.py reads only the SOF segment)."""
+    app0 = (b"\xff\xe0" + (16).to_bytes(2, "big")
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ch))
+    sof0 = (b"\xff\xc0" + (8 + 3 * ch).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ch])
+            + comps)
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _placeholder_stats(n_bytes: int) -> dict:
+    """Golden stats of decode_media's deterministic error-placeholder
+    (64x64 mid-gray, 1px black border), computed INDEPENDENTLY from the
+    spec arithmetic — 62*62 interior pixels at 128, border at 0 — not by
+    calling the operator."""
+    side, interior = 64, 62
+    mean = 128.0 * interior * interior / (side * side) / 255.0
+    return {
+        "width": side, "height": side, "channels": 1, "n_bytes": n_bytes,
+        "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
+        "status": "decode_error",
+    }
 
 
 _KIND_CODES = ("text", "inline-formula", "display-formula", "table", "image")
@@ -688,36 +716,68 @@ def _tj_line(ln: str, rng) -> str:
     return "[" + " ".join(els) + "] TJ"
 
 
-def _emit_column(x: float, y0: float, col_lines: list[str], rng) -> list[str]:
-    """Emit one column's text ops in one of five content-stream dialects."""
+def _wrap_to_width(lines: list[str], size: float, max_w: float) -> list[str]:
+    """Greedy word-wrap so no emitted line's glyph box (0.5·size·len pt, the
+    extractor's advance model) overflows the column width — real typesetting
+    never crosses the gutter, so the fixture must not either."""
+    max_chars = max(8, int(max_w / (0.5 * size)))
+    out: list[str] = []
+    for ln in lines:
+        if len(ln) <= max_chars:
+            out.append(ln)
+            continue
+        cur: list[str] = []
+        cur_len = 0
+        for word in ln.split(" "):
+            add = len(word) + (1 if cur else 0)
+            if cur and cur_len + add > max_chars:
+                out.append(" ".join(cur))
+                cur, cur_len = [word], len(word)
+            else:
+                cur.append(word)
+                cur_len += add
+        if cur:
+            out.append(" ".join(cur))
+    return out
+
+
+def _emit_column(x: float, y0: float, col_lines: list[str], rng,
+                 size: float = 12.0,
+                 max_w: float = 460.0) -> tuple[list[str], list[str]]:
+    """Emit one column's text ops in one of five content-stream dialects at
+    the given font size, word-wrapped to the column width. Returns
+    (ops, emitted_lines) — emitted_lines is what the extractor should yield
+    (wrap included), the golden for this column."""
+    col_lines = _wrap_to_width(col_lines, size, max_w)
     if not col_lines:
-        return []
+        return [], []
+    lead = size + 2.0
     style = ("tm", "td", "tstar", "tj", "hex")[int(rng.integers(0, 5))]
     ops: list[str] = []
     if style == "tm":  # one BT/ET per line, absolute Tm positioning
         y = y0
         for ln in col_lines:
-            ops.append(f"BT /F1 12 Tf 1 0 0 1 {x:.1f} {y:.1f} Tm "
+            ops.append(f"BT /F1 {size:g} Tf 1 0 0 1 {x:.1f} {y:.1f} Tm "
                        f"({_pdf_escape(ln, rng)}) Tj ET")
-            y -= 14.0
+            y -= lead
     elif style == "td":  # single BT, relative Td/TD line moves
-        body = [f"BT /F1 12 Tf 1 0 0 1 {x:.1f} {y0:.1f} Tm "
+        body = [f"BT /F1 {size:g} Tf 1 0 0 1 {x:.1f} {y0:.1f} Tm "
                 f"({_pdf_escape(col_lines[0], rng)}) Tj"]
         for j, ln in enumerate(col_lines[1:]):
-            mv = "0 -14 TD" if j == 0 else "0 -14 Td"
+            mv = f"0 -{lead:g} TD" if j == 0 else f"0 -{lead:g} Td"
             body.append(f"{mv} ({_pdf_escape(ln, rng)}) Tj")
         ops.append(" ".join(body) + " ET")
     elif style == "tstar":  # TL leading + T*/' next-line shows
-        body = [f"BT /F1 12 Tf 14 TL 1 0 0 1 {x:.1f} {y0:.1f} Tm "
+        body = [f"BT /F1 {size:g} Tf {lead:g} TL 1 0 0 1 {x:.1f} {y0:.1f} Tm "
                 f"({_pdf_escape(col_lines[0], rng)}) Tj"]
         for ln in col_lines[1:]:
             body.append(f"({_pdf_escape(ln, rng)}) '")
         ops.append(" ".join(body) + " ET")
     elif style == "tj":  # TJ arrays with kerning + hex chunks
-        body = [f"BT /F1 12 Tf 1 0 0 1 {x:.1f} {y0:.1f} Tm "
+        body = [f"BT /F1 {size:g} Tf 1 0 0 1 {x:.1f} {y0:.1f} Tm "
                 + _tj_line(col_lines[0], rng)]
         for ln in col_lines[1:]:
-            body.append("0 -14 Td " + _tj_line(ln, rng))
+            body.append(f"0 -{lead:g} Td " + _tj_line(ln, rng))
         ops.append(" ".join(body) + " ET")
     else:  # hex strings via Tj
         y = y0
@@ -726,9 +786,10 @@ def _emit_column(x: float, y0: float, col_lines: list[str], rng) -> list[str]:
                 shown = "<" + ln.encode("latin-1").hex() + ">"
             else:
                 shown = "(" + _pdf_escape(ln, rng) + ")"
-            ops.append(f"BT /F1 12 Tf 1 0 0 1 {x:.1f} {y:.1f} Tm {shown} Tj ET")
-            y -= 14.0
-    return ops
+            ops.append(f"BT /F1 {size:g} Tf 1 0 0 1 {x:.1f} {y:.1f} Tm "
+                       f"{shown} Tj ET")
+            y -= lead
+    return ops, col_lines
 
 
 def _assemble_modern_pdf(objs: list[bytes], use_predictor: bool) -> bytes:
@@ -816,16 +877,24 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
         two_col = bool(rng.random() < 0.4)
         letter = bool(rng.random() < 0.25)
         deco_draw = float(rng.random())
+        # per-page font size variation: run geometry (width/height) must be
+        # derived from the ACTIVE size, not a fixture constant — the
+        # extractor's XY-cut sees 10pt and 12pt pages alike
+        size = 10.0 if rng.random() < 0.3 else 12.0
         page_h = 792.0 if letter else 842.0
+        page_w = 612.0 if letter else 595.0
         y0 = page_h - 72.0
         per_page = 100 if two_col else 50
         page_lines = lines[pos:pos + per_page]
         pos += per_page
         if two_col and len(page_lines) >= 6:
             half = (len(page_lines) + 1) // 2
-            cols = [(72.0, page_lines[:half]), (310.0, page_lines[half:])]
+            # gutter at [300, 310): column width bounds keep every wrapped
+            # run's glyph box clear of the other column
+            cols = [(72.0, page_lines[:half], 228.0),
+                    (310.0, page_lines[half:], page_w - 310.0 - 62.0)]
         else:
-            cols = [(72.0, page_lines)]
+            cols = [(72.0, page_lines, page_w - 144.0)]
         ops: list[str] = []
         if deco_draw < 0.3:  # /Differences-encoded chrome line (F2)
             ops.append(f"BT /F2 12 Tf 1 0 0 1 72.0 {y0:.1f} Tm "
@@ -846,9 +915,11 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
             ops.append("/FmL Do" if letter else "/FmA Do")
             golden_lines.append(_DECO_TEXT)
             y0 -= 20.0
-        for x, col_lines in cols:
-            ops.extend(_emit_column(x, y0, col_lines, rng))
-        golden_lines.extend(ln for _, cl in cols for ln in cl)
+        for x, col_lines, max_w in cols:
+            col_ops, emitted = _emit_column(x, y0, col_lines, rng,
+                                            size=size, max_w=max_w)
+            ops.extend(col_ops)
+            golden_lines.extend(emitted)
 
         if len(ops) > 2 and rng.random() < 0.3:  # /Contents array path
             cut = len(ops) // 2
@@ -1079,6 +1150,29 @@ def ensure_fixtures(sf_dir: str) -> Path:
                 media_stats_rows.append({"doc_id": doc_id,
                                          "offset": s["offset"],
                                          "media_ref": s["media_ref"], **stats})
+        # mixed-format + corrupted media rows (media_files-only, not spans):
+        # JPEGs exercise the SOF metadata path, corrupt payloads the
+        # deterministic error-placeholder contract (formula_renderer.py's
+        # error-image fallback analog)
+        if did % 3 == 0:
+            jw, jh, jch = 100 + did % 900, 80 + did % 700, 3 if did % 2 else 1
+            jpg = _mk_jpeg_bytes(jw, jh, jch)
+            ref = f"fig_{did}.jpg"
+            media_rows.append({"doc_id": doc_id, "offset": 1000,
+                               "media_ref": ref, "media_bytes": jpg})
+            media_stats_rows.append({
+                "doc_id": doc_id, "offset": 1000, "media_ref": ref,
+                "width": jw, "height": jh, "channels": jch,
+                "n_bytes": len(jpg), "mean_intensity": None,
+                "status": "metadata_only"})
+        if did % 7 == 0:
+            junk = bytes((did * 31 + k * 17) % 256 for k in range(40))
+            ref = f"corrupt_{did}.bin"
+            media_rows.append({"doc_id": doc_id, "offset": 1001,
+                               "media_ref": ref, "media_bytes": junk})
+            media_stats_rows.append({"doc_id": doc_id, "offset": 1001,
+                                     "media_ref": ref,
+                                     **_placeholder_stats(len(junk))})
 
     def _write(name: str, rows: list[dict], schema: pa.Schema):
         tbl = pa.Table.from_pylist(rows, schema=schema)
@@ -1125,7 +1219,8 @@ def ensure_fixtures(sf_dir: str) -> Path:
            pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
                       ("media_ref", pa.string()), ("width", pa.int32()),
                       ("height", pa.int32()), ("channels", pa.int32()),
-                      ("n_bytes", pa.int64()), ("mean_intensity", pa.float64())]))
+                      ("n_bytes", pa.int64()), ("mean_intensity", pa.float64()),
+                      ("status", pa.string())]))
     _write("markdown_with_refs.parquet", md_refs_rows,
            pa.schema([("doc_id", pa.string()), ("markdown", pa.string())]))
     _write("doc_tables.parquet", table_rows,

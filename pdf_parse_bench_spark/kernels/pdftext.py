@@ -285,6 +285,7 @@ class _PdfDoc:
         self.trailer: dict = {}
         self.offsets: dict[int, int] = {}
         self.in_objstm: dict[int, tuple[int, int]] = {}  # num -> (stm, idx)
+        self._freed: set[int] = set()  # free ('f'/type-0) entries, newest-wins
         self._cache: dict[int, tuple] = {}
         self._objstm_cache: dict[int, list] = {}
         try:
@@ -337,8 +338,16 @@ class _PdfDoc:
                 em = _XREF_ENTRY_RE.match(data, i)
                 if not em:
                     raise ValueError("bad xref entry")
-                if em.group(3) == b"n":
-                    self.offsets.setdefault(start + k, int(em.group(1)))
+                num = start + k
+                if self._xref_unseen(num):
+                    # a free ('f') entry in a NEWER update shadows older
+                    # in-use entries in the /Prev chain: the object was
+                    # deleted by an incremental update and must not
+                    # resurrect from an earlier xref section
+                    if em.group(3) == b"n":
+                        self.offsets[num] = int(em.group(1))
+                    else:
+                        self._freed.add(num)
                 i = em.end()
 
     def _load_xref_stream(self, i: int) -> int | None:
@@ -385,14 +394,23 @@ class _PdfDoc:
                 f2 = field(e, w[0], w[1], 0)
                 f3 = field(e, w[0] + w[1], w[2], 0)
                 num = start + k
-                if etype == 1:
-                    self.offsets.setdefault(num, f2)
-                elif etype == 2:
-                    self.in_objstm.setdefault(num, (f2, f3))
+                if self._xref_unseen(num):
+                    if etype == 1:
+                        self.offsets[num] = f2
+                    elif etype == 2:
+                        self.in_objstm[num] = (f2, f3)
+                    else:  # type 0 = free: shadow older /Prev entries
+                        self._freed.add(num)
         for k, v in d.items():
             self.trailer.setdefault(k, v)
         prev = d.get("Prev")
         return int(prev) if isinstance(prev, (int, float)) else None
+
+    def _xref_unseen(self, num: int) -> bool:
+        """True iff no NEWER xref section (the chain walks newest→oldest)
+        has already claimed object `num` — in-use, compressed, or freed."""
+        return (num not in self.offsets and num not in self.in_objstm
+                and num not in self._freed)
 
     def _scan_objects(self) -> None:
         for m in _OBJ_HDR_RE.finditer(self.data):
@@ -614,7 +632,8 @@ class _PdfDoc:
             if isinstance(item, (int, float)):
                 code = int(item)
             elif isinstance(item, _Name) and 0 <= code < 256:
-                table[code] = _GLYPHS.get(str(item), "�")
+                u = glyph_to_unicode(str(item))
+                table[code] = "�" if u is None else u
                 code += 1
         # /ToUnicode wins over /Encoding (pypdf precedence): the embedded-
         # font path real PDFs use for non-latin glyphs.
@@ -736,6 +755,161 @@ _GLYPHS: dict[str, str] = {
 _GLYPHS.update({c: c for c in
                 "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"})
 
+# Greek (AGL names) — the CM/LM math-italic fonts (CMMI/LMMathItalic) name
+# their glyphs with these; reference behavior = pypdf's AGL lookup
+# (parsers/pypdf/__main__.py:30-32 is the cheapest deterministic backend).
+_GLYPHS.update({
+    "alpha": "α", "beta": "β", "gamma": "γ", "delta": "δ", "epsilon": "ε",
+    "zeta": "ζ", "eta": "η", "theta": "θ", "iota": "ι", "kappa": "κ",
+    "lambda": "λ", "mu": "μ", "nu": "ν", "xi": "ξ", "omicron": "ο",
+    "pi": "π", "rho": "ρ", "sigma": "σ", "tau": "τ", "upsilon": "υ",
+    "phi": "φ", "chi": "χ", "psi": "ψ", "omega": "ω",
+    "Gamma": "Γ", "Delta": "Δ", "Theta": "Θ", "Lambda": "Λ", "Xi": "Ξ",
+    "Pi": "Π", "Sigma": "Σ", "Upsilon": "Υ", "Phi": "Φ", "Psi": "Ψ",
+    "Omega": "Ω",
+    # CM variant forms (AGL *1 names)
+    "theta1": "ϑ", "phi1": "ϕ", "pi1": "ϖ", "rho1": "ϱ", "sigma1": "ς",
+    "epsilon1": "ϵ",
+})
+
+# math operators / relations / arrows (CMSY / LMMathSymbols names)
+_GLYPHS.update({
+    "minus": "−", "periodcentered": "·", "dotmath": "⋅", "asteriskmath": "∗",
+    "prime": "′", "infinity": "∞", "element": "∈", "owner": "∋",
+    "notelement": "∉", "similar": "∼", "approxequal": "≈",
+    "lessequal": "≤", "greaterequal": "≥", "lessmuch": "≪",
+    "greatermuch": "≫", "equivalence": "≡", "congruent": "≅",
+    "notequal": "≠", "proportional": "∝", "perpendicular": "⊥",
+    "propersubset": "⊂", "propersuperset": "⊃", "reflexsubset": "⊆",
+    "reflexsuperset": "⊇", "union": "∪", "intersection": "∩",
+    "logicaland": "∧", "logicalor": "∨", "logicalnot": "¬",
+    "universal": "∀", "existential": "∃", "emptyset": "∅",
+    "partialdiff": "∂", "nabla": "∇", "gradient": "∇", "radical": "√",
+    "summation": "∑", "product": "∏", "coproduct": "∐", "integral": "∫",
+    "contintegral": "∮", "circleplus": "⊕", "circleminus": "⊖",
+    "circlemultiply": "⊗", "circledivide": "⊘", "circledot": "⊙",
+    "circlecopyrt": "○", "openbullet": "◦", "diamondmath": "⋄",
+    "arrowleft": "←", "arrowright": "→", "arrowup": "↑", "arrowdown": "↓",
+    "arrowboth": "↔", "arrowdblleft": "⇐", "arrowdblright": "⇒",
+    "arrowdblup": "⇑", "arrowdbldown": "⇓", "arrowdblboth": "⇔",
+    "angbracketleft": "⟨", "angbracketright": "⟩",
+    "bardbl": "∥", "negationslash": "̸", "vector": "⃗",
+    "turnstileleft": "⊢", "turnstileright": "⊣",
+    "follows": "≻", "precedes": "≺", "wreathproduct": "≀",
+    "aleph": "ℵ", "weierstrass": "℘", "lscript": "ℓ", "planckover2pi": "ℏ",
+    "vextendsingle": "|", "vextenddouble": "∥",
+    "dotlessi": "ı", "dotlessj": "ȷ", "tie": "͡",
+    # spacing accents (CMR /Differences use these names)
+    "circumflex": "ˆ", "tilde": "˜", "acute": "´", "grave": "`",
+    "dieresis": "¨", "macron": "¯", "breve": "˘", "caron": "ˇ",
+    "ring": "˚", "hungarumlaut": "˝", "cedilla": "¸", "dotaccent": "˙",
+    "ogonek": "˛", "acutecomb": "́", "gravecomb": "̀",
+    # CM wide-accent and geometry names (hatwide/tildewide resolve here
+    # through the size-suffix strip)
+    "hat": "ˆ", "check": "ˇ", "bar": "¯",
+    "triangle": "△", "triangleinv": "▽", "triangleleft": "◁",
+    "triangleright": "▷", "star": "⋆", "flat": "♭", "natural": "♮",
+    "sharp": "♯", "slurabove": "⌢", "slurbelow": "⌣",
+    "latticetop": "⊤", "unionmulti": "⊎", "unionsq": "⊔",
+    "intersectionsq": "⊓", "subsetsqequal": "⊑", "supersetsqequal": "⊒",
+    "mapsto": "↦", "mapstochar": "↦", "similarequal": "≃",
+    "Rfraktur": "ℜ", "Ifraktur": "ℑ",
+    "arrowhookleft": "↩", "arrowhookright": "↪",
+    "arrowlefttophalf": "↼", "arrowleftbothalf": "↽",
+    "arrowrighttophalf": "⇀", "arrowrightbothalf": "⇁",
+    "arrownortheast": "↗", "arrowsoutheast": "↘",
+    "arrownorthwest": "↖", "arrowsouthwest": "↙",
+})
+
+# accented-letter AGL names (Aacute, ecircumflex, ...) — built via
+# unicodedata.lookup so the table stays honest to the AGL
+_ACCENT_UNAMES = {
+    "acute": "ACUTE", "grave": "GRAVE", "circumflex": "CIRCUMFLEX",
+    "dieresis": "DIAERESIS", "tilde": "TILDE", "ring": "RING ABOVE",
+    "cedilla": "CEDILLA", "macron": "MACRON", "breve": "BREVE",
+    "caron": "CARON", "hungarumlaut": "DOUBLE ACUTE", "ogonek": "OGONEK",
+    "slash": "STROKE", "dotaccent": "DOT ABOVE",
+}
+
+# CMEX/LMMathExtension size-variant suffixes: parenleftbig, summationdisplay,
+# integraltext, bracketleft.size1 ... all map to the base glyph's codepoint
+_SIZE_SUFFIXES = ("bigg", "bigl", "bigr", "big", "Bigg", "Big", "BIG",
+                  "text", "display", "wider", "widest", "wide",
+                  "tp", "bt", "mid", "rt", "lft", "up", "dn", "ex")
+
+_GLYPH_CACHE: dict[str, str | None] = {}
+
+
+def glyph_to_unicode(name: str) -> str | None:
+    """Resolve a PostScript glyph name to text per the Adobe Glyph List
+    conventions (AGL specification: uniXXXX / uXXXX[XX] forms, ligature
+    underscores, '.'-suffixed variants) plus the CM/LM math-font families'
+    size-variant names — the lookup pypdf performs for the reference's
+    cheapest backend (parsers/pypdf/__main__.py:30-32). None if unknown."""
+    hit = _GLYPH_CACHE.get(name, "")
+    if hit != "":
+        return hit
+    out = _glyph_resolve(name)
+    _GLYPH_CACHE[name] = out
+    return out
+
+
+def _glyph_resolve(name: str) -> str | None:
+    if not name:
+        return None
+    v = _GLYPHS.get(name)
+    if v is not None:
+        return v
+    # AGL uniXXXX(XXXX)* — one char per 4 hex digits
+    if name.startswith("uni") and len(name) >= 7:
+        hexpart = name[3:]
+        if len(hexpart) % 4 == 0 and all(
+                c in "0123456789ABCDEFabcdef" for c in hexpart):
+            try:
+                return "".join(chr(int(hexpart[k:k + 4], 16))
+                               for k in range(0, len(hexpart), 4))
+            except ValueError:
+                return None
+    # AGL uXXXX / uXXXXX / uXXXXXX
+    if name.startswith("u") and 5 <= len(name) <= 7 and all(
+            c in "0123456789ABCDEFabcdef" for c in name[1:]):
+        try:
+            cp = int(name[1:], 16)
+            if cp <= 0x10FFFF:
+                return chr(cp)
+        except ValueError:
+            return None
+    # '.'-suffixed variant (summation.size1, u1D463.alt, uni007C.ex)
+    if "." in name:
+        return glyph_to_unicode(name.split(".", 1)[0])
+    # ligatures: explicit names and underscore-joined components
+    if name in ("fi", "fl", "ff", "ffi", "ffl"):
+        return name
+    if "_" in name:
+        parts = [glyph_to_unicode(p) for p in name.split("_")]
+        if all(p is not None for p in parts):
+            return "".join(parts)  # type: ignore[arg-type]
+        return None
+    # accented latin letter (Aacute, ecircumflex, ...)
+    if len(name) > 1 and name[0].isalpha() and name[1:].lower() in {
+            k.lower() for k in _ACCENT_UNAMES}:
+        import unicodedata
+        accent = _ACCENT_UNAMES.get(name[1:]) or _ACCENT_UNAMES.get(
+            name[1:].lower())
+        case = "CAPITAL" if name[0].isupper() else "SMALL"
+        try:
+            return unicodedata.lookup(
+                f"LATIN {case} LETTER {name[0].upper()} WITH {accent}")
+        except KeyError:
+            return None
+    # CMEX size variants: strip the longest matching suffix, retry the base
+    for suf in _SIZE_SUFFIXES:
+        if name.endswith(suf) and len(name) > len(suf):
+            base = glyph_to_unicode(name[:-len(suf)])
+            if base is not None:
+                return base
+    return None
+
 
 # ---------------------------------------------------------------------------
 # Content-stream interpreter
@@ -751,33 +925,49 @@ _CONTENT_TOKEN = re.compile(
 
 
 def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
-    """Interpret one page's content stream; return [(x, y_pdf, text), ...].
+    """Interpret one page's content stream; return
+    [(x, y_pdf, width_pt, height_pt, text), ...].
 
     Tracks the text line matrix translation across Tm/Td/TD/T* so one BT/ET
     block with many show ops produces one run per text line (matching pypdf's
-    per-line extraction, parsers/pypdf/__main__.py:30-32). Rotation/scale in
-    Tm is ignored for layout (translation component only)."""
-    runs: list[tuple[float, float, str]] = []
+    per-line extraction, parsers/pypdf/__main__.py:30-32). Run GEOMETRY is
+    real, not a fixture constant: the active font size from ``Tf`` (times
+    the ``Tm`` scale) gives the run height, and width accrues at
+    0.5·size·len per shown string (the CM/LM average advance) — so the
+    XY-cut over these boxes keeps two-column math PDFs column-major instead
+    of fragmenting formula runs across the gutter. Rotation in Tm is
+    ignored for layout (translation + axis scale only)."""
+    runs: list[tuple[float, float, float, float, str]] = []
     stack: list = []
     lx = ly = 0.0
     leading = 0.0
     cur_font = _DEFAULT_DECODER
+    cur_size = 12.0
+    tm_a = tm_d = 1.0  # Tm axis scale (text space -> user space)
     buf: list[str] = []
     buf_pos = (0.0, 0.0)
+    buf_w = 0.0
+    buf_h = 0.0
 
     def flush():
-        nonlocal buf
+        nonlocal buf, buf_w, buf_h
         if buf:
             text = "".join(buf)
             if text:
-                runs.append((buf_pos[0], buf_pos[1], text))
+                runs.append((buf_pos[0], buf_pos[1],
+                             buf_w, buf_h or cur_size * tm_d, text))
             buf = []
+            buf_w = 0.0
+            buf_h = 0.0
 
     def show(raw: bytes):
-        nonlocal buf_pos
+        nonlocal buf_pos, buf_w, buf_h
         if not buf:
             buf_pos = (lx, ly)
-        buf.append(cur_font(raw))
+        s = cur_font(raw)
+        buf.append(s)
+        buf_w += 0.5 * cur_size * tm_a * len(s)
+        buf_h = max(buf_h, cur_size * tm_d)
 
     def move(tx: float, ty: float):
         nonlocal lx, ly
@@ -842,6 +1032,8 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
             elif op == b"Tm" and len(stack) >= 6:
                 flush()
                 lx, ly = float(stack[-2]), float(stack[-1])
+                tm_a = abs(float(stack[-6])) or 1.0
+                tm_d = abs(float(stack[-3])) or 1.0
             elif op == b"Td" and len(stack) >= 2:
                 move(float(stack[-2]), float(stack[-1]))
             elif op == b"TD" and len(stack) >= 2:
@@ -853,6 +1045,7 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
                 leading = float(stack[-1])
             elif op == b"Tf" and len(stack) >= 2 and isinstance(stack[-2], _Name):
                 cur_font = fonts.get(str(stack[-2]), _DEFAULT_DECODER)
+                cur_size = abs(float(stack[-1])) or cur_size
             elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
                 show(stack[-1])
             elif op == b"'" and stack and isinstance(stack[-1], bytes):
@@ -869,6 +1062,7 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
                         if not buf:
                             buf_pos = (lx, ly)
                         buf.append(" ")
+                        buf_w += 0.5 * cur_size * tm_a
             elif op == b"Do" and stack and isinstance(stack[-1], _Name):
                 # Form XObject: recurse with the form's own resources;
                 # text state does not leak across the boundary (§8.10)
@@ -887,14 +1081,19 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
     return runs
 
 
-def _runs_to_text(runs: list[tuple[float, float, str]], page_h: float) -> str:
+def _runs_to_text(runs: list[tuple[float, float, float, float, str]],
+                  page_h: float) -> str:
     if not runs:
         return ""
+    # top-left-origin boxes: the glyph box sits ABOVE the baseline (ascent
+    # ~= font size); width is the run's real accumulated advance, so the
+    # two-column gutter stays whitespace and the XY-cut splits on it
     bboxes = np.array(
-        [[x, page_h - y, x + _RUN_W, page_h - y + _LINE_H] for x, y, _ in runs]
+        [[x, page_h - y - (h or _LINE_H), x + (w or _RUN_W), page_h - y]
+         for x, y, w, h, _ in runs]
     )
     order = reading_order(bboxes)
-    return "\n".join(runs[i][2] for i in order)
+    return "\n".join(runs[i][4] for i in order)
 
 
 def page_pixmap(runs: list[tuple[float, float, str]], page_w: float,
@@ -908,13 +1107,14 @@ def page_pixmap(runs: list[tuple[float, float, str]], page_w: float,
     w_px = max(1, int(page_w * scale))
     h_px = max(1, int(page_h * scale))
     img = np.full((h_px, w_px), 255, dtype=np.uint8)
-    char_w = 6.0  # nominal advance width (pt) at the fixture's 12pt font
-    for x, y_pdf, text in runs:
+    for x, y_pdf, run_w, run_h, _text in runs:
+        run_w = run_w or _RUN_W
+        run_h = run_h or _LINE_H
         x0 = int(x * scale)
-        y_top = page_h - y_pdf - _LINE_H  # pdf y is bottom-up
+        y_top = page_h - y_pdf - run_h  # pdf y is bottom-up
         y0 = int(y_top * scale)
-        x1 = min(w_px, x0 + max(1, int(len(text) * char_w * scale)))
-        y1 = min(h_px, y0 + max(1, int(_LINE_H * scale)))
+        x1 = min(w_px, x0 + max(1, int(run_w * scale)))
+        y1 = min(h_px, y0 + max(1, int(run_h * scale)))
         if x0 < w_px and y1 > 0 and y0 < h_px and x1 > 0:
             img[max(0, y0):y1, max(0, x0):x1] = 40
     return img

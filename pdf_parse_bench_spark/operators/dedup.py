@@ -197,16 +197,22 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5,
 
     Iterative label propagation (the BSP/Pregel shape): each round joins
     labels to the symmetrized edge list and takes the min neighbor label;
-    stop when no label changed. Rounds needed = graph diameter (near-dup
-    clusters are small, so a handful); every round is one distributed
+    stop when no label changed. A pointer-doubling shortcut
+    (label := label-of-label) after each propagation makes rounds needed
+    O(log diameter) instead of O(diameter), so a pathological long duplicate
+    chain converges inside max_iter; every round is one distributed
     join + groupBy — no driver-side graph. Lineage is truncated per round
-    via localCheckpoint so plans don't grow with iterations."""
+    via localCheckpoint so plans don't grow with iterations. Raises
+    RuntimeError if max_iter is exhausted before convergence — silently
+    returning partially-propagated labels would split a long chain into
+    multiple clusters."""
     edges = ngram_jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    converged = False
     for _ in range(max_iter):
         neigh = (
             labels.join(sym, labels["doc_id"] == sym["doc_a"])
@@ -220,6 +226,19 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5,
                 F.least("cluster_id", F.coalesce("neigh_min", "cluster_id"))
                 .alias("cluster_id"),
             )
+        )
+        # pointer doubling: labels always point to <= themselves (min), so
+        # label(label(x)) <= label(x) and is still within x's component
+        hop = updated.select(F.col("doc_id").alias("_hop_id"),
+                             F.col("cluster_id").alias("_hop_label"))
+        updated = (
+            updated.join(hop, updated["cluster_id"] == hop["_hop_id"], "left")
+            .select(
+                "doc_id",
+                F.least("cluster_id",
+                        F.coalesce("_hop_label", "cluster_id"))
+                .alias("cluster_id"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -229,7 +248,14 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5,
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds — "
+            "raise max_iter (graph diameter exceeds 2^max_iter after "
+            "pointer doubling, which indicates pathological input)"
+        )
     return labels
 
 

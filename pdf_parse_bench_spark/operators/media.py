@@ -42,15 +42,40 @@ def media_features(spans: DataFrame) -> DataFrame:
 
 
 _DECODE_COLS = ["doc_id", "offset", "media_ref", "width", "height",
-                "channels", "n_bytes", "mean_intensity"]
+                "channels", "n_bytes", "mean_intensity", "status"]
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# deterministic error-placeholder artifact (the reference's render-error
+# fallback image, utilities/formula_renderer.py:119-164: a failed render
+# still yields a concrete placeholder, never a silent null): 64x64 mid-gray
+# with a 1px black border. Its stats are the spec — golden rows for
+# corrupted payloads are computed from this definition at fixture time.
+PLACEHOLDER_SIDE = 64
+
+
+def error_placeholder() -> np.ndarray:
+    img = np.full((PLACEHOLDER_SIDE, PLACEHOLDER_SIDE), 128, dtype=np.uint8)
+    img[0, :] = img[-1, :] = img[:, 0] = img[:, -1] = 0
+    return img
 
 
 def decode_media(media_df: DataFrame) -> DataFrame:
-    """mapInPandas decode over (doc_id, offset, media_ref, media_bytes):
-    real PNG decode (kernels/png.py) → width/height/channels + mean pixel
-    intensity in [0, 1] (rounded half-up to 6 dp, engine-portable).
-    Undecodable payloads yield null stats instead of failing the task
-    (X4 isolation)."""
+    """mapInPandas decode over (doc_id, offset, media_ref, media_bytes),
+    format-sniffed by magic bytes:
+
+      - PNG → real pixel decode (kernels/png.py) → width/height/channels +
+        mean intensity in [0,1] (6 dp half-up, engine-portable); status 'ok'
+      - JPEG → SOFn header parse (kernels/jpeg.py) → width/height/channels,
+        no pixel decode (mean_intensity null); status 'metadata_only'
+      - anything else / corrupt → the DETERMINISTIC error-placeholder
+        artifact's stats with status 'decode_error' — the reference's
+        error-image fallback contract (formula_renderer.py:119-164), never
+        a task failure and never an all-null row (X4 isolation)."""
+    from pdf_parse_bench_spark.kernels.jpeg import is_jpeg, jpeg_dims
+
+    ph = error_placeholder()
+    ph_mean = float(np.floor(float(ph.mean()) / 255.0 * 1e6 + 0.5)) / 1e6
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -62,27 +87,40 @@ def decode_media(media_df: DataFrame) -> DataFrame:
                 out["doc_id"].append(doc_id)
                 out["offset"].append(off)
                 out["media_ref"].append(ref)
-                out["n_bytes"].append(len(b) if b is not None else 0)
+                raw = bytes(b) if b is not None else b""
+                out["n_bytes"].append(len(raw))
                 try:
-                    img = decode_png(bytes(b))
-                    h, w = img.shape[:2]
-                    ch = 1 if img.ndim == 2 else img.shape[2]
-                    mean = float(img.mean()) / 255.0
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["channels"].append(ch)
-                    out["mean_intensity"].append(
-                        float(np.floor(mean * 1e6 + 0.5)) / 1e6)
+                    if raw.startswith(_PNG_MAGIC):
+                        img = decode_png(raw)
+                        h, w = img.shape[:2]
+                        ch = 1 if img.ndim == 2 else img.shape[2]
+                        mean = float(img.mean()) / 255.0
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["channels"].append(ch)
+                        out["mean_intensity"].append(
+                            float(np.floor(mean * 1e6 + 0.5)) / 1e6)
+                        out["status"].append("ok")
+                    elif is_jpeg(raw):
+                        w, h, ch = jpeg_dims(raw)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["channels"].append(ch)
+                        out["mean_intensity"].append(None)
+                        out["status"].append("metadata_only")
+                    else:
+                        raise ValueError("unknown media format")
                 except Exception:
-                    out["width"].append(None)
-                    out["height"].append(None)
-                    out["channels"].append(None)
-                    out["mean_intensity"].append(None)
+                    out["width"].append(PLACEHOLDER_SIDE)
+                    out["height"].append(PLACEHOLDER_SIDE)
+                    out["channels"].append(1)
+                    out["mean_intensity"].append(ph_mean)
+                    out["status"].append("decode_error")
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(
         run,
         schema=("doc_id string, offset int, media_ref string, width int, "
                 "height int, channels int, n_bytes long, "
-                "mean_intensity double"),
+                "mean_intensity double, status string"),
     )

@@ -156,8 +156,12 @@ def vocab_stats(docs: DataFrame, k: int = 100) -> DataFrame:
     (ties broken lexically) with document frequency — the vocab-coverage
     report a tokenizer-training pipeline runs first. One explode + one
     groupBy (map-side partial TF and DF; distinct-per-doc handled by
-    counting distinct doc_ids), then a global top-k via window over the
-    tiny aggregated vocab."""
+    counting distinct doc_ids), then a global top-k via orderBy().limit(k)
+    — plans as TakeOrderedAndProject (map-side partial top-k per partition,
+    k rows to the driver-side merge), NEVER a single-partition window sort
+    of the whole vocabulary: at 100 TB the vocab is 10^8-10^9 rows and an
+    un-partitioned Window.orderBy funnels all of it through one task. Rank
+    is derived afterwards on the k surviving rows only."""
     from pyspark.sql import Window
 
     w = docs.select("doc_id", F.explode(_words()).alias("word"))
@@ -165,10 +169,11 @@ def vocab_stats(docs: DataFrame, k: int = 100) -> DataFrame:
         F.count("*").alias("tf"),
         F.countDistinct("doc_id").alias("df"),
     )
+    top = agg.orderBy(F.desc("tf"), F.asc("word")).limit(k)
+    # window over <= k rows (the already-limited result), not the vocab
     win = Window.orderBy(F.desc("tf"), F.asc("word"))
     return (
-        agg.withColumn("rank", F.row_number().over(win))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(win))
         .select("word", "tf", "df", "rank")
     )
 
@@ -176,8 +181,13 @@ def vocab_stats(docs: DataFrame, k: int = 100) -> DataFrame:
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Per-doc top-k terms by tf·idf (idf = ln(N/df)), rounded to 6 dp
     before ranking so ordering is engine-portable; ties break lexically.
-    Shape: one explode + two aggregations; df and the corpus count are
-    tiny aggregates broadcast back onto the (doc, word) tf table."""
+    Shape: one explode + two aggregations. The per-word document-frequency
+    table joins back onto the (doc, word) tf table WITHOUT a broadcast
+    hint: at 100 TB the distinct-word table is 10^8-10^9 rows and cannot
+    be a broadcast — both sides are already keyed on `word`, so the
+    shuffle join is one co-partitioned exchange (and AQE may still pick a
+    broadcast when the vocab is actually small). Only the 1-row corpus
+    count is force-broadcast."""
     from pyspark.sql import Window
 
     w = docs.select("doc_id", F.explode(_words()).alias("word"))
@@ -185,7 +195,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     df_tbl = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_tbl), "word")
+        tf.join(df_tbl, "word")
         .crossJoin(F.broadcast(n))
         .withColumn("tfidf", round_half_up(
             F.col("tf") * F.log(F.col("n_docs") / F.col("df"))))

@@ -100,16 +100,19 @@ def stateful_user_totals(stream: DataFrame):
 
 
 def stream_dedup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Streaming exact dedup for a 100 TB ingest path: watermarked
-    dropDuplicates on the content hash — state holds one md5 per distinct
-    doc within the watermark horizon and is evicted after it, so state size
-    is bounded by the dedup window, not the corpus. The batch twin is
-    dedup_exact (operators/dedup.py); this is what runs on the firehose."""
+    """Streaming exact dedup for a 100 TB ingest path: watermark-bounded
+    dedup on the content hash — state holds one md5 per distinct doc within
+    the watermark horizon and is EVICTED after it, so state size is bounded
+    by the dedup window, not the corpus. This must be
+    dropDuplicatesWithinWatermark: plain dropDuplicates(['text_hash'])
+    never evicts state unless the event-time column is among the dedup
+    keys, so its state grows with every distinct doc forever and OOMs on a
+    real firehose. The batch twin is dedup_exact (operators/dedup.py)."""
     src = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         src.withColumn("text_hash", F.md5("text"))
         .withWatermark("ts", watermark)
-        .dropDuplicates(["text_hash"])
+        .dropDuplicatesWithinWatermark(["text_hash"])
     )
 
 

@@ -71,21 +71,50 @@ def test_png_decode_all_filters():
 
 
 def test_decode_media_real_png_batches(spark):
+    from pdf_parse_bench_spark.fixtures import _mk_jpeg_bytes
+
     img1 = np.full((4, 6), 255, dtype=np.uint8)          # all-white gray
     img2 = np.zeros((3, 5, 3), dtype=np.uint8)           # all-black RGB
     df = spark.createDataFrame(
         [("d1", 0, "a.png", bytearray(encode_png(img1))),
          ("d2", 1, "b.png", bytearray(encode_png(img2))),
-         ("d3", 2, "junk.png", bytearray(b"not a png"))],
+         ("d3", 2, "c.jpg", bytearray(_mk_jpeg_bytes(640, 480, 3))),
+         ("d4", 3, "junk.png", bytearray(b"not a png"))],
         "doc_id string, offset int, media_ref string, media_bytes binary",
     )
     out = {r.media_ref: r for r in decode_media(df).collect()}
     a = out["a.png"]
-    assert (a.width, a.height, a.channels, a.mean_intensity) == (6, 4, 1, 1.0)
+    assert (a.width, a.height, a.channels, a.mean_intensity, a.status) == (
+        6, 4, 1, 1.0, "ok")
     b = out["b.png"]
-    assert (b.width, b.height, b.channels, b.mean_intensity) == (5, 3, 3, 0.0)
-    j = out["junk.png"]  # X4: undecodable isolates to null stats, no abort
-    assert j.width is None and j.n_bytes == 9
+    assert (b.width, b.height, b.channels, b.mean_intensity, b.status) == (
+        5, 3, 3, 0.0, "ok")
+    c = out["c.jpg"]  # JPEG: SOF metadata, no pixel decode
+    assert (c.width, c.height, c.channels, c.status) == (
+        640, 480, 3, "metadata_only")
+    assert c.mean_intensity is None
+    # X4 + error-image fallback: corrupt payload gets the DETERMINISTIC
+    # placeholder artifact stats, never all-null, never a task abort
+    j = out["junk.png"]
+    assert j.status == "decode_error" and j.n_bytes == 9
+    assert (j.width, j.height, j.channels) == (64, 64, 1)
+    assert j.mean_intensity is not None
+
+
+def test_jpeg_dims_progressive_and_malformed():
+    from pdf_parse_bench_spark.fixtures import _mk_jpeg_bytes
+    from pdf_parse_bench_spark.kernels.jpeg import jpeg_dims
+
+    import pytest
+    # SOF2 (progressive) parses the same frame header
+    jpg = bytearray(_mk_jpeg_bytes(123, 45, 1))
+    sof = jpg.index(b"\xff\xc0")
+    jpg[sof + 1] = 0xC2
+    assert jpeg_dims(bytes(jpg)) == (123, 45, 1)
+    with pytest.raises(ValueError):
+        jpeg_dims(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+    with pytest.raises(ValueError):
+        jpeg_dims(b"GIF89a....")
 
 
 def test_decode_media_matches_fixture_golden(spark, fx_smoke):

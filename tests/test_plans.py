@@ -135,6 +135,33 @@ def test_partitioned_layout_prunes_at_plan_time(spark, tmp_path):
     assert pruned.count() == docs.where(F.col("source") == one_source).count()
 
 
+def test_vocab_stats_topk_not_single_partition_sort(spark):
+    """vocab_stats' global top-k must plan as TakeOrderedAndProject
+    (map-side partial top-k, k rows merged) — not a single-partition sort
+    of the entire 10^8-row vocabulary through one task."""
+    out = ts.vocab_stats(_docs(spark), k=10)
+    plan = formatted_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tfidf_word_join_not_forced_broadcast(spark):
+    """tfidf's (doc,word)xdf join must NOT force-broadcast the full
+    per-word document-frequency table (10^8-10^9 rows at 100 TB). With
+    autoBroadcast disabled the planner must fall back to a shuffle join on
+    `word` — an F.broadcast hint would survive threshold=-1, so this
+    distinguishes cost-based (fine: at 100 TB the estimate exceeds any
+    threshold) from forced. The tiny corpus count stays hint-broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = ts.tfidf_top_terms(_docs(spark))
+        plan = formatted_plan(out)
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 

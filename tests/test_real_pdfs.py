@@ -1,0 +1,80 @@
+"""Real-PDF quality gates over the reference's own pdflatex-produced corpus
+(/root/reference/data/*/pdfs — PUBLIC fixture data shipped with the
+reference benchmark, reference README.md:14-16):
+
+  - no replacement characters: every glyph reachable through /Differences,
+    /ToUnicode, or the AGL/CM glyph-name tables must decode
+    (reference behavior = pypdf's AGL lookup, parsers/pypdf/__main__.py:30-32)
+  - >=95% of ground-truth text tokens recovered across 10 docs
+  - reading order: real run geometry (font-size-derived widths) keeps
+    display-formula blocks contiguous and two-column pages column-major
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import unicodedata
+from collections import Counter
+from pathlib import Path
+
+import pytest
+
+from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_text
+
+REF = Path("/root/reference/data/2025-q4")
+
+pytestmark = pytest.mark.skipif(
+    not REF.exists(), reason="reference fixture corpus not mounted"
+)
+
+
+def _toks(s: str) -> list[str]:
+    return re.findall(r"[A-Za-zÀ-ÿ]+", unicodedata.normalize("NFC", s))
+
+
+def test_no_replacement_chars_on_reference_corpus():
+    """Every glyph in the 100 pdflatex PDFs decodes (VERDICT r2 item 4)."""
+    for p in sorted(REF.glob("pdfs/*.pdf")):
+        txt = extract_pdf_text(p.read_bytes())
+        assert "�" not in txt, f"{p.name}: {txt.count('�')} undecoded glyphs"
+
+
+def test_gt_token_coverage_10_docs():
+    """>=95% of ground-truth text tokens (multiset, dehyphenated) appear in
+    the extraction, aggregated over the first 10 reference docs."""
+    tot_hit = tot = 0
+    for p in sorted(REF.glob("pdfs/*.pdf"))[:10]:
+        gt = json.loads(
+            (REF / "ground_truth" / f"{p.stem}.json").read_text())
+        gt_text = " ".join(s["data"] for s in gt if s["type"] == "text")
+        ext = re.sub(r"-\n", "", extract_pdf_text(p.read_bytes()))
+        have, need = Counter(_toks(ext)), Counter(_toks(gt_text))
+        tot_hit += sum(min(have[t], c) for t, c in need.items())
+        tot += sum(need.values())
+    assert tot_hit / tot >= 0.95, f"coverage {tot_hit}/{tot}"
+
+
+def test_001_display_formula_contiguous():
+    """001.pdf: the leading display-formula block (∫cos ax dx …) must come
+    out contiguous — BEFORE any body prose — instead of interleaving with
+    it (the r2 fixture-constant run geometry fragmented it)."""
+    txt = extract_pdf_text((REF / "pdfs" / "001.pdf").read_bytes())
+    prose_at = txt.index("Immense surprendre")
+    for frag in ("∫", "cos", "ax dx", "cot"):
+        assert txt.index(frag) < prose_at, frag
+
+
+def test_002_column_major_reading_order():
+    """002.pdf is two-column: hyphenated prose continuations must follow
+    their own column (column-major), and column-1 openers must precede
+    column-2 content."""
+    txt = extract_pdf_text((REF / "pdfs" / "002.pdf").read_bytes())
+    # hyphenated continuation inside one column stays adjacent-in-column
+    assert txt.index("Couvrir mouvement pro-") < txt.index(
+        "poser armée précéder eaux")
+    assert txt.index("Paquet point embrasser intérieur al-") < txt.index(
+        "ler repas")
+    # column 1 opener precedes a column-2-only sentence
+    assert txt.index("Attaquer matière diriger") < txt.index(
+        "Doucement hésiter essayer")
