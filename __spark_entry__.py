@@ -52,6 +52,7 @@ from pdf_parse_bench_spark.operators.extract import (  # noqa: E402
     rasterize_pages,
     substitute_table_refs,
 )
+from pdf_parse_bench_spark.kernels import textnorm as tn  # noqa: E402
 from pdf_parse_bench_spark.operators import media as mediaops  # noqa: E402
 from pdf_parse_bench_spark.operators.media import media_features  # noqa: E402
 from pdf_parse_bench_spark.operators.resume import (  # noqa: E402
@@ -291,7 +292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_topk"] = lambda s, d: _cast(
         sim.brute_force_topk(_t(s, d, "embeddings")), rank="long")
     q["ann_lsh"] = lambda s, d: _cast(
-        sim.lsh_topk(_t(s, d, "embeddings")), rank="long")
+        sim.sketch_topk(_t(s, d, "embeddings")), rank="long")
+    q["ann_lsh_buckets"] = lambda s, d: _cast(
+        sim.lsh_topk(_t(s, d, "embeddings"), probe_radius=2), rank="long")
     q["ann_lsh_recall"] = lambda s, d: sim.lsh_recall(_t(s, d, "embeddings"))
 
     # ---- text analysis ----
@@ -578,6 +581,22 @@ _EMB_NORM_CTE = (
 )
 
 
+def _sketch_words_sql(bits: int) -> tuple[str, str]:
+    """The two 32-bit sign-sketch words from the SAME seeded hyperplanes
+    the Spark operator uses (similarity._sig_words)."""
+    planes = sim.hyperplanes(bits)
+    words = []
+    for w in range(0, bits, 32):
+        terms = []
+        for i, plane in enumerate(planes[w:w + 32]):
+            lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lits}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)")
+        words.append("CAST(" + " + ".join(terms) + " AS BIGINT)")
+    return words[0], words[1]
+
+
 def _sign_bucket_sql(n_planes: int) -> str:
     """Integer sign-LSH bucket from the SAME seeded hyperplanes the Spark
     operators use (similarity.hyperplanes) — bit p set iff dot >= 0."""
@@ -624,14 +643,14 @@ def oracle_sql() -> dict[str, str]:
     o["judge_scores"] = (
         "SELECT n.doc_id, n.\"offset\", n.kind, "
         "greatest(0, CAST(floor(10.0 * (1 - CAST(levenshtein(n.text, g.text) AS DOUBLE) "
-        "/ greatest(length(n.text), length(g.text), 1)) + 0.5) AS INT)) AS score "
+        "/ greatest(strlen(n.text), strlen(g.text), 1)) + 0.5) AS INT)) AS score "
         f"FROM '{ORACLE_FX}/golden_noisy_spans.parquet' n "
         f"JOIN {_GOLD} g ON n.doc_id = g.doc_id AND n.\"offset\" = g.\"offset\""
     )
     o["judged_complexity_cube"] = (
         "WITH judged AS (SELECT n.doc_id, n.\"offset\", n.kind, "
         "greatest(0, CAST(floor(10.0 * (1 - CAST(levenshtein(n.text, g.text) AS DOUBLE) "
-        "/ greatest(length(n.text), length(g.text), 1)) + 0.5) AS INT)) AS score, "
+        "/ greatest(strlen(n.text), strlen(g.text), 1)) + 0.5) AS INT)) AS score, "
         "CASE WHEN n.kind = 'table' THEN ("
         "CASE WHEN len(string_split(n.text, '\\\\')) - 2 <= 3 THEN 'simple' "
         "WHEN len(string_split(n.text, '\\\\')) - 2 <= 6 THEN 'moderate' "
@@ -729,6 +748,13 @@ def oracle_sql() -> dict[str, str]:
         _uni = f"replace({_uni}, '{ch}', '_{i}')"
     for i, ch in enumerate("⁰¹²³⁴⁵⁶⁷⁸⁹"):
         _uni = f"replace({_uni}, '{ch}', '^{i}')"
+    for ch, latex in tn.UNICODE_LATEX_MAP.items():
+        _uni = f"replace({_uni}, '{ch}', '{latex.replace(chr(39), chr(39) * 2)}')"
+    for mark, acc in tn.COMBINING_LATEX.items():
+        # RE2 replacement: '\\' = literal backslash, '\1' = group ref
+        repl = ("\\\\" + acc + "{\\1}").replace("'", "''")
+        _uni = (f"regexp_replace({_uni}, '([A-Za-z]){mark}', "
+                f"'{repl}', 'g')")
     o["unicode_normalization"] = (
         f'SELECT doc_id, "offset", {_uni} AS latex FROM {_GOLD} '
         "WHERE kind = 'inline-formula'"
@@ -840,10 +866,39 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM scored) "
         "WHERE rank <= 10"
     )
-    # multi-probe: own bucket + one flip-1-bit probe per plane (xor)
-    probe_flips = ", ".join(
-        f"xor(bucket, {1 << i})" for i in range(sim.ANN_PLANES))
+    # sketch + rerank (the committed default): Hamming-top-frac candidates
+    # on the 2x32-bit sign sketch, exact cosine rerank
+    sk0, sk1 = _sketch_words_sql(sim.SKETCH_BITS)
+    sketch_cte = (
+        f"s AS (SELECT vec_id, v, norm, {sk0} AS s0, {sk1} AS s1 FROM n), "
+        "sq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, "
+        "s0 AS q0, s1 AS q1 FROM s WHERE vec_id < 5), "
+        "pairs AS (SELECT sq.query_id, s.vec_id, s.v, s.norm, sq.qv, sq.qnorm, "
+        "bit_count(xor(s.s0, sq.q0)) + bit_count(xor(s.s1, sq.q1)) AS ham "
+        "FROM s, sq WHERE s.vec_id <> sq.query_id), "
+        "cand AS (SELECT * FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY ham, vec_id) AS _cr, "
+        "count(*) OVER (PARTITION BY query_id) AS _n FROM pairs) "
+        f"WHERE _cr <= ceil(_n * {sim.SKETCH_FRAC})), "
+        "scored AS (SELECT query_id, vec_id, "
+        "floor((list_dot_product(qv, v) / (qnorm * norm)) * 1000000 + 0.5) / 1000000 AS cosine "
+        "FROM cand)"
+    )
     o["ann_lsh"] = (
+        f"WITH {emb_cte8}, {sketch_cte} "
+        "SELECT query_id, vec_id, cosine, rank FROM ("
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM scored) "
+        "WHERE rank <= 10"
+    )
+
+    # bucketed multi-probe variant: own bucket + all Hamming<=2 flips
+    probe_flips = ", ".join(
+        [f"xor(bucket, {1 << i})" for i in range(sim.ANN_PLANES)]
+        + [f"xor(bucket, {(1 << i) | (1 << j)})"
+           for i in range(sim.ANN_PLANES)
+           for j in range(i + 1, sim.ANN_PLANES)])
+    o["ann_lsh_buckets"] = (
         f"WITH {emb_cte8}, "
         "q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, "
         f"unnest([bucket, {probe_flips}]) AS bucket FROM n "
@@ -866,14 +921,10 @@ def oracle_sql() -> dict[str, str]:
         "exact AS (SELECT query_id, vec_id FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY cosine DESC, vec_id) AS rank FROM se) WHERE rank <= 10), "
-        "q2 AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, "
-        f"unnest([bucket, {probe_flips}]) AS bucket FROM n WHERE vec_id < 5), "
-        "sl AS (SELECT q2.query_id, n.vec_id, "
-        "floor((list_dot_product(q2.qv, n.v) / (q2.qnorm * n.norm)) * 1000000 + 0.5) / 1000000 AS cosine "
-        "FROM n JOIN q2 ON n.bucket = q2.bucket WHERE n.vec_id <> q2.query_id), "
+        f"{sketch_cte}, "
         "lsh AS (SELECT query_id, vec_id, 1 AS _hit FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id "
-        "ORDER BY cosine DESC, vec_id) AS rank FROM sl) WHERE rank <= 10) "
+        "ORDER BY cosine DESC, vec_id) AS rank FROM scored) WHERE rank <= 10) "
         "SELECT e.query_id, "
         "floor((CAST(sum(coalesce(l._hit, 0)) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS recall "
         "FROM exact e LEFT JOIN lsh l ON e.query_id = l.query_id "

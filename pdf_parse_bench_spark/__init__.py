@@ -114,18 +114,30 @@ def score_spans_judged(extracted, golden):
     """Deterministic 0-10 judge (E2 default scorer): per aligned span pair,
     score = round_half_up(10 * (1 - levenshtein/max_len)) — the reference's
     LLM judge (eval/llm_judge.py:133-158) replaced by an exact, reproducible
-    similarity metric. Built-in levenshtein → JVM-side, no UDF."""
+    similarity metric. Built-in levenshtein → JVM-side, no UDF.
+
+    The distance is BYTE-level (UTF-8): Spark's levenshtein counts UTF-16
+    chars while ANSI-SQL engines count bytes, so the portable contract is
+    edits over the UTF-8 byte sequence — here via the
+    encode→ISO-8859-1-decode trick (one char per byte), with octet_length
+    as the normalizer."""
     from pyspark.sql import functions as F
+
+    def _bytes_as_chars(col):
+        return F.decode(F.encode(col, "UTF-8"), "ISO-8859-1")
 
     e = extracted.select("doc_id", "offset", "kind",
                          F.col("text").alias("extracted_text"))
     g = golden.select("doc_id", "offset", F.col("text").alias("golden_text"))
     joined = e.join(g, ["doc_id", "offset"])
     max_len = F.greatest(
-        F.length("extracted_text"), F.length("golden_text"), F.lit(1)
+        F.octet_length("extracted_text"), F.octet_length("golden_text"),
+        F.lit(1)
     )
     raw = 10.0 * (
-        F.lit(1.0) - F.levenshtein("extracted_text", "golden_text") / max_len
+        F.lit(1.0)
+        - F.levenshtein(_bytes_as_chars(F.col("extracted_text")),
+                        _bytes_as_chars(F.col("golden_text"))) / max_len
     )
     score = F.greatest(
         F.lit(0), (F.floor(raw + F.lit(0.5))).cast("int")

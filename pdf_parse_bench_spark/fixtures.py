@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v20"  # bump to force regeneration
+FIXTURE_VERSION = "v21"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -64,6 +64,13 @@ _INLINE_TEMPLATES = (
     "\\langle \\sigma _{{{a}}}\\rangle ",
     "o(h_{{{a}}})/h\\rightarrow {b}",
     "Z\\cup \\{{x_{{{a}}}\\}}\\cup \\{{y_{{{b}}}\\}}",
+    # raw-unicode dialect a sloppy parser emits — exercises the F1 long
+    # tail (Greek, symbols, precomposed + combining accents,
+    # sub/superscript digits; formula_renderer.py:33-65 semantics)
+    "α_{{{a}}}×β^{{{b}}}",
+    "π²+θ₃≤∞",
+    "é_{{{a}}}≈é^{{{b}}}",
+    "ü_{{{a}}}≠ü·Ω_{{{b}}}",
 )
 
 _DISPLAY_TEMPLATES = (

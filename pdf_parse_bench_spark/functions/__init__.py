@@ -62,17 +62,27 @@ def normalize_display_expr(col: str = "text") -> Column:
     return F.concat(F.lit("$$"), F.trim(inner), F.lit("$$"))
 
 
-# F1: unicode sub/superscript digits → LaTeX (formula_renderer.py:38-46).
+# F1: unicode → LaTeX (formula_renderer.py:33-65): sub/superscript digits
+# plus the pylatexenc long tail (Greek / symbols / accents) — the SAME
+# table as the python kernel (kernels/textnorm.py), chained JVM-side
+# replaces so the whole normalization stays inside codegen.
 _SUB = "₀₁₂₃₄₅₆₇₈₉"
 _SUP = "⁰¹²³⁴⁵⁶⁷⁸⁹"
 
 
 def preprocess_unicode_expr(col: str = "text") -> Column:
+    from pdf_parse_bench_spark.kernels.textnorm import (
+        COMBINING_LATEX, UNICODE_LATEX_MAP)
+
     out = F.col(col)
     for i, ch in enumerate(_SUB):
         out = F.replace(out, F.lit(ch), F.lit(f"_{i}"))
     for i, ch in enumerate(_SUP):
         out = F.replace(out, F.lit(ch), F.lit(f"^{i}"))
+    for ch, latex in UNICODE_LATEX_MAP.items():
+        out = F.replace(out, F.lit(ch), F.lit(latex))
+    for mark, acc in COMBINING_LATEX.items():
+        out = F.regexp_replace(out, f"([A-Za-z]){mark}", f"\\\\{acc}{{$1}}")
     return out
 
 

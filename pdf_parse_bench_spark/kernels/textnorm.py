@@ -26,6 +26,51 @@ _SUPERSCRIPT_MAP = {
     "⁵": "^5", "⁶": "^6", "⁷": "^7", "⁸": "^8", "⁹": "^9",
 }
 
+# F1 long tail — the pylatexenc conversion surface the reference reaches
+# through utilities/formula_renderer.py:47-61: Greek letters, math symbols
+# and precomposed accented latin → deterministic LaTeX. Shared verbatim by
+# the python kernel, the Spark expression chain
+# (functions.preprocess_unicode_expr) and the DuckDB oracle — outputs are
+# pure ASCII, so chain order is immaterial.
+UNICODE_LATEX_MAP = {
+    # Greek lowercase / uppercase (brace-wrapped so concatenation is safe)
+    "α": "{\\alpha}", "β": "{\\beta}", "γ": "{\\gamma}", "δ": "{\\delta}",
+    "ε": "{\\epsilon}", "ζ": "{\\zeta}", "η": "{\\eta}", "θ": "{\\theta}",
+    "ι": "{\\iota}", "κ": "{\\kappa}", "λ": "{\\lambda}", "μ": "{\\mu}",
+    "ν": "{\\nu}", "ξ": "{\\xi}", "π": "{\\pi}", "ρ": "{\\rho}",
+    "σ": "{\\sigma}", "τ": "{\\tau}", "υ": "{\\upsilon}", "φ": "{\\phi}",
+    "χ": "{\\chi}", "ψ": "{\\psi}", "ω": "{\\omega}",
+    "Γ": "{\\Gamma}", "Δ": "{\\Delta}", "Θ": "{\\Theta}",
+    "Λ": "{\\Lambda}", "Ξ": "{\\Xi}", "Π": "{\\Pi}", "Σ": "{\\Sigma}",
+    "Υ": "{\\Upsilon}", "Φ": "{\\Phi}", "Ψ": "{\\Psi}", "Ω": "{\\Omega}",
+    # math symbols
+    "×": "{\\times}", "÷": "{\\div}", "±": "{\\pm}", "∓": "{\\mp}",
+    "·": "{\\cdot}", "∞": "{\\infty}", "≤": "{\\leq}", "≥": "{\\geq}",
+    "≠": "{\\neq}", "≈": "{\\approx}", "≡": "{\\equiv}",
+    "∂": "{\\partial}", "∇": "{\\nabla}", "∑": "{\\sum}", "∏": "{\\prod}",
+    "∫": "{\\int}", "√": "{\\surd}", "→": "{\\to}", "←": "{\\leftarrow}",
+    "⇒": "{\\Rightarrow}", "⇐": "{\\Leftarrow}", "∈": "{\\in}",
+    "∉": "{\\notin}", "⊆": "{\\subseteq}", "⊂": "{\\subset}",
+    "∪": "{\\cup}", "∩": "{\\cap}", "∀": "{\\forall}",
+    "∃": "{\\exists}", "∅": "{\\emptyset}",
+    # precomposed accented latin (pylatexenc accent forms)
+    "á": "\\'{a}", "à": "\\`{a}", "â": "\\^{a}", "ä": '\\"{a}',
+    "é": "\\'{e}", "è": "\\`{e}", "ê": "\\^{e}", "ë": '\\"{e}',
+    "í": "\\'{i}", "ì": "\\`{i}", "î": "\\^{i}", "ï": '\\"{i}',
+    "ó": "\\'{o}", "ò": "\\`{o}", "ô": "\\^{o}", "ö": '\\"{o}',
+    "ú": "\\'{u}", "ù": "\\`{u}", "û": "\\^{u}", "ü": '\\"{u}',
+    "ñ": "\\~{n}", "ç": "\\c{c}",
+    "É": "\\'{E}", "È": "\\`{E}", "Ü": '\\"{U}', "Ö": '\\"{O}',
+    "Ä": '\\"{A}', "Ñ": "\\~{N}", "Ç": "\\c{C}",
+}
+
+# combining accents: the mark FOLLOWS its ASCII base, so these need a
+# capture-group regex ((base)mark -> \<acc>{base}), not a plain replace
+COMBINING_LATEX = {
+    "́": "'", "̀": "`", "̂": "^", "̃": "~",
+    "̈": '"', "̄": "=", "̌": "v",
+}
+
 _WS_BACKSLASH_RE = re.compile(r"[\s\\]+")
 _ESCAPED_NL_RE = re.compile(r"\\n(?![a-zA-Z])")
 _ESCAPED_TAB_RE = re.compile(r"\\t(?![a-zA-Z])")
@@ -72,11 +117,17 @@ def split_grouped_formula(content: str) -> list[str]:
 
 
 def preprocess_unicode(text: str) -> str:
-    """Unicode sub/superscript digits → LaTeX (formula_renderer.py:38-46)."""
+    """Unicode → LaTeX (formula_renderer.py:33-65): sub/superscript digit
+    maps (:38-46) plus the pylatexenc long tail (:47-61) — Greek, math
+    symbols, precomposed accents, and combining accents on ASCII bases."""
     for k, v in _SUBSCRIPT_MAP.items():
         text = text.replace(k, v)
     for k, v in _SUPERSCRIPT_MAP.items():
         text = text.replace(k, v)
+    for k, v in UNICODE_LATEX_MAP.items():
+        text = text.replace(k, v)
+    for mark, acc in COMBINING_LATEX.items():
+        text = re.sub(f"([A-Za-z]){mark}", f"\\\\{acc}{{\\1}}", text)
     return text
 
 

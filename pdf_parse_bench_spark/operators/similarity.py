@@ -95,20 +95,26 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFra
 
 
 def lsh_recall(emb: DataFrame, n_queries: int = 5, k: int = 10,
-               n_planes: int = ANN_PLANES) -> DataFrame:
-    """Recall@k of the multi-probe LSH against exact brute force, per
-    query — the measurement that calibrates P (more planes = cheaper scans,
-    lower recall) before committing a bucket layout at corpus scale. Tiny
+               topk_fn=None) -> DataFrame:
+    """Recall@k of the committed ANN default (sketch_topk) against exact
+    brute force, per query — the measurement that calibrates bits /
+    candidate fraction before committing a layout at corpus scale. Tiny
     result; both inputs are the existing operators, joined on
     (query_id, vec_id).
 
-    Measured on the synthetic 64-d corpus: P=8/radius-1 ≈ 0.1–0.3 recall at
-    3.5% scan fraction; a larger probe radius trades scan fraction back for
-    recall. The banded construction (dedup.embedding_near_dups) is the
-    high-recall shape for pair mining; bucketed multi-probe is the
-    low-latency shape for point lookups — this operator is how you pick."""
+    Measured on the synthetic 64-d corpus (isotropic — 10th-NN cosine 0.26
+    vs bulk 0.0, the HARD case for bucketed LSH): bucket multi-probe
+    P=8/radius-1 ≈ 0.12 recall at 3.5% scan; radius-2 ≈ 0.38 at 14.5%;
+    IVF C=128/nprobe=12 ≈ 0.38 at 9.4%. The committed default —
+    64-bit sign-sketch + Hamming-top-10% exact rerank (sketch_topk) —
+    measures 0.64 recall@10 at a 10% full-vector scan fraction (asserted
+    in pytest). The banded construction (dedup.embedding_near_dups)
+    remains the high-recall shape for pair mining; this operator is how
+    you pick."""
+    if topk_fn is None:
+        topk_fn = sketch_topk
     exact = brute_force_topk(emb, n_queries, k).select("query_id", "vec_id")
-    approx = lsh_topk(emb, n_queries, k, n_planes).select(
+    approx = topk_fn(emb, n_queries, k).select(
         "query_id", "vec_id", F.lit(1).alias("_hit"))
     j = exact.join(approx, ["query_id", "vec_id"], "left")
     return j.groupBy("query_id").agg(
@@ -118,16 +124,95 @@ def lsh_recall(emb: DataFrame, n_queries: int = 5, k: int = 10,
     )
 
 
+SKETCH_BITS = 64     # sign-sketch width (2x32-bit words, engine-portable)
+SKETCH_FRAC = 0.10   # exact-rerank candidate fraction per query
+
+
+def _sig_words(vcol, planes: list[list[float]]):
+    """Pack sign bits (dot(v, plane_p) >= 0) into 32-bit words held in
+    longs — bit 63 of a BIGINT is the sign bit, so 32-bit packing keeps
+    the identical arithmetic valid in ANSI SQL (same trick as
+    dedup.simhash64_blocks)."""
+    words = []
+    for w in range(0, len(planes), 32):
+        bits = []
+        for i, plane in enumerate(planes[w:w + 32]):
+            dot = F.aggregate(
+                F.zip_with(vcol, F.array(*[F.lit(x) for x in plane]),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda a, x: a + x)
+            bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        words.append(sum(bits).cast("long"))
+    return words
+
+
+def sketch_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
+                bits: int = SKETCH_BITS,
+                candidate_frac: float = SKETCH_FRAC) -> DataFrame:
+    """Committed ANN default: sign-sketch + exact rerank.
+
+    Every vector gets a `bits`-wide sign-LSH signature (seeded hyperplanes,
+    packed 32 bits/word); a query ranks the corpus by Hamming distance on
+    the signature (bit_count(xor) — pure codegen) and exactly re-scores
+    only the top `candidate_frac` — full-vector cosine work is bounded at
+    10% of the corpus per query while the 16-byte signature scan is cheap
+    and sequential. Chosen over bucket multi-probe because on an isotropic
+    corpus (true neighbors at ~75°) bucket collision probability collapses
+    (measured 0.12–0.38 recall; see lsh_recall docstring) while the
+    Hamming estimate of angle has ~3.5° std at 64 bits — enough to
+    separate the 15° neighbor/bulk gap: measured recall@10 = 0.64 at the
+    committed default.
+
+    At 10^12 docs the signature table is its own compact Iceberg table
+    (16 bytes/row), coarse-partitioned by a few sketch bits so a query
+    prunes partitions before the Hamming scan; the exact rerank stays
+    bounded by candidate_frac."""
+    planes = hyperplanes(bits)
+    corpus = _with_norm(emb)
+    w0, w1 = _sig_words(F.col("v"), planes)
+    corpus = corpus.withColumn("s0", w0).withColumn("s1", w1)
+    queries = corpus.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm"),
+        F.col("s0").alias("q0"), F.col("s1").alias("q1"),
+    )
+    pairs = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "ham",
+            F.bit_count(F.col("s0").bitwiseXOR(F.col("q0")))
+            + F.bit_count(F.col("s1").bitwiseXOR(F.col("q1"))),
+        )
+    )
+    wq = Window.partitionBy("query_id")
+    wr = Window.partitionBy("query_id").orderBy("ham", "vec_id")
+    cand = (
+        pairs.withColumn("_n", F.count("*").over(wq))
+        .withColumn("_cr", F.row_number().over(wr))
+        .where(F.col("_cr") <= F.ceil(F.col("_n") * candidate_frac))
+        .withColumn("cosine", _cosine("qv", "v", F.col("qnorm"), F.col("norm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
-             n_planes: int = ANN_PLANES) -> DataFrame:
-    """Multi-probe sign-LSH ANN: each corpus vector hashes to one of 2^P
-    buckets (P seeded random hyperplanes); a query scores only vectors in
-    its own bucket plus the P flip-one-bit neighbor buckets, so the scanned
-    fraction is ~(P+1)/2^P of the corpus (P=8 → 3.5%; raise P with corpus
-    size — at 10^12 docs P=24 scans ~1.5e-6 of the corpus). Approximate —
-    may differ from brute force; that IS the contract. At 100 TB the int
-    bucket becomes the Iceberg partition key, turning each probe into a
-    partition-pruned scan."""
+             n_planes: int = ANN_PLANES, probe_radius: int = 1) -> DataFrame:
+    """Bucketed multi-probe sign-LSH ANN: each corpus vector hashes to one
+    of 2^P buckets (P seeded random hyperplanes); a query scores only
+    vectors in buckets within Hamming distance `probe_radius` of its own —
+    scanned fraction ~(1+P)/2^P at radius 1 (P=8 → 3.5%), plus C(P,2)/2^P
+    at radius 2 (P=8 → 14.5%). The low-latency point-lookup shape: at
+    100 TB the int bucket becomes the Iceberg partition key, turning each
+    probe into a partition-pruned scan (raise P with corpus size — P=24
+    scans ~1.5e-6 of the corpus). Approximate — may differ from brute
+    force; that IS the contract, and on an isotropic corpus its recall is
+    poor (measured 0.12 at radius 1 / 0.38 at radius 2 — see lsh_recall),
+    which is why sketch_topk is the committed default for `ann_lsh`."""
     planes = hyperplanes(n_planes)
     corpus = _with_norm(emb).withColumn("bucket", sign_bucket(F.col("v"), planes))
     queries = (
@@ -139,14 +224,19 @@ def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
             "bucket",
         )
     )
-    # multi-probe: own bucket + P Hamming-1 buckets (all distinct, so each
-    # (query, vector) pair is generated at most once — no dedup needed)
+    # multi-probe: own bucket + all Hamming<=radius flips (all distinct, so
+    # each (query, vector) pair is generated at most once — no dedup needed)
+    flips = [F.col("bucket")]
+    flips += [F.col("bucket").bitwiseXOR(F.lit(1 << i))
+              for i in range(n_planes)]
+    if probe_radius >= 2:
+        flips += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
     probes = queries.select(
         "query_id", "qv", "qnorm",
-        F.explode(F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
-        )).alias("bucket"),
+        F.explode(F.array(*flips)).alias("bucket"),
     )
     scored = (
         corpus.join(F.broadcast(probes), "bucket")

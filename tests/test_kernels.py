@@ -485,3 +485,18 @@ def test_noisy_alignment_property(doc_id):
     assert [(s["kind"], s["text"], s["media_ref"]) for s in out] == [
         (e["kind"], e["text"], e["media_ref"]) for e in expected
     ]
+
+
+def test_preprocess_unicode_long_tail():
+    """F1 long tail (formula_renderer.py:33-65 / pylatexenc surface):
+    Greek, math symbols, precomposed accents AND combining accents on
+    ASCII bases all convert; kernel and Spark expression share the table."""
+    from pdf_parse_bench_spark.kernels.textnorm import preprocess_unicode
+
+    assert preprocess_unicode("α×β") == "{\\alpha}{\\times}{\\beta}"
+    assert preprocess_unicode("π²+θ₃≤∞") == "{\\pi}^2+{\\theta}_3{\\leq}{\\infty}"
+    assert preprocess_unicode("é") == "\\'{e}"          # precomposed
+    assert preprocess_unicode("é") == "\\'{e}"         # combining
+    assert preprocess_unicode("ü = ü") == '\\"{u} = \\"{u}'
+    assert preprocess_unicode("x̄y̌") == "\\={x}\\v{y}"
+    assert preprocess_unicode("plain ascii") == "plain ascii"

@@ -284,6 +284,27 @@ def test_rasterize_pages_geometry_and_ink():
     # higher dpi scales the canvas
     _, _, w2, h2, _ = list(rasterize_pdf(pdf, dpi=144))[0]
     assert (w2, h2) == (1190, 1684)
+    # independent ink anchor (golden_raster_stats is a pin of the kernel;
+    # THIS derives the expected ratio from the spec arithmetic instead):
+    # one 10-char run at 12pt -> box 60x12 px on a 595x842 canvas
+    expect = 60 * 12 / (595.0 * 842.0)
+    assert ink == float(np.floor(expect * 1e6 + 0.5)) / 1e6
+
+
+def test_rasterize_ink_from_known_boxes_two_runs():
+    """Hand-computed golden for a two-run page at mixed font sizes: ink =
+    sum of run boxes (no overlap), each box = (0.5*size*len) x size px at
+    72 dpi — anchors the raster spec independently of the fixture pin."""
+    import numpy as np
+    from pdf_parse_bench_spark.kernels.pdftext import rasterize_pdf
+
+    s = (b"BT /F1 12 Tf 1 0 0 1 72 770 Tm (abcd) Tj ET\n"
+         b"BT /F1 10 Tf 1 0 0 1 300 500 Tm (xyzxyz) Tj ET")
+    pdf = _one_page(s)
+    _, _, w, h, ink = list(rasterize_pdf(pdf, dpi=72))[0]
+    # run1: 4 chars @12pt -> 24x12; run2: 6 chars @10pt -> 30x10
+    expect = (24 * 12 + 30 * 10) / (595.0 * 842.0)
+    assert ink == float(np.floor(expect * 1e6 + 0.5)) / 1e6
 
 
 def _mk_modern_pdf(content: bytes, predictor: bool) -> bytes:
