@@ -306,6 +306,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ts.token_counts(_t(s, d, "documents")), ws_tokens="long", regex_tokens="long")
     q["fingerprint"] = lambda s, d: ts.fingerprint(_t(s, d, "documents"))
     q["corpus_filter"] = lambda s, d: ts.corpus_filter(_t(s, d, "documents"))
+    q["pii_scrub"] = lambda s, d: ts.pii_scrub(_f(s, d, "raw_web_documents"))
+    q["duplicate_ngram_pairs"] = lambda s, d: (
+        dd.duplicate_ngram_pairs(_t(s, d, "documents"))
+        .select("doc_a", "doc_b", F.col("n_shared").cast("long").alias("n_shared"))
+    )
     q["tfidf_top_terms"] = lambda s, d: (
         ts.tfidf_top_terms(_t(s, d, "documents"))
         .select("doc_id", "word", "tfidf",
@@ -1021,6 +1026,39 @@ def oracle_sql() -> dict[str, str]:
         "FROM f JOIN canon c ON f.doc_id = c.doc_id) "
         "SELECT doc_id, reason IS NULL AS keep, "
         "coalesce(reason, '') AS reject_reason FROM r"
+    )
+
+    # pii_scrub: counts on ORIGINAL text per pattern, sequential scrub in
+    # the fixed PII_PATTERNS order — the identical contract as the Spark op
+    _scrub = "text"
+    _cnt_cols = []
+    for _name, _pat, _repl in ts.PII_PATTERNS:
+        _cnt_cols.append(
+            f"CAST(len(regexp_extract_all(text, '{_pat}')) AS BIGINT) "
+            f"AS {_name}")
+        _scrub = f"regexp_replace({_scrub}, '{_pat}', '{_repl}', 'g')"
+    o["pii_scrub"] = (
+        f"SELECT doc_id, {_scrub} AS clean_text, {', '.join(_cnt_cols)} "
+        f"FROM '{ORACLE_FX}/raw_web_documents.parquet'"
+    )
+
+    # duplicate_ngram_pairs: word-8-gram shingles, df in [2, 20], pairs
+    # sharing >= 3 rare shingles (Lee et al. exact-substring dedup shape)
+    o["duplicate_ngram_pairs"] = (
+        "WITH w AS (SELECT doc_id, "
+        "list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "ok AS (SELECT * FROM w WHERE len(ws) >= 8), "
+        "g AS (SELECT DISTINCT doc_id, "
+        "md5(array_to_string(ws[i:i+7], ' ')) AS sh FROM "
+        "(SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM ok)), "
+        "rare AS (SELECT sh FROM g GROUP BY sh "
+        "HAVING count(DISTINCT doc_id) BETWEEN 2 AND 20), "
+        "gr AS (SELECT g.* FROM g JOIN rare USING (sh)) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM gr a JOIN gr b USING (sh) WHERE a.doc_id < b.doc_id "
+        "GROUP BY 1, 2 HAVING count(*) >= 3"
     )
 
     # ---- relational / events ----

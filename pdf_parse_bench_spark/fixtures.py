@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v21"  # bump to force regeneration
+FIXTURE_VERSION = "v22"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -191,6 +191,24 @@ def _placeholder_stats(n_bytes: int) -> dict:
         "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
         "status": "decode_error",
     }
+
+
+def _mk_web_text(doc_id: int, text: str) -> str:
+    """Dirty web-crawl text for the PII-scrub surface: corpus words with
+    deterministically injected emails / URLs / IPv4s / phone numbers
+    (did-mod rules; some docs stay clean)."""
+    words = text.split()[:30] or ["lorem"]
+    bits = [" ".join(words[:10])]
+    if doc_id % 2 == 0:
+        bits.append(f"contact user{doc_id}@example{doc_id % 7}.org now")
+    if doc_id % 3 == 0:
+        bits.append(f"see https://site{doc_id % 13}.example.com/p/{doc_id}?q=1 there")
+    if doc_id % 5 == 0:
+        bits.append(f"host 10.{doc_id % 256}.{(doc_id * 7) % 256}.{doc_id % 250} up")
+    if doc_id % 4 == 0:
+        bits.append(f"call +4{doc_id % 10} 555 01{doc_id % 10} 4{doc_id % 10}32 today")
+    bits.append(" ".join(words[10:20]))
+    return " ".join(b for b in bits if b)
 
 
 _KIND_CODES = ("text", "inline-formula", "display-formula", "table", "image")
@@ -1079,6 +1097,7 @@ def ensure_fixtures(sf_dir: str) -> Path:
     md_refs_rows, table_rows, golden_md_refs_rows = [], [], []
     tei_rows, media_rows, media_stats_rows = [], [], []
     raster_rows = []
+    web_rows = []
     for rec in base.itertuples(index=False):
         did = int(rec.doc_id)
         doc_id = f"{did:09d}"
@@ -1096,6 +1115,8 @@ def ensure_fixtures(sf_dir: str) -> Path:
                                 "complexity": s["complexity"]})
         md_rows.append({"doc_id": doc_id,
                         "markdown": render_markdown(did, spans, rec.source)})
+        web_rows.append({"doc_id": doc_id,
+                         "text": _mk_web_text(did, rec.text)})
         html_rows.append({"doc_id": doc_id,
                           "html": render_html(did, spans, rec.source)})
         tei_rows.append({"doc_id": doc_id,
@@ -1215,6 +1236,8 @@ def ensure_fixtures(sf_dir: str) -> Path:
            pa.schema([("doc_id", pa.string()), ("text", pa.string())]))
     _write("tei_documents.parquet", tei_rows,
            pa.schema([("doc_id", pa.string()), ("tei", pa.string())]))
+    _write("raw_web_documents.parquet", web_rows,
+           pa.schema([("doc_id", pa.string()), ("text", pa.string())]))
     _write("golden_raster_stats.parquet", raster_rows,
            pa.schema([("doc_id", pa.string()), ("page_no", pa.int32()),
                       ("width", pa.int32()), ("height", pa.int32()),

@@ -398,3 +398,47 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.4,
         .where(F.col("cosine") >= F.lit(threshold))
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+NGRAM_DUP_N = 8        # shingle width (words) — Lee et al. exact-substring dedup
+NGRAM_DUP_MAX_DF = 20  # shingles in more docs than this are boilerplate, not dup evidence
+NGRAM_DUP_MIN_SHARED = 3
+
+
+def duplicate_ngram_pairs(docs: DataFrame, n: int = NGRAM_DUP_N,
+                          max_df: int = NGRAM_DUP_MAX_DF,
+                          min_shared: int = NGRAM_DUP_MIN_SHARED) -> DataFrame:
+    """Exact-substring duplicate detection (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" map-reduce shape): every
+    doc emits its distinct word-8-gram shingle hashes; shingles appearing
+    in 2..max_df docs (rarer than boilerplate) vote for doc pairs; pairs
+    sharing >= min_shared rare shingles are exact-substring duplicates.
+
+    Scale shape: one shuffle on the shingle hash (map-side distinct), a
+    document-frequency filter BEFORE the self-join (so ubiquitous
+    boilerplate shingles can never explode the pair space), and the
+    self-join reuses the shingle exchange. Output is (doc_a, doc_b,
+    n_shared) — tiny relative to the corpus."""
+    ws = F.filter(F.split(F.trim(F.col("text")), " +"), lambda x: x != "")
+    w = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") >= n)
+    idx = F.sequence(F.lit(0), F.size("ws") - n)
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n)))
+    g = (w.select("doc_id", F.explode(shingles).alias("shingle"))
+         .select("doc_id", F.md5("shingle").alias("sh"))
+         .distinct())
+    rare = (g.groupBy("sh")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+            .select("sh"))
+    gr = g.join(rare, "sh")
+    pairs = (
+        gr.alias("a")
+        .join(gr.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return pairs

@@ -216,3 +216,33 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
     )
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+# C4/CCNet-style PII scrubbing: portable regexes (no lookaround — valid in
+# both Java regex and RE2) applied in a fixed order; counts are measured on
+# the ORIGINAL text per pattern, replacement is sequential. URL first so an
+# address inside a URL is not double-counted as an email.
+PII_PATTERNS = (
+    ("n_urls", "https?://[^\\s]+", "<URL>"),
+    ("n_emails",
+     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_ips", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("n_phones", "\\+\\d{1,2}[ -]\\d{3}[ -]\\d{3,4}[ -]\\d{3,4}", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII/URL scrubbing pass a training-data pipeline runs before anything
+    touches the text (C4 §2.2 semantics): emails, URLs, IPv4s and
+    international-format phone numbers replaced with typed placeholder
+    tokens, per-kind hit counts kept as the audit columns. Pure codegen —
+    four regexp_count + four chained regexp_replace inside one projection
+    over a pruned scan; zero shuffles at any scale."""
+    counts = [
+        F.regexp_count("text", F.lit(pat)).cast("long").alias(name)
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col("text")
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return docs.select("doc_id", clean.alias("clean_text"), *counts)

@@ -186,3 +186,43 @@ def test_ann_bucket_probe_radius2_superset(spark):
     for row in j:
         assert row.n2 >= row.n1
         assert row.worst2 >= row.worst1
+
+
+def test_duplicate_ngram_pairs_plants_exact_substring(spark):
+    """Two docs sharing a planted 10-word passage (unique to them) must
+    pair with n_shared >= 3 (three 8-gram shingles inside 10 words); a
+    third doc without the passage must not pair with either."""
+    from pdf_parse_bench_spark.operators.dedup import duplicate_ngram_pairs
+
+    passage = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
+    rows = [
+        (1, "alpha beta " + passage + " tail one"),
+        (2, "other head words " + passage + " different tail"),
+        (3, "completely unrelated text with enough words to shingle ok " +
+            "more filler words here to pass the length gate fine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.n_shared
+           for r in duplicate_ngram_pairs(docs).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 3
+    assert all(3 not in pair for pair in got)
+
+
+def test_pii_scrub_kinds_and_counts(spark):
+    from pdf_parse_bench_spark.operators.textstats import pii_scrub
+
+    rows = [
+        (1, "mail me at a.b+x@foo-bar.example.com or visit "
+            "https://x.example.com/p?q=1 from 192.168.0.1 call +49 555 123 4567"),
+        (2, "no pii here at all just words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    r1 = out[1]
+    assert (r1.n_emails, r1.n_urls, r1.n_ips, r1.n_phones) == (1, 1, 1, 1)
+    assert "<EMAIL>" in r1.clean_text and "<URL>" in r1.clean_text
+    assert "<IP>" in r1.clean_text and "<PHONE>" in r1.clean_text
+    assert "@" not in r1.clean_text and "https://" not in r1.clean_text
+    r2 = out[2]
+    assert r2.clean_text == "no pii here at all just words"
+    assert (r2.n_emails, r2.n_urls, r2.n_ips, r2.n_phones) == (0, 0, 0, 0)
