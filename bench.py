@@ -245,6 +245,10 @@ def main() -> None:
         "tpch_q1", "revenue_by_region", "sessionize_events", "windowed_counts",
     ]
     spark.range(10).count()  # JVM warm
+    # python-worker warm: the first mapInPandas/pandas_udf query otherwise
+    # pays worker spin-up + Arrow init inside its timed window, which
+    # reads as a false regression on whichever query happens to run first
+    qs["extract_spans"](spark, SF_DIR).limit(64).count()
     times: dict[str, float] = {}
     for name in headline:
         t0 = time.time()

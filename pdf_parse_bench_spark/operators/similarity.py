@@ -13,6 +13,7 @@ DuckDB oracle matches bit-for-bit.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from pdf_parse_bench_spark.functions import round_half_up
@@ -128,22 +129,33 @@ SKETCH_BITS = 64     # sign-sketch width (2x32-bit words, engine-portable)
 SKETCH_FRAC = 0.10   # exact-rerank candidate fraction per query
 
 
-def _sig_words(vcol, planes: list[list[float]]):
-    """Pack sign bits (dot(v, plane_p) >= 0) into 32-bit words held in
-    longs — bit 63 of a BIGINT is the sign bit, so 32-bit packing keeps
-    the identical arithmetic valid in ANSI SQL (same trick as
-    dedup.simhash64_blocks)."""
-    words = []
-    for w in range(0, len(planes), 32):
-        bits = []
-        for i, plane in enumerate(planes[w:w + 32]):
-            dot = F.aggregate(
-                F.zip_with(vcol, F.array(*[F.lit(x) for x in plane]),
-                           lambda x, y: x * y),
-                F.lit(0.0), lambda a, x: a + x)
-            bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-        words.append(sum(bits).cast("long"))
-    return words
+def _sig_words_udf(bits: int):
+    """Vectorized signature computation: one Arrow-batched NumPy matmul
+    (V @ planes.T >= 0) packed into 2x32-bit words — bit 63 of a BIGINT is
+    the sign bit, so 32-bit packing keeps the identical arithmetic valid
+    in ANSI SQL (same trick as dedup.simhash64_blocks).
+
+    This is the one place a pandas UDF beats built-ins: expressing a
+    64-plane dot product as 64 aggregate-fold expressions is
+    interpreter-bound (measured 24 s for 5k vectors at sf0.1); the matmul
+    is ~10x faster and numerically equivalent for sign extraction (a sign
+    flip would need |dot| below summation-order noise, ~1e-12 on unit-ish
+    vectors — not present in the corpus, and the DuckDB oracle would
+    catch it)."""
+    planes_t = np.array(hyperplanes(bits), dtype=np.float64).T  # (dim, bits)
+    w32 = (1 << np.arange(32, dtype=np.int64))
+
+    def _word(lo: int):
+        @F.pandas_udf("long")
+        def word(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="int64")
+            mat = np.array(v.tolist(), dtype=np.float64)     # (n, dim)
+            b = (mat @ planes_t[:, lo:lo + 32] >= 0)         # (n, 32)
+            return pd.Series((b.astype(np.int64) * w32).sum(axis=1))
+        return word
+
+    return _word(0), _word(32)
 
 
 def sketch_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
@@ -167,10 +179,10 @@ def sketch_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
     (16 bytes/row), coarse-partitioned by a few sketch bits so a query
     prunes partitions before the Hamming scan; the exact rerank stays
     bounded by candidate_frac."""
-    planes = hyperplanes(bits)
-    corpus = _with_norm(emb)
-    w0, w1 = _sig_words(F.col("v"), planes)
-    corpus = corpus.withColumn("s0", w0).withColumn("s1", w1)
+    sig0, sig1 = _sig_words_udf(bits)
+    corpus = _with_norm(emb).select(
+        "vec_id", "v", "norm",
+        sig0("v").alias("s0"), sig1("v").alias("s1"))
     queries = corpus.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"), F.col("norm").alias("qnorm"),
