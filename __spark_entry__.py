@@ -307,6 +307,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint"] = lambda s, d: ts.fingerprint(_t(s, d, "documents"))
     q["corpus_filter"] = lambda s, d: ts.corpus_filter(_t(s, d, "documents"))
     q["pii_scrub"] = lambda s, d: ts.pii_scrub(_f(s, d, "raw_web_documents"))
+    q["formula_artifacts"] = lambda s, d: (
+        mediaops.render_formula_artifacts(_f(s, d, "render_requests"))
+        .select("doc_id", "offset", "media_ref", "width", "height",
+                "mean_intensity", "status")
+    )
     q["duplicate_ngram_pairs"] = lambda s, d: (
         dd.duplicate_ngram_pairs(_t(s, d, "documents"))
         .select("doc_a", "doc_b", F.col("n_shared").cast("long").alias("n_shared"))
@@ -1040,6 +1045,37 @@ def oracle_sql() -> dict[str, str]:
     o["pii_scrub"] = (
         f"SELECT doc_id, {_scrub} AS clean_text, {', '.join(_cnt_cols)} "
         f"FROM '{ORACLE_FX}/raw_web_documents.parquet'"
+    )
+
+    # formula_artifacts: the render spec is closed-form in the formula
+    # text (width = 8 + 6*len(inner), height = 20, ink = 72*n_nonspace at
+    # intensity 40), so DuckDB recomputes every artifact's metadata; the
+    # error fallback (empty inner / unbalanced braces) is the 64x64
+    # placeholder with mean 128*62^2/64^2/255
+    o["formula_artifacts"] = (
+        "WITH r AS (SELECT doc_id, \"offset\", CASE "
+        "WHEN t LIKE '$$%$$' AND length(t) >= 4 "
+        "THEN substring(t, 3, length(t) - 4) "
+        "WHEN t LIKE '$%$' AND length(t) >= 2 "
+        "THEN substring(t, 2, length(t) - 2) "
+        "ELSE t END AS fx_in FROM (SELECT doc_id, \"offset\", "
+        f"trim(formula) AS t FROM '{ORACLE_FX}/render_requests.parquet')), "
+        "m AS (SELECT doc_id, \"offset\", fx_in, "
+        "(trim(fx_in) = '' OR "
+        "length(fx_in) - length(replace(fx_in, '{', '')) <> "
+        "length(fx_in) - length(replace(fx_in, '}', ''))) AS bad, "
+        "length(fx_in) AS n, "
+        "length(replace(fx_in, ' ', '')) AS nonspace FROM r) "
+        "SELECT doc_id, \"offset\", "
+        "'formula_' || doc_id || '_' || \"offset\" || '.png' AS media_ref, "
+        "CASE WHEN bad THEN 64 ELSE 8 + 6 * n END AS width, "
+        "CASE WHEN bad THEN 64 ELSE 20 END AS height, "
+        "CASE WHEN bad THEN floor(128.0 * 62 * 62 / (64 * 64) / 255.0 "
+        "* 1000000 + 0.5) / 1000000 "
+        "ELSE floor(((255.0 * ((8 + 6 * n) * 20 - 72 * nonspace) "
+        "+ 40.0 * 72 * nonspace) / ((8 + 6 * n) * 20 * 255.0)) "
+        "* 1000000 + 0.5) / 1000000 END AS mean_intensity, "
+        "CASE WHEN bad THEN 'render_error' ELSE 'ok' END AS status FROM m"
     )
 
     # duplicate_ngram_pairs: word-8-gram shingles, df in [2, 20], pairs

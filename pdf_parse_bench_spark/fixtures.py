@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v22"  # bump to force regeneration
+FIXTURE_VERSION = "v23"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -1098,6 +1098,7 @@ def ensure_fixtures(sf_dir: str) -> Path:
     tei_rows, media_rows, media_stats_rows = [], [], []
     raster_rows = []
     web_rows = []
+    render_rows = []
     for rec in base.itertuples(index=False):
         did = int(rec.doc_id)
         doc_id = f"{did:09d}"
@@ -1117,6 +1118,19 @@ def ensure_fixtures(sf_dir: str) -> Path:
                         "markdown": render_markdown(did, spans, rec.source)})
         web_rows.append({"doc_id": doc_id,
                          "text": _mk_web_text(did, rec.text)})
+        # S7 render-sink requests: every formula span, plus injected
+        # invalid formulas (unbalanced brace / empty inner) exercising the
+        # error-image fallback contract in the ORACLE-checked path
+        for s in spans:
+            if s["kind"] in ("inline-formula", "display-formula"):
+                render_rows.append({"doc_id": doc_id, "offset": s["offset"],
+                                    "formula": s["text"]})
+        if did % 6 == 0:
+            render_rows.append({"doc_id": doc_id, "offset": 2000,
+                                "formula": "$x_{1$"})
+        if did % 11 == 0:
+            render_rows.append({"doc_id": doc_id, "offset": 2001,
+                                "formula": "$$   $$"})
         html_rows.append({"doc_id": doc_id,
                           "html": render_html(did, spans, rec.source)})
         tei_rows.append({"doc_id": doc_id,
@@ -1238,6 +1252,9 @@ def ensure_fixtures(sf_dir: str) -> Path:
            pa.schema([("doc_id", pa.string()), ("tei", pa.string())]))
     _write("raw_web_documents.parquet", web_rows,
            pa.schema([("doc_id", pa.string()), ("text", pa.string())]))
+    _write("render_requests.parquet", render_rows,
+           pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
+                      ("formula", pa.string())]))
     _write("golden_raster_stats.parquet", raster_rows,
            pa.schema([("doc_id", pa.string()), ("page_no", pa.int32()),
                       ("width", pa.int32()), ("height", pa.int32()),

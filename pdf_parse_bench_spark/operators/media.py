@@ -124,3 +124,55 @@ def decode_media(media_df: DataFrame) -> DataFrame:
                 "height int, channels int, n_bytes long, "
                 "mean_intensity double, status string"),
     )
+
+
+def render_formula_artifacts(formulas: DataFrame) -> DataFrame:
+    """S7 render sink: (doc_id, offset, formula) → one PNG artifact row per
+    formula via the deterministic glyph-box renderer (kernels/render.py),
+    with the reference's error-image fallback contract
+    (formula_renderer.py:119-164): an invalid formula emits the
+    deterministic placeholder artifact with status='render_error' — never
+    a null row, never a task failure (X4). mapInPandas in Arrow batches;
+    png_bytes ride along for the sink, metadata is the oracle surface
+    (closed-form in the formula text, so DuckDB recomputes it exactly)."""
+    from pdf_parse_bench_spark.kernels.png import encode_png
+    from pdf_parse_bench_spark.kernels.render import render_formula
+
+    ph = error_placeholder()
+    ph_png = encode_png(ph)
+    ph_mean = float(np.floor(float(ph.mean()) / 255.0 * 1e6 + 0.5)) / 1e6
+
+    cols = ["doc_id", "offset", "media_ref", "width", "height",
+            "mean_intensity", "status", "png_bytes"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, off, formula in zip(
+                    pdf["doc_id"], pdf["offset"], pdf["formula"]):
+                out["doc_id"].append(doc_id)
+                out["offset"].append(off)
+                out["media_ref"].append(f"formula_{doc_id}_{off}.png")
+                img = render_formula(formula if formula is not None else "")
+                if img is None:
+                    out["width"].append(ph.shape[1])
+                    out["height"].append(ph.shape[0])
+                    out["mean_intensity"].append(ph_mean)
+                    out["status"].append("render_error")
+                    out["png_bytes"].append(ph_png)
+                else:
+                    mean = float(img.mean()) / 255.0
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["mean_intensity"].append(
+                        float(np.floor(mean * 1e6 + 0.5)) / 1e6)
+                    out["status"].append("ok")
+                    out["png_bytes"].append(encode_png(img))
+            yield pd.DataFrame(out)
+
+    return formulas.mapInPandas(
+        run,
+        schema=("doc_id string, offset int, media_ref string, width int, "
+                "height int, mean_intensity double, status string, "
+                "png_bytes binary"),
+    )

@@ -123,3 +123,32 @@ def test_decode_media_matches_fixture_golden(spark, fx_smoke):
     got = decode_media(files)
     assert got.exceptAll(golden).isEmpty()
     assert golden.exceptAll(got).isEmpty()
+
+
+def test_render_formula_artifacts_ok_and_error(spark):
+    """S7 render sink: valid formulas get glyph-box PNGs with closed-form
+    geometry; invalid ones (unbalanced brace, empty inner) get the
+    deterministic placeholder with status='render_error' — and every
+    png_bytes round-trips through the real decoder."""
+    from pdf_parse_bench_spark.operators.media import (
+        error_placeholder, render_formula_artifacts)
+
+    rows = [("d1", 0, "$x_{1}^{2}$"),      # inner = 'x_{1}^{2}' (9 chars)
+            ("d1", 1, "$x_{1$"),           # unbalanced brace
+            ("d2", 0, "$$   $$")]          # empty inner
+    df = spark.createDataFrame(
+        rows, "doc_id string, offset int, formula string")
+    out = {(r.doc_id, r.offset): r
+           for r in render_formula_artifacts(df).collect()}
+    ok = out[("d1", 0)]
+    assert ok.status == "ok"
+    assert (ok.width, ok.height) == (8 + 6 * 9, 20)
+    img = decode_png(bytes(ok.png_bytes))
+    assert img.shape == (20, 62)
+    assert (img == 40).sum() == 72 * 9  # 9 non-space glyph boxes
+    for key in (("d1", 1), ("d2", 0)):
+        err = out[key]
+        assert err.status == "render_error"
+        assert (err.width, err.height) == (64, 64)
+        assert np.array_equal(decode_png(bytes(err.png_bytes)),
+                              error_placeholder())
