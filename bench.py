@@ -240,7 +240,8 @@ def main() -> None:
         "lsh_candidate_pairs", "simhash_signatures", "simhash_near_dups",
         "dedup_exact", "embedding_near_dups",
         "ann_topk", "ann_lsh", "lang_id", "quality_score", "fingerprint",
-        "corpus_filter",
+        "corpus_filter", "pii_scrub", "duplicate_ngram_pairs",
+        "formula_artifacts",
         "grouped_mean_scores", "leaderboard", "pending_scores",
         "tpch_q1", "revenue_by_region", "sessionize_events", "windowed_counts",
     ]

@@ -208,3 +208,17 @@ def test_skew_rebalance_isolates_big_docs(spark, fx_smoke):
         .where((F.col("n_big") > 0) & (F.col("n") > F.col("n_big")))
     )
     assert mixed.isEmpty(), mixed.collect()
+
+
+def test_duplicate_ngram_pairs_df_filter_before_selfjoin(spark):
+    """The exact-substring self-join must (a) never be cartesian and
+    (b) key on the shingle hash with the document-frequency filter BELOW
+    the join (boilerplate shingles can never reach the pair space)."""
+    from pdf_parse_bench_spark.operators import dedup as dd
+    out = dd.duplicate_ngram_pairs(_docs(spark))
+    assert_no_cartesian(out)
+    plan = formatted_plan(out)
+    assert "sh" in plan
+    out.collect()  # AQE finalizes exchange reuse
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
