@@ -78,3 +78,27 @@ def test_002_column_major_reading_order():
     # column 1 opener precedes a column-2-only sentence
     assert txt.index("Attaquer matière diriger") < txt.index(
         "Doucement hésiter essayer")
+
+
+def test_gt_text_span_alignment_real_pdfs():
+    """The J2 fuzzy-alignment kernel (sliding-window Levenshtein, 15%
+    tolerance — segment_extractor.py:628-711 semantics) must locate >=75%
+    of the reference's ground-truth TEXT spans inside our extraction of
+    the corresponding real PDF, aggregated over 10 docs. Deterministic:
+    fixed corpus, fixed kernel. (Measured 185/232 = 0.797 at round 3 —
+    misses are prose spans interrupted by inline-formula glyph runs.)"""
+    from pdf_parse_bench_spark.kernels.alignment import find_original_segment
+
+    hit = tot = 0
+    for p in sorted(REF.glob("pdfs/*.pdf"))[:10]:
+        gt = json.loads(
+            (REF / "ground_truth" / f"{p.stem}.json").read_text())
+        ext = extract_pdf_text(p.read_bytes()).replace("-\n", "").replace(
+            "\n", " ")
+        for s in gt:
+            if s["type"] != "text":
+                continue
+            tot += 1
+            if find_original_segment(s["data"], ext) is not None:
+                hit += 1
+    assert hit / tot >= 0.75, f"{hit}/{tot}"
