@@ -52,6 +52,9 @@ from pdf_parse_bench_spark.operators.extract import (  # noqa: E402
     rasterize_pages,
     substitute_table_refs,
 )
+from pdf_parse_bench_spark.operators.extract import (  # noqa: E402
+    pdf_spans as pdf_spans_op,
+)
 from pdf_parse_bench_spark.kernels import textnorm as tn  # noqa: E402
 from pdf_parse_bench_spark.operators import media as mediaops  # noqa: E402
 from pdf_parse_bench_spark.operators.media import media_features  # noqa: E402
@@ -109,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _f(s, d, "tei_documents")
     )
     q["pdf_parse"] = lambda s, d: parse_pdfs(_f(s, d, "pdf_docs"))
+    q["pdf_spans"] = lambda s, d: pdf_spans_op(_f(s, d, "pdf_docs"))
     q["page_raster_stats"] = lambda s, d: (
         rasterize_pages(_f(s, d, "pdf_docs"))
         .select("doc_id", "page_no", "width", "height", "ink_ratio")
@@ -677,6 +681,10 @@ def oracle_sql() -> dict[str, str]:
         f'SELECT doc_id, "offset", kind, text, media_ref FROM {_GLAY}'
     )
     o["pdf_parse"] = f"SELECT doc_id, text FROM {_GPDF}"
+    o["pdf_spans"] = (
+        'SELECT doc_id, "offset", kind, text '
+        f"FROM '{ORACLE_FX}/golden_pdf_spans.parquet'"
+    )
     o["page_raster_stats"] = (
         "SELECT doc_id, page_no, width, height, ink_ratio "
         f"FROM '{ORACLE_FX}/golden_raster_stats.parquet'"

@@ -235,6 +235,7 @@ def main() -> None:
     qs = entry.queries()
     headline = [
         "extract_spans", "align_extractions", "layout_spans", "pdf_parse",
+        "pdf_spans",
         "html_spans", "tei_spans", "page_assembly_refs", "decode_media",
         "extracted_complexity_cube",
         "lsh_candidate_pairs", "simhash_signatures", "simhash_near_dups",

@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v23"  # bump to force regeneration
+FIXTURE_VERSION = "v24"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -879,7 +879,21 @@ def _assemble_modern_pdf(objs: list[bytes], use_predictor: bool) -> bytes:
     return bytes(out)
 
 
-def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
+def _merge_pdf_spans(entries: list[tuple[int, str, str]]) -> list[dict]:
+    """Golden (kind, text) spans from per-line entries: consecutive
+    same-kind lines WITHIN a page merge newline-joined — exactly the
+    pdf_spans operator's merge rule (kernels/pdftext._runs_to_spans)."""
+    merged: list[list] = []
+    for pg, kind, text in entries:
+        if merged and merged[-1][0] == pg and merged[-1][1] == kind:
+            merged[-1][2].append(text)
+        else:
+            merged.append([pg, kind, [text]])
+    return [{"offset": i, "kind": k, "text": "\n".join(ts)}
+            for i, (_pg, k, ts) in enumerate(merged)]
+
+
+def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str, list]:
     """Multi-page PDF from the doc's text spans + expected text.
 
     Exercises the real PDF surface the extractor must handle (the constructs
@@ -896,12 +910,14 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
     rng = np.random.default_rng([GLOBAL_SEED, 29, int(doc_id)])
     lines = [s["text"] for s in spans if s["kind"] == "text"]
     pages: list[dict] = []  # {streams: [bytes], letter: bool}
-    golden_lines: list[str] = []
+    golden_entries: list[tuple[int, str, str]] = []  # (page, kind, text)
     pos = 0
     while pos < len(lines) or not pages:
         two_col = bool(rng.random() < 0.4)
         letter = bool(rng.random() < 0.25)
         deco_draw = float(rng.random())
+        math_draw = float(rng.random())
+        pg = len(pages)
         # per-page font size variation: run geometry (width/height) must be
         # derived from the ACTIVE size, not a fixture constant — the
         # extractor's XY-cut sees 10pt and 12pt pages alike
@@ -924,27 +940,36 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
         if deco_draw < 0.3:  # /Differences-encoded chrome line (F2)
             ops.append(f"BT /F2 12 Tf 1 0 0 1 72.0 {y0:.1f} Tm "
                        + _DECO_STREAM + " ET")
-            golden_lines.append(_DECO_TEXT)
+            golden_entries.append((pg, "text", _DECO_TEXT))
             y0 -= 20.0  # 8pt whitespace gap: XY-cut keeps deco first
         elif deco_draw < 0.5:  # /ToUnicode-CMap-encoded line (F3)
             ops.append(f"BT /F3 12 Tf 1 0 0 1 72.0 {y0:.1f} Tm "
                        + _DECO2_STREAM + " ET")
-            golden_lines.append(_DECO2_TEXT)
+            golden_entries.append((pg, "text", _DECO2_TEXT))
             y0 -= 20.0
         elif deco_draw < 0.65:  # Type0/Identity-H CID line (F4, 2-byte codes)
             ops.append(f"BT /F4 12 Tf 1 0 0 1 72.0 {y0:.1f} Tm "
                        + _DECO3_STREAM + " ET")
-            golden_lines.append(_DECO3_TEXT)
+            golden_entries.append((pg, "text", _DECO3_TEXT))
             y0 -= 20.0
         elif deco_draw < 0.75:  # deco via Form XObject (Do recursion)
             ops.append("/FmL Do" if letter else "/FmA Do")
-            golden_lines.append(_DECO_TEXT)
+            golden_entries.append((pg, "text", _DECO_TEXT))
+            y0 -= 20.0
+        if math_draw < 0.35:
+            # math-font (F5 -> LMMathItalic BaseFont) display line: the
+            # pdf_spans path must classify it display-formula from the
+            # font alone (kernels/pdftext._runs_to_spans)
+            mf = f"k{doc_id % 7} = x + {doc_id % 9} / m{doc_id % 5}"
+            ops.append(f"BT /F5 12 Tf 1 0 0 1 72.0 {y0:.1f} Tm "
+                       f"({mf}) Tj ET")
+            golden_entries.append((pg, "display-formula", mf))
             y0 -= 20.0
         for x, col_lines, max_w in cols:
             col_ops, emitted = _emit_column(x, y0, col_lines, rng,
                                             size=size, max_w=max_w)
             ops.extend(col_ops)
-            golden_lines.extend(emitted)
+            golden_entries.extend((pg, "text", ln) for ln in emitted)
 
         if len(ops) > 2 and rng.random() < 0.3:  # /Contents array path
             cut = len(ops) // 2
@@ -967,7 +992,7 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
             break
 
     # objects: 1=Catalog 2=Pages 3=F1 4=F2 5=F3 6=CMap 7=F4 8=CIDCMap
-    # 9=FormA4 10=FormLetter,
+    # 9=FormA4 10=FormLetter 11=F5 (math face),
     # then per page:
     # streams, page dict. MediaBox + Resources live on the Pages node
     # (inheritance path); Letter pages override MediaBox locally.
@@ -995,6 +1020,9 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
         objs.append(
             b"<< /Type /XObject /Subtype /Form /Length %d >>"
             b"\nstream\n%s\nendstream" % (len(form), form))
+    # math face: BaseFont name carries the LM math-family marker
+    objs.append(b"<< /Type /Font /Subtype /Type1 "
+                b"/BaseFont /SYNTH+LMMathItalic12-Regular >>")
     page_nums: list[int] = []
     for page in pages:
         snums = []
@@ -1012,14 +1040,15 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
     kids = b" ".join(b"%d 0 R" % n for n in page_nums)
     objs[1] = (b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 595 842] "
                b"/Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 5 0 R "
-               b"/F4 7 0 R >> /XObject << /FmA 9 0 R /FmL 10 0 R >> >> >>"
+               b"/F4 7 0 R /F5 11 0 R >> /XObject << /FmA 9 0 R /FmL 10 0 R >> >> >>"
                % (kids, len(page_nums)))
 
     # ~30% of docs ship in the PDF 1.5 modern layout (xref STREAM +
     # /ObjStm-packed dicts, half of those with /Predictor 12)
     if rng.random() < 0.3:
         return (_assemble_modern_pdf(objs, bool(rng.random() < 0.5)),
-                "\n".join(golden_lines))
+                "\n".join(t for _, _, t in golden_entries),
+                _merge_pdf_spans(golden_entries))
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
@@ -1034,7 +1063,8 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str]:
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objs) + 1, xref_at)
     )
-    return bytes(out), "\n".join(golden_lines)
+    return (bytes(out), "\n".join(t for _, _, t in golden_entries),
+            _merge_pdf_spans(golden_entries))
 
 
 # ---------------------------------------------------------------------------
@@ -1099,6 +1129,7 @@ def ensure_fixtures(sf_dir: str) -> Path:
     raster_rows = []
     web_rows = []
     render_rows = []
+    pdf_span_rows = []
     for rec in base.itertuples(index=False):
         did = int(rec.doc_id)
         doc_id = f"{did:09d}"
@@ -1148,9 +1179,11 @@ def ensure_fixtures(sf_dir: str) -> Path:
                                 "category": cat, "text": txt})
         for g in golden_layout:
             golden_layout_rows.append({"doc_id": doc_id, **g})
-        pdf_bytes, pdf_text = generate_pdf(did, spans)
+        pdf_bytes, pdf_text, pdf_span_list = generate_pdf(did, spans)
         pdf_rows.append({"doc_id": doc_id, "pdf_bytes": pdf_bytes})
         pdf_text_rows.append({"doc_id": doc_id, "text": pdf_text})
+        for ps in pdf_span_list:
+            pdf_span_rows.append({"doc_id": doc_id, **ps})
         # raster-stats golden: pinned regression artifact — the deterministic
         # rasterizer is its own spec (the reference's M5 relies on fitz the
         # same way); this locks page count, pixmap geometry and ink ratio
@@ -1255,6 +1288,9 @@ def ensure_fixtures(sf_dir: str) -> Path:
     _write("render_requests.parquet", render_rows,
            pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
                       ("formula", pa.string())]))
+    _write("golden_pdf_spans.parquet", pdf_span_rows,
+           pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
+                      ("kind", pa.string()), ("text", pa.string())]))
     _write("golden_raster_stats.parquet", raster_rows,
            pa.schema([("doc_id", pa.string()), ("page_no", pa.int32()),
                       ("width", pa.int32()), ("height", pa.int32()),

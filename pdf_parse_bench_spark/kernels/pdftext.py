@@ -35,6 +35,13 @@ import numpy as np
 from pdf_parse_bench_spark.kernels.layout import reading_order
 
 PAGE_H = 842.0  # fallback page height when no /MediaBox is recoverable
+
+# /BaseFont families that mark math glyph runs (Computer Modern / Latin
+# Modern math, Symbol, AMS symbol fonts) — the classification signal for
+# pdf_spans (formula vs prose); prose CM faces (CMR/LMRoman…) don't match
+_MATH_FONT_RE = re.compile(
+    r"(CMMI|CMSY|CMEX|CMBSY|MSAM|MSBM|Math(?:Italic|Symbols|Extension)?"
+    r"|Symbol|rsfs|wasy|stmary)", re.I)
 _LINE_H = 12.0
 _RUN_W = 200.0
 _TJ_SPACE_KERN = -150.0  # TJ adjustment (1/1000 em) at/below which a space is implied
@@ -593,7 +600,11 @@ class _PdfDoc:
 
     # -- fonts / encodings ----------------------------------------------------
     def _fonts(self, resources) -> dict:
-        """name -> decode callable (bytes -> str)."""
+        """name -> (decode callable (bytes -> str), is_math_font).
+
+        is_math comes from the /BaseFont name (CM/LM math families,
+        Symbol, AMS fonts) — the signal pdf_spans uses to classify runs
+        into formula vs prose spans."""
         fonts: dict = {}
         resources = self.resolve(resources)
         if not isinstance(resources, dict):
@@ -604,7 +615,9 @@ class _PdfDoc:
         for name, ref in fdict.items():
             font = self.resolve(ref)
             if isinstance(font, dict):
-                fonts[name] = self._font_decoder(font)
+                base = str(font.get("BaseFont", ""))
+                fonts[name] = (self._font_decoder(font),
+                               bool(_MATH_FONT_RE.search(base)))
         return fonts
 
     def _font_decoder(self, font: dict):
@@ -937,17 +950,19 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
     XY-cut over these boxes keeps two-column math PDFs column-major instead
     of fragmenting formula runs across the gutter. Rotation in Tm is
     ignored for layout (translation + axis scale only)."""
-    runs: list[tuple[float, float, float, float, str]] = []
+    runs: list[tuple[float, float, float, float, str, bool]] = []
     stack: list = []
     lx = ly = 0.0
     leading = 0.0
     cur_font = _DEFAULT_DECODER
+    cur_math = False
     cur_size = 12.0
     tm_a = tm_d = 1.0  # Tm axis scale (text space -> user space)
     buf: list[str] = []
     buf_pos = (0.0, 0.0)
     buf_w = 0.0
     buf_h = 0.0
+    pen = 0.0  # advance from line start (same 0.5*size*len model as buf_w)
 
     def flush():
         nonlocal buf, buf_w, buf_h
@@ -955,25 +970,29 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
             text = "".join(buf)
             if text:
                 runs.append((buf_pos[0], buf_pos[1],
-                             buf_w, buf_h or cur_size * tm_d, text))
+                             buf_w, buf_h or cur_size * tm_d, text,
+                             cur_math))
             buf = []
             buf_w = 0.0
             buf_h = 0.0
 
     def show(raw: bytes):
-        nonlocal buf_pos, buf_w, buf_h
+        nonlocal buf_pos, buf_w, buf_h, pen
         if not buf:
-            buf_pos = (lx, ly)
+            buf_pos = (lx + pen, ly)
         s = cur_font(raw)
         buf.append(s)
-        buf_w += 0.5 * cur_size * tm_a * len(s)
+        adv = 0.5 * cur_size * tm_a * len(s)
+        buf_w += adv
+        pen += adv
         buf_h = max(buf_h, cur_size * tm_d)
 
     def move(tx: float, ty: float):
-        nonlocal lx, ly
+        nonlocal lx, ly, pen
         flush()
         lx += tx
         ly += ty
+        pen = 0.0
 
     data = content
     i = 0
@@ -1027,6 +1046,7 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
                 flush()
                 lx = ly = 0.0
                 leading = 0.0
+                pen = 0.0
             elif op == b"ET":
                 flush()
             elif op == b"Tm" and len(stack) >= 6:
@@ -1034,6 +1054,7 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
                 lx, ly = float(stack[-2]), float(stack[-1])
                 tm_a = abs(float(stack[-6])) or 1.0
                 tm_d = abs(float(stack[-3])) or 1.0
+                pen = 0.0
             elif op == b"Td" and len(stack) >= 2:
                 move(float(stack[-2]), float(stack[-1]))
             elif op == b"TD" and len(stack) >= 2:
@@ -1044,7 +1065,12 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
             elif op == b"TL" and stack:
                 leading = float(stack[-1])
             elif op == b"Tf" and len(stack) >= 2 and isinstance(stack[-2], _Name):
-                cur_font = fonts.get(str(stack[-2]), _DEFAULT_DECODER)
+                entry = fonts.get(str(stack[-2]), (_DEFAULT_DECODER, False))
+                if entry[1] != cur_math:
+                    # math<->prose font switch splits the run so spans
+                    # classify cleanly; same-kind switches keep one run
+                    flush()
+                cur_font, cur_math = entry
                 cur_size = abs(float(stack[-1])) or cur_size
             elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
                 show(stack[-1])
@@ -1060,9 +1086,10 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
                         show(el)
                     elif isinstance(el, float) and el <= _TJ_SPACE_KERN:
                         if not buf:
-                            buf_pos = (lx, ly)
+                            buf_pos = (lx + pen, ly)
                         buf.append(" ")
                         buf_w += 0.5 * cur_size * tm_a
+                        pen += 0.5 * cur_size * tm_a
             elif op == b"Do" and stack and isinstance(stack[-1], _Name):
                 # Form XObject: recurse with the form's own resources;
                 # text state does not leak across the boundary (§8.10)
@@ -1081,19 +1108,110 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
     return runs
 
 
-def _runs_to_text(runs: list[tuple[float, float, float, float, str]],
-                  page_h: float) -> str:
+def _run_boxes(runs, page_h: float) -> np.ndarray:
+    """Top-left-origin boxes: the glyph box sits ABOVE the baseline (ascent
+    ~= font size); width is the run's real accumulated advance, so the
+    two-column gutter stays whitespace and the XY-cut splits on it."""
+    return np.array(
+        [[x, page_h - y - (h or _LINE_H), x + (w or _RUN_W), page_h - y]
+         for x, y, w, h, _t, _m in runs]
+    )
+
+
+def _runs_to_text(runs, page_h: float) -> str:
     if not runs:
         return ""
-    # top-left-origin boxes: the glyph box sits ABOVE the baseline (ascent
-    # ~= font size); width is the run's real accumulated advance, so the
-    # two-column gutter stays whitespace and the XY-cut splits on it
-    bboxes = np.array(
-        [[x, page_h - y - (h or _LINE_H), x + (w or _RUN_W), page_h - y]
-         for x, y, w, h, _ in runs]
-    )
-    order = reading_order(bboxes)
+    order = reading_order(_run_boxes(runs, page_h))
     return "\n".join(runs[i][4] for i in order)
+
+
+_MATH_LINE_FRAC = 0.3  # math-glyph mass above which a baseline is formula
+
+
+def _runs_to_spans(runs, page_h: float) -> list[tuple[str, str]]:
+    """Reading-ordered (kind, text) spans for one page — the dots.ocr
+    block-category contract (parsers/dots_ocr/__main__.py:125-142)
+    recovered from font metadata instead of a VLM:
+
+      - reading-ordered runs group into BASELINES (|Δy| <= 2pt between
+        order-adjacent runs), members x-sorted within the line;
+      - a line whose math-font glyph mass is >= 30% of its characters is a
+        FORMULA line (CM sets digits/function names in CMR inside
+        formulas, so run-level font tags alone fragment display math);
+        consecutive formula lines merge into ONE display-formula span
+        (multi-baseline fraction/limit layouts);
+      - math runs sitting inside a prose line are inline-formula spans,
+        emitted between the line's text pieces in x order;
+      - consecutive same-kind emissions merge (newline-joined)."""
+    if not runs:
+        return []
+    order = reading_order(_run_boxes(runs, page_h))
+    lines: list[list[int]] = []
+    for i in order:
+        if lines and abs(runs[i][1] - runs[lines[-1][-1]][1]) <= 2.0:
+            lines[-1].append(i)
+        else:
+            lines.append([i])
+    lines = [sorted(m, key=lambda j: (runs[j][0], runs[j][1]))
+             for m in lines]
+    n_lines = len(lines)
+    is_formula = []
+    line_len = []
+    for members in lines:
+        total = sum(len(runs[i][4]) for i in members) or 1
+        math_len = sum(len(runs[i][4]) for i in members if runs[i][5])
+        is_formula.append(math_len / total >= _MATH_LINE_FRAC)
+        line_len.append(total)
+    # sandwich smoothing: CM sets digits/operators of display math in CMR
+    # (prose font), so a SHORT all-prose baseline between two formula
+    # baselines (fraction numerals, 'ln'/'tan' function names) belongs to
+    # the display block; iterate to fixpoint (nested layouts)
+    k = 0
+    while k < n_lines:
+        if not is_formula[k]:
+            j = k
+            while j < n_lines and not is_formula[j]:
+                j += 1
+            gap_ok = (k > 0 and j < n_lines and (j - k) <= 3
+                      and all(line_len[t] <= 24 for t in range(k, j)))
+            if gap_ok:
+                for t in range(k, j):
+                    is_formula[t] = True
+            k = j
+        else:
+            k += 1
+    # super/subscript absorption: a SHORT prose line riding a raised or
+    # lowered baseline right next to a formula line (|Δy| <= 10pt) while
+    # its other neighbor sits a full line away (>= 20pt) is part of the
+    # formula (CM superscripts get their own baseline above the block)
+    line_y = [runs[m[0]][1] for m in lines]
+    for k in range(n_lines):
+        if is_formula[k] or line_len[k] > 12:
+            continue
+        near_prev = k > 0 and abs(line_y[k] - line_y[k - 1]) <= 10.0
+        near_next = k + 1 < n_lines and abs(line_y[k] - line_y[k + 1]) <= 10.0
+        far_prev = k == 0 or abs(line_y[k] - line_y[k - 1]) >= 20.0
+        far_next = k + 1 >= n_lines or abs(line_y[k] - line_y[k + 1]) >= 20.0
+        if (near_next and k + 1 < n_lines and is_formula[k + 1] and far_prev) \
+                or (near_prev and is_formula[k - 1] and far_next):
+            is_formula[k] = True
+
+    spans: list[list] = []
+
+    def emit(kind: str, text: str):
+        if spans and spans[-1][0] == kind:
+            spans[-1][1].append(text)
+        else:
+            spans.append([kind, [text]])
+
+    for k, members in enumerate(lines):
+        if is_formula[k]:
+            emit("display-formula",
+                 " ".join(runs[i][4] for i in members))
+        else:
+            for i in members:
+                emit("inline-formula" if runs[i][5] else "text", runs[i][4])
+    return [(k, "\n".join(parts)) for k, parts in spans]
 
 
 def page_pixmap(runs: list[tuple[float, float, str]], page_w: float,
@@ -1107,7 +1225,7 @@ def page_pixmap(runs: list[tuple[float, float, str]], page_w: float,
     w_px = max(1, int(page_w * scale))
     h_px = max(1, int(page_h * scale))
     img = np.full((h_px, w_px), 255, dtype=np.uint8)
-    for x, y_pdf, run_w, run_h, _text in runs:
+    for x, y_pdf, run_w, run_h, _text, _m in runs:
         run_w = run_w or _RUN_W
         run_h = run_h or _LINE_H
         x0 = int(x * scale)
@@ -1195,3 +1313,31 @@ def extract_pdf_text(pdf_bytes: bytes) -> str:
             if text:
                 pages.append(text)
     return "\n".join(p for p in pages if p)
+
+
+def extract_pdf_spans(pdf_bytes: bytes) -> list[dict]:
+    """Ordered (kind, text) spans from a PDF: the per-backend extraction
+    contract (reference parse stage) recovered deterministically — prose
+    runs become text spans, math-font runs become inline/display-formula
+    spans (see _runs_to_spans), page by page in reading order."""
+    out: list[dict] = []
+    page_spans: list[list[tuple[str, str]]] = []
+    try:
+        doc = _PdfDoc(pdf_bytes)
+        for body, fonts, xobj_fn, _page_w, page_h in doc.pages():
+            if body:
+                page_spans.append(
+                    _runs_to_spans(_page_runs(body, fonts, xobj_fn), page_h))
+    except Exception:
+        page_spans = []
+    if not page_spans:
+        for body in _iter_raw_streams(pdf_bytes):
+            sp = _runs_to_spans(_page_runs(body, {}), PAGE_H)
+            if sp:
+                page_spans.append(sp)
+    off = 0
+    for sp in page_spans:
+        for kind, text in sp:
+            out.append({"kind": kind, "text": text, "offset": off})
+            off += 1
+    return out

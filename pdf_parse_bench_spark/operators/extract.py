@@ -213,6 +213,32 @@ def parse_pdfs(pdf_df: DataFrame, rebalance: bool = True) -> DataFrame:
     return pdf_df.mapInPandas(run, schema=schemas.PDF_TEXT_SCHEMA)
 
 
+def pdf_spans(pdf_df: DataFrame, rebalance: bool = True) -> DataFrame:
+    """Raw-PDF path with span classification: font-aware formula/prose
+    separation (math-face runs + formula-line banding,
+    kernels/pdftext._runs_to_spans) → ordered (kind, text) spans per doc —
+    the reference's per-backend extraction contract recovered without a
+    VLM (block model: parsers/dots_ocr/__main__.py:125-142)."""
+    from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_spans
+
+    if rebalance:
+        pdf_df = rebalance_by_size(pdf_df, size_col=F.length("pdf_bytes"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "offset": [], "kind": [], "text": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["pdf_bytes"]):
+                for s in extract_pdf_spans(bytes(b)):
+                    out["doc_id"].append(doc_id)
+                    out["offset"].append(s["offset"])
+                    out["kind"].append(s["kind"])
+                    out["text"].append(s["text"])
+            yield pd.DataFrame(out)
+
+    return pdf_df.mapInPandas(
+        run, schema="doc_id string, offset int, kind string, text string")
+
+
 def rasterize_pages(pdf_df: DataFrame, dpi: int = 72,
                     rebalance: bool = True) -> DataFrame:
     """M5 page rasterization (the fitz ``get_pixmap`` analog,

@@ -417,8 +417,10 @@ def test_pdf_roundtrip_property(doc_id, texts):
     from pdf_parse_bench_spark.fixtures import generate_pdf
     spans = [{"kind": "text", "text": t, "media_ref": "", "offset": i,
               "complexity": None} for i, t in enumerate(texts)]
-    pdf, golden = generate_pdf(doc_id, spans)
+    pdf, golden, golden_spans = generate_pdf(doc_id, spans)
     assert extract_pdf_text(pdf) == golden
+    # the span golden agrees with the text golden line-for-line
+    assert "\n".join(s["text"] for s in golden_spans) == golden
 
 
 _XML_TEXT = st.text(

@@ -457,3 +457,57 @@ def test_comment_and_inline_image_skipped():
          b"BI /W 1 /H 1 ID \x00\x01\x02 EI\n"
          b"BT /F1 12 Tf 1 0 0 1 72 680 Tm (after image) Tj ET")
     assert extract_pdf_text(_one_page(s)) == "kept\nafter image"
+
+
+def test_pdf_spans_inline_vs_display_classification():
+    """A math-font run sharing a baseline with prose is inline-formula; a
+    math-only baseline is display-formula; CMR-ish short lines sandwiched
+    between formula lines are absorbed into the display block."""
+    from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_spans
+
+    body = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (The value ) Tj ET\n"
+        b"BT /Fm 12 Tf 1 0 0 1 140 700 Tm (x+y) Tj ET\n"          # inline
+        b"BT /F1 12 Tf 1 0 0 1 170 700 Tm ( is small.) Tj ET\n"
+        b"BT /Fm 12 Tf 1 0 0 1 200 650 Tm (E = mc) Tj ET\n"       # display
+        b"BT /F1 12 Tf 1 0 0 1 236 656 Tm (2) Tj ET\n"            # superscript
+        b"BT /Fm 12 Tf 1 0 0 1 200 622 Tm (+ V) Tj ET\n"
+        b"BT /F1 12 Tf 1 0 0 1 72 560 Tm (Closing prose paragraph here.) Tj ET"
+    )
+    pdf = _one_page_with_fonts(body)
+    sp = extract_pdf_spans(pdf)
+    kinds = [(s["kind"], s["text"]) for s in sp]
+    assert kinds[0][0] == "text" and "The value" in kinds[0][1]
+    assert kinds[1] == ("inline-formula", "x+y")
+    assert kinds[2][0] == "text" and "is small." in kinds[2][1]
+    disp = next(s for s in sp if s["kind"] == "display-formula")
+    assert "E = mc" in disp["text"] and "2" in disp["text"] \
+        and "+ V" in disp["text"]
+    assert kinds[-1][0] == "text" and "Closing prose" in kinds[-1][1]
+
+
+def _one_page_with_fonts(body: bytes) -> bytes:
+    """Minimal PDF with a prose face (/F1 Helvetica) and a math face
+    (/Fm CMMI12 BaseFont)."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 595 842] /Resources << /Font "
+        b"<< /F1 4 0 R /Fm 5 0 R >> >> >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /TEST+CMMI12 >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, b in enumerate(objs, start=1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + b + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for o in offs:
+        out += b"%010d 00000 n \n" % o
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref))
+    return bytes(out)

@@ -102,3 +102,21 @@ def test_gt_text_span_alignment_real_pdfs():
             if find_original_segment(s["data"], ext) is not None:
                 hit += 1
     assert hit / tot >= 0.75, f"{hit}/{tot}"
+
+
+def test_pdf_spans_classifies_real_math():
+    """Font-aware span classification on the real corpus: 001.pdf's
+    leading display-formula block comes out as ONE display-formula span
+    containing the integral, prose stays in text spans, and inline math
+    appears between them (pinned structure on the fixed corpus)."""
+    from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_spans
+
+    sp = extract_pdf_spans((REF / "pdfs" / "001.pdf").read_bytes())
+    kinds = [s["kind"] for s in sp]
+    assert "display-formula" in kinds and "inline-formula" in kinds
+    first_display = next(s for s in sp if s["kind"] == "display-formula")
+    assert "∫" in first_display["text"]
+    assert "cos ax dx" in first_display["text"]
+    # prose is never swallowed into formulas
+    prose = "\n".join(s["text"] for s in sp if s["kind"] == "text")
+    assert "Immense surprendre nommer malade" in prose
