@@ -754,6 +754,17 @@ def _wrap_to_width(lines: list[str], size: float, max_w: float) -> list[str]:
         cur: list[str] = []
         cur_len = 0
         for word in ln.split(" "):
+            if len(word) > max_chars:  # unbreakable over-long token:
+                if cur:                # hard-break so no glyph box can
+                    out.append(" ".join(cur))  # cross the column gutter
+                    cur, cur_len = [], 0
+                for k in range(0, len(word), max_chars):
+                    piece = word[k:k + max_chars]
+                    if len(piece) == max_chars:
+                        out.append(piece)
+                    else:
+                        cur, cur_len = [piece], len(piece)
+                continue
             add = len(word) + (1 if cur else 0)
             if cur and cur_len + add > max_chars:
                 out.append(" ".join(cur))

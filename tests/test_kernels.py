@@ -266,7 +266,7 @@ def test_pdf_escapes():
     from pdf_parse_bench_spark.fixtures import generate_pdf
     spans = [{"kind": "text", "text": "parens (and) back\\slash", "media_ref": "",
               "offset": 0, "complexity": None}]
-    pdf, golden = generate_pdf(3, spans)
+    pdf, golden, _spans = generate_pdf(3, spans)
     # the generator may prepend a decoration line; the content line must
     # round-trip exactly
     assert extract_pdf_text(pdf) == golden
