@@ -1211,7 +1211,21 @@ def _runs_to_spans(runs, page_h: float) -> list[tuple[str, str]]:
         else:
             for i in members:
                 emit("inline-formula" if runs[i][5] else "text", runs[i][4])
-    return [(k, "\n".join(parts)) for k, parts in spans]
+    out = [[k, "\n".join(parts)] for k, parts in spans]
+    # run-level sandwich: a bare operator set in CMR between two math runs
+    # on a prose line ('η' '=' 's') belongs to the inline formula
+    j = 1
+    while j + 1 < len(out):
+        mid = out[j][1].strip()
+        if (out[j][0] == "text" and out[j - 1][0] == "inline-formula"
+                and out[j + 1][0] == "inline-formula"
+                and len(mid) <= 3 and not any(c.isalpha() for c in mid)):
+            out[j - 1][1] = "\n".join(
+                (out[j - 1][1], out[j][1], out[j + 1][1]))
+            del out[j:j + 2]
+        else:
+            j += 1
+    return [(k, t) for k, t in out]
 
 
 def page_pixmap(runs: list[tuple[float, float, str]], page_w: float,

@@ -40,3 +40,35 @@ def test_markdown_html_tei_never_raise(text):
         assert isinstance(spans, list)
         for s in spans:
             assert set(s) == {"kind", "text", "media_ref", "offset"}
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=120))
+def test_jpeg_dims_never_crashes_unexpectedly(data):
+    """jpeg_dims raises ValueError (only) on arbitrary garbage — the X4
+    contract decode_media relies on."""
+    from pdf_parse_bench_spark.kernels.jpeg import jpeg_dims
+
+    try:
+        w, h, c = jpeg_dims(b"\xff\xd8" + data)
+        assert w > 0 and h > 0 and c > 0
+    except ValueError:
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=80))
+def test_render_formula_never_raises(s):
+    from pdf_parse_bench_spark.kernels.render import render_formula
+
+    img = render_formula(s)
+    assert img is None or (img.ndim == 2 and img.shape[0] == 20)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=400))
+def test_pdf_spans_never_raises(data):
+    from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_spans
+
+    for s in extract_pdf_spans(b"%PDF-1.4\n" + data):
+        assert s["kind"] in ("text", "inline-formula", "display-formula")
