@@ -311,6 +311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint"] = lambda s, d: ts.fingerprint(_t(s, d, "documents"))
     q["corpus_filter"] = lambda s, d: ts.corpus_filter(_t(s, d, "documents"))
     q["pii_scrub"] = lambda s, d: ts.pii_scrub(_f(s, d, "raw_web_documents"))
+    q["doc_stats_rollup"] = lambda s, d: ts.doc_stats_rollup(
+        _t(s, d, "documents"))
+    q["quality_percentiles"] = lambda s, d: ts.quality_percentiles(
+        _t(s, d, "documents"))
     q["formula_artifacts"] = lambda s, d: (
         mediaops.render_formula_artifacts(_f(s, d, "render_requests"))
         .select("doc_id", "offset", "media_ref", "width", "height",
@@ -1050,6 +1054,43 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(len(regexp_extract_all(text, '{_pat}')) AS BIGINT) "
             f"AS {_name}")
         _scrub = f"regexp_replace({_scrub}, '{_pat}', '{_repl}', 'g')"
+    # shared per-doc feature CTE (source, pred_lang, n_words, quality) for
+    # the rollup / percentile aggregates — identical arithmetic to
+    # quality_score / lang_id
+    feats_cte = (
+        f"WITH {_WORDS_CTE}, "
+        "base AS (SELECT d.doc_id, d.source, d.text, w.w FROM documents d "
+        "JOIN words w ON d.doc_id = w.doc_id), "
+        "m AS (SELECT doc_id, source, "
+        "CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(len(w) AS BIGINT) AS n_words, "
+        "length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct, "
+        f"len(list_filter(w, x -> list_contains({_STOP_LIST}, x))) AS stop_hits, "
+        f"{scores_sql} FROM base), "
+        "feats AS (SELECT doc_id, source, n_words, "
+        "floor((least(n_words / 50.0, 1.0) * 0.4 "
+        "+ (1.0 - least(floor((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 1000000 + 0.5) / 1000000 * 5, 1.0)) * 0.3 "
+        "+ least(floor((CAST(stop_hits AS DOUBLE) / greatest(n_words, 1)) * 1000000 + 0.5) / 1000000 * 5, 1.0) * 0.3"
+        ") * 1000000 + 0.5) / 1000000 AS quality, "
+        f"{_PRED_CASE} AS pred_lang FROM m)"
+    )
+    o["doc_stats_rollup"] = (
+        f"{feats_cte} "
+        "SELECT source, pred_lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "floor((avg(quality)) * 1000000 + 0.5) / 1000000 AS avg_quality, "
+        "CAST(GROUPING(source, pred_lang) AS BIGINT) AS gid "
+        "FROM feats GROUP BY ROLLUP (source, pred_lang)"
+    )
+    _pct_cols = ", ".join(
+        f"floor((quantile_cont({col}, {p})) * 1000000 + 0.5) / 1000000 "
+        f"AS {col2}_{tag}"
+        for tag, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+        for col, col2 in (("n_words", "words"), ("quality", "quality"))
+    )
+    o["quality_percentiles"] = (
+        f"{feats_cte} SELECT source, {_pct_cols} FROM feats GROUP BY source"
+    )
+
     o["pii_scrub"] = (
         f"SELECT doc_id, {_scrub} AS clean_text, {', '.join(_cnt_cols)} "
         f"FROM '{ORACLE_FX}/raw_web_documents.parquet'"

@@ -244,6 +244,7 @@ def main() -> None:
         "corpus_filter", "pii_scrub", "duplicate_ngram_pairs",
         "formula_artifacts",
         "grouped_mean_scores", "leaderboard", "pending_scores",
+        "doc_stats_rollup", "quality_percentiles",
         "tpch_q1", "revenue_by_region", "sessionize_events", "windowed_counts",
     ]
     spark.range(10).count()  # JVM warm

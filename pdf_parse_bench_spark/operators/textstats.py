@@ -246,3 +246,41 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     for _, pat, repl in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, repl)
     return docs.select("doc_id", clean.alias("clean_text"), *counts)
+
+
+def doc_stats_rollup(docs: DataFrame) -> DataFrame:
+    """ROLLUP(source, pred_lang): doc counts + mean quality at every
+    hierarchy level (grand total → per source → per source+language) —
+    the aggregation-hierarchy report a corpus dashboard serves from one
+    pass. One Expand + one aggregation exchange (same shape as cube but
+    N+1 groupings instead of 2^N)."""
+    q = _quality_exprs()
+    pred, _ = _lang_pred_expr()
+    feats = docs.select("source", pred.alias("pred_lang"),
+                        q["quality"].alias("quality"))
+    return (
+        feats.rollup("source", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             round_half_up(F.avg("quality")).alias("avg_quality"),
+             F.grouping_id().cast("long").alias("gid"))
+        .select("source", "pred_lang", "n_docs", "avg_quality", "gid")
+    )
+
+
+def quality_percentiles(docs: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of word count and
+    quality per source — Spark's `percentile` and ANSI quantile_cont share
+    the same linear-interpolation definition, so this stays hash-checkable
+    (unlike approx_percentile). At 100 TB swap in approx_percentile with a
+    documented error bound; the query shape (one groupBy) is identical."""
+    q = _quality_exprs()
+    feats = docs.select("source", q["n_words"].alias("n_words"),
+                        q["quality"].alias("quality"))
+    pcts = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    aggs = []
+    for tag, p in pcts.items():
+        aggs.append(round_half_up(
+            F.percentile("n_words", F.lit(p))).alias(f"words_{tag}"))
+        aggs.append(round_half_up(
+            F.percentile("quality", F.lit(p))).alias(f"quality_{tag}"))
+    return feats.groupBy("source").agg(*aggs)
