@@ -1196,6 +1196,42 @@ def _runs_to_spans(runs, page_h: float) -> list[tuple[str, str]]:
                 or (near_prev and is_formula[k - 1] and far_next):
             is_formula[k] = True
 
+    # table detection: a block of >=3 consecutive prose baselines whose
+    # rows read column-like (>=2 numeric-ish tokens, or a trailing numeric
+    # field) is a table (booktabs tables reach the glyph stream as plain
+    # aligned text runs — no ruling lines to see); one short header line
+    # above the block is absorbed. Prose paragraphs don't end 3+ straight
+    # lines in bare numerals, so false positives stay rare.
+    is_table = [False] * n_lines
+    num_re = re.compile(r"^[±+-]?[0-9][0-9.,%]*$")
+
+    def _rowlike(k: int) -> bool:
+        toks = " ".join(runs[i][4] for i in lines[k]).split()
+        if len(toks) < 2:
+            return False
+        n_num = sum(1 for t in toks if num_re.match(t))
+        return n_num >= 2 or (n_num >= 1 and num_re.match(toks[-1]) is not None)
+
+    k = 0
+    while k < n_lines:
+        if not is_formula[k] and _rowlike(k):
+            j = k
+            while j < n_lines and not is_formula[j] and _rowlike(j):
+                j += 1
+            if j - k >= 3:
+                for t in range(k, j):
+                    is_table[t] = True
+                hdr = k - 1  # absorb one short non-sentence header line
+                if (hdr >= 0 and not is_formula[hdr] and not is_table[hdr]
+                        and line_len[hdr] <= 60
+                        and not "".join(
+                            runs[i][4] for i in lines[hdr]).rstrip()
+                        .endswith(".")):
+                    is_table[hdr] = True
+            k = j
+        else:
+            k += 1
+
     spans: list[list] = []
 
     def emit(kind: str, text: str):
@@ -1208,6 +1244,8 @@ def _runs_to_spans(runs, page_h: float) -> list[tuple[str, str]]:
         if is_formula[k]:
             emit("display-formula",
                  " ".join(runs[i][4] for i in members))
+        elif is_table[k]:
+            emit("table", " ".join(runs[i][4] for i in members))
         else:
             for i in members:
                 emit("inline-formula" if runs[i][5] else "text", runs[i][4])

@@ -120,3 +120,19 @@ def test_pdf_spans_classifies_real_math():
     # prose is never swallowed into formulas
     prose = "\n".join(s["text"] for s in sp if s["kind"] == "text")
     assert "Immense surprendre nommer malade" in prose
+
+
+def test_pdf_spans_detects_tables_on_tables_corpus():
+    """Numeric-row block detection: every one of the first 10 docs of the
+    tables-only reference corpus yields >=1 kind='table' span, and the
+    detected rows carry real cell content."""
+    tdir = Path("/root/reference/data/2026-q1-tables-only")
+    if not tdir.exists():
+        pytest.skip("tables corpus not mounted")
+    from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_spans
+
+    for p in sorted(tdir.glob("pdfs/*.pdf"))[:10]:
+        sp = extract_pdf_spans(p.read_bytes())
+        tables = [s for s in sp if s["kind"] == "table"]
+        assert tables, p.name
+        assert any(len(t["text"].split("\n")) >= 3 for t in tables), p.name
