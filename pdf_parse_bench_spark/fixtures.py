@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v24"  # bump to force regeneration
+FIXTURE_VERSION = "v25"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -975,6 +975,21 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str, list]:
             ops.append(f"BT /F5 12 Tf 1 0 0 1 72.0 {y0:.1f} Tm "
                        f"({mf}) Tj ET")
             golden_entries.append((pg, "display-formula", mf))
+            y0 -= 20.0
+        elif math_draw < 0.5:
+            # mixed prose/math baseline: F1 -> F5 -> F1 show sequence on
+            # ONE line — the math run must come out as an INLINE formula
+            # between the line's text pieces (math mass < 30%, so the
+            # line stays prose; pen geometry keeps the x order)
+            pre = "The measured quantity"
+            mid = f" y{doc_id % 5} + {doc_id % 8} "
+            post = "bounds the estimate."
+            ops.append(
+                f"BT /F1 12 Tf 1 0 0 1 72.0 {y0:.1f} Tm ({pre}) Tj "
+                f"/F5 12 Tf ({mid}) Tj /F1 12 Tf ({post}) Tj ET")
+            golden_entries.append((pg, "text", pre))
+            golden_entries.append((pg, "inline-formula", mid))
+            golden_entries.append((pg, "text", post))
             y0 -= 20.0
         for x, col_lines, max_w in cols:
             col_ops, emitted = _emit_column(x, y0, col_lines, rng,
