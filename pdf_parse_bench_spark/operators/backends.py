@@ -23,6 +23,7 @@ from pdf_parse_bench_spark.operators.extract import (
     extract_spans_from_layout,
     extract_spans_from_tei,
     parse_pdfs,
+    pdf_spans,
 )
 
 _REGISTRY: dict[str, Callable[..., DataFrame]] = {}
@@ -53,3 +54,4 @@ register_backend("html")(extract_spans_from_html)
 register_backend("tei")(extract_spans_from_tei)  # GROBID M4 flavor
 register_backend("layout")(extract_spans_from_layout)
 register_backend("pdf-text")(parse_pdfs)
+register_backend("pdf-spans")(pdf_spans)  # font-aware kind classification
