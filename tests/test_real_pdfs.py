@@ -136,3 +136,32 @@ def test_pdf_spans_detects_tables_on_tables_corpus():
         tables = [s for s in sp if s["kind"] == "table"]
         assert tables, p.name
         assert any(len(t["text"].split("\n")) >= 3 for t in tables), p.name
+
+
+def test_pdf_spans_prose_improves_alignment():
+    """Downstream utility of pdf_spans: aligning GT text spans against the
+    PROSE-ONLY span text (formula runs classified out) beats the raw
+    full-text rate — 0.828 vs 0.797 measured at round 3, both pinned as
+    floors (>=0.80 prose-only, and prose-only >= full-text)."""
+    from pdf_parse_bench_spark.kernels.alignment import find_original_segment
+    from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_spans
+
+    hit_full = hit_prose = tot = 0
+    for p in sorted(REF.glob("pdfs/*.pdf"))[:10]:
+        gt = json.loads(
+            (REF / "ground_truth" / f"{p.stem}.json").read_text())
+        raw = p.read_bytes()
+        full = extract_pdf_text(raw).replace("-\n", "").replace("\n", " ")
+        prose = " ".join(s["text"] for s in extract_pdf_spans(raw)
+                         if s["kind"] == "text")
+        prose = prose.replace("-\n", "").replace("\n", " ").replace("- ", "")
+        for s in gt:
+            if s["type"] != "text":
+                continue
+            tot += 1
+            if find_original_segment(s["data"], full) is not None:
+                hit_full += 1
+            if find_original_segment(s["data"], prose) is not None:
+                hit_prose += 1
+    assert hit_prose / tot >= 0.80, f"{hit_prose}/{tot}"
+    assert hit_prose >= hit_full
