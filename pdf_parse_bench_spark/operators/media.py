@@ -60,9 +60,13 @@ def error_placeholder() -> np.ndarray:
     return img
 
 
-def decode_media(media_df: DataFrame) -> DataFrame:
+def decode_media(media_df: DataFrame, rebalance: bool = True) -> DataFrame:
     """mapInPandas decode over (doc_id, offset, media_ref, media_bytes),
-    format-sniffed by magic bytes:
+    format-sniffed by magic bytes. Input is size-rebalanced first
+    (operators/skew.rebalance_by_size): a media table is written in few
+    large files, so without the explicit repartition the decode stage runs
+    on a handful of tasks and an oversized payload stalls its whole
+    partition — invisible to AQE because it is UDF-stage skew.
 
       - PNG → real pixel decode (kernels/png.py) → width/height/channels +
         mean intensity in [0,1] (6 dp half-up, engine-portable); status 'ok'
@@ -73,6 +77,11 @@ def decode_media(media_df: DataFrame) -> DataFrame:
         error-image fallback contract (formula_renderer.py:119-164), never
         a task failure and never an all-null row (X4 isolation)."""
     from pdf_parse_bench_spark.kernels.jpeg import is_jpeg, jpeg_dims
+    from pdf_parse_bench_spark.operators.skew import rebalance_by_size
+
+    if rebalance:
+        media_df = rebalance_by_size(
+            media_df, size_col=F.length("media_bytes"))
 
     ph = error_placeholder()
     ph_mean = float(np.floor(float(ph.mean()) / 255.0 * 1e6 + 0.5)) / 1e6
@@ -126,7 +135,8 @@ def decode_media(media_df: DataFrame) -> DataFrame:
     )
 
 
-def render_formula_artifacts(formulas: DataFrame) -> DataFrame:
+def render_formula_artifacts(formulas: DataFrame,
+                             rebalance: bool = True) -> DataFrame:
     """S7 render sink: (doc_id, offset, formula) → one PNG artifact row per
     formula via the deterministic glyph-box renderer (kernels/render.py),
     with the reference's error-image fallback contract
@@ -137,6 +147,10 @@ def render_formula_artifacts(formulas: DataFrame) -> DataFrame:
     (closed-form in the formula text, so DuckDB recomputes it exactly)."""
     from pdf_parse_bench_spark.kernels.png import encode_png
     from pdf_parse_bench_spark.kernels.render import render_formula
+    from pdf_parse_bench_spark.operators.skew import rebalance_by_size
+
+    if rebalance:  # same UDF-stage skew story as decode_media
+        formulas = rebalance_by_size(formulas, size_col=F.length("formula"))
 
     ph = error_placeholder()
     ph_png = encode_png(ph)
