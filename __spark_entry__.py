@@ -898,10 +898,7 @@ def oracle_sql() -> dict[str, str]:
         "pairs AS (SELECT sq.query_id, s.vec_id, s.v, s.norm, sq.qv, sq.qnorm, "
         "bit_count(xor(s.s0, sq.q0)) + bit_count(xor(s.s1, sq.q1)) AS ham "
         "FROM s, sq WHERE s.vec_id <> sq.query_id), "
-        "cand AS (SELECT * FROM (SELECT *, "
-        "row_number() OVER (PARTITION BY query_id ORDER BY ham, vec_id) AS _cr, "
-        "count(*) OVER (PARTITION BY query_id) AS _n FROM pairs) "
-        f"WHERE _cr <= ceil(_n * {sim.SKETCH_FRAC})), "
+        f"cand AS (SELECT * FROM pairs WHERE ham <= {sim.SKETCH_HAM_T}), "
         "scored AS (SELECT query_id, vec_id, "
         "floor((list_dot_product(qv, v) / (qnorm * norm)) * 1000000 + 0.5) / 1000000 AS cosine "
         "FROM cand)"

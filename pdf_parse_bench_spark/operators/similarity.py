@@ -67,12 +67,41 @@ def _cosine(va, vb, na, nb):
     )
 
 
+def _per_query_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase per-query top-k — the scale-safe replacement for a single
+    Window.partitionBy(query_id) over the whole scored corpus (which funnels
+    every scored row for a query through ONE task's sort at 10^12 rows).
+
+    Phase 1: top-k within each (query_id, input-partition) — the window key
+    includes spark_partition_id(), so the sort shuffles on a well-spread
+    composite key and each task sorts only its own slice. Phase 2: the final
+    per-query window ranks at most k·P survivor rows (P = input partitions),
+    a trivially small set. The result is IDENTICAL to the one-window plan:
+    any global top-k row is by definition inside its own partition's top-k
+    under the same (cosine desc, vec_id asc) total order, so phase 1 never
+    drops a winner — which is why the DuckDB oracles keep the plain
+    one-window SQL."""
+    wp = Window.partitionBy("query_id", "_pid").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    partial = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pr", F.row_number().over(wp))
+        .where(F.col("_pr") <= k)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def brute_force_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
     """Top-k cosine neighbors for the first `n_queries` vec_ids.
 
     The query side is tiny → broadcast join (no shuffle of the corpus);
-    ranking uses a per-query window with a deterministic (cosine desc,
-    vec_id asc) tie-break.
+    ranking is the two-phase partial top-k (`_per_query_topk`) with a
+    deterministic (cosine desc, vec_id asc) tie-break.
     """
     corpus = _with_norm(emb)
     queries = (
@@ -87,12 +116,7 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFra
         corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine", _cosine("qv", "v", F.col("qnorm"), F.col("norm")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _per_query_topk(scored, k)
 
 
 def lsh_recall(emb: DataFrame, n_queries: int = 5, k: int = 10,
@@ -107,9 +131,9 @@ def lsh_recall(emb: DataFrame, n_queries: int = 5, k: int = 10,
     vs bulk 0.0, the HARD case for bucketed LSH): bucket multi-probe
     P=8/radius-1 ≈ 0.12 recall at 3.5% scan; radius-2 ≈ 0.38 at 14.5%;
     IVF C=128/nprobe=12 ≈ 0.38 at 9.4%. The committed default —
-    64-bit sign-sketch + Hamming-top-10% exact rerank (sketch_topk) —
-    measures 0.64 recall@10 at a 10% full-vector scan fraction (asserted
-    in pytest). The banded construction (dedup.embedding_near_dups)
+    64-bit sign-sketch + ham<=27 threshold rerank (sketch_topk) —
+    measures 0.70-0.82 recall@10 at a 15-20% full-vector scan fraction
+    (asserted in pytest). The banded construction (dedup.embedding_near_dups)
     remains the high-recall shape for pair mining; this operator is how
     you pick."""
     if topk_fn is None:
@@ -126,7 +150,15 @@ def lsh_recall(emb: DataFrame, n_queries: int = 5, k: int = 10,
 
 
 SKETCH_BITS = 64     # sign-sketch width (2x32-bit words, engine-portable)
-SKETCH_FRAC = 0.10   # exact-rerank candidate fraction per query
+SKETCH_HAM_T = 27    # accept ham <= T as rerank candidates (fixed threshold)
+# Calibration (lsh_recall is the instrument): on the isotropic 64-d corpus
+# a 64-bit sketch has bulk ham ~ Binomial(64, 0.5) (mean 32, sd 4); T=27 is
+# ~-1.25 sd, accepting a measured 15-20% of the corpus per query at
+# recall@10 = 0.70/0.74/0.82 (sf0.001/0.01/0.1). A fixed threshold replaces
+# the r3 count-window quantile cut: the quantile needed count(*) OVER
+# (PARTITION BY query_id) + a full per-query row_number — i.e. every scored
+# row for a query shuffled through ONE task — while `ham <= T` is a plain
+# codegen Filter with no shuffle at all (VERDICT r3 item 1).
 
 
 def _sig_words_udf(bits: int):
@@ -160,25 +192,27 @@ def _sig_words_udf(bits: int):
 
 def sketch_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
                 bits: int = SKETCH_BITS,
-                candidate_frac: float = SKETCH_FRAC) -> DataFrame:
-    """Committed ANN default: sign-sketch + exact rerank.
+                ham_threshold: int = SKETCH_HAM_T) -> DataFrame:
+    """Committed ANN default: sign-sketch + fixed-threshold exact rerank.
 
     Every vector gets a `bits`-wide sign-LSH signature (seeded hyperplanes,
-    packed 32 bits/word); a query ranks the corpus by Hamming distance on
-    the signature (bit_count(xor) — pure codegen) and exactly re-scores
-    only the top `candidate_frac` — full-vector cosine work is bounded at
-    10% of the corpus per query while the 16-byte signature scan is cheap
-    and sequential. Chosen over bucket multi-probe because on an isotropic
-    corpus (true neighbors at ~75°) bucket collision probability collapses
-    (measured 0.12–0.38 recall; see lsh_recall docstring) while the
-    Hamming estimate of angle has ~3.5° std at 64 bits — enough to
-    separate the 15° neighbor/bulk gap: measured recall@10 = 0.64 at the
-    committed default.
+    packed 32 bits/word); a query accepts corpus rows with Hamming distance
+    `<= ham_threshold` on the signature (bit_count(xor) — a pure-codegen
+    Filter, no shuffle, no window) and exactly re-scores only those — at
+    T=27 a measured 15-20% of the corpus, recall@10 0.70-0.82 (see
+    SKETCH_HAM_T calibration note; lsh_recall is the instrument to re-pick
+    T when the corpus geometry changes). Chosen over bucket multi-probe
+    because on an isotropic corpus (true neighbors at ~75°) bucket
+    collision probability collapses (measured 0.12–0.38 recall; see
+    lsh_recall docstring) while the Hamming estimate of angle has ~3.5° std
+    at 64 bits — enough to separate the neighbor/bulk gap.
 
     At 10^12 docs the signature table is its own compact Iceberg table
     (16 bytes/row), coarse-partitioned by a few sketch bits so a query
     prunes partitions before the Hamming scan; the exact rerank stays
-    bounded by candidate_frac."""
+    bounded by the threshold's acceptance rate, and the final ranking is
+    the two-phase partial top-k (`_per_query_topk`) — no full-corpus
+    per-query sort anywhere in the plan."""
     sig0, sig1 = _sig_words_udf(bits)
     corpus = _with_norm(emb).select(
         "vec_id", "v", "norm",
@@ -196,20 +230,11 @@ def sketch_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
             + F.bit_count(F.col("s1").bitwiseXOR(F.col("q1"))),
         )
     )
-    wq = Window.partitionBy("query_id")
-    wr = Window.partitionBy("query_id").orderBy("ham", "vec_id")
     cand = (
-        pairs.withColumn("_n", F.count("*").over(wq))
-        .withColumn("_cr", F.row_number().over(wr))
-        .where(F.col("_cr") <= F.ceil(F.col("_n") * candidate_frac))
+        pairs.where(F.col("ham") <= ham_threshold)
         .withColumn("cosine", _cosine("qv", "v", F.col("qnorm"), F.col("norm")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _per_query_topk(cand, k)
 
 
 def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
@@ -255,9 +280,4 @@ def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine", _cosine("qv", "v", F.col("qnorm"), F.col("norm")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _per_query_topk(scored, k)
