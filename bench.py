@@ -233,20 +233,12 @@ def main() -> None:
 
     spark = get_spark("bench", cores=CPUS)
     qs = entry.queries()
-    headline = [
-        "extract_spans", "align_extractions", "layout_spans", "pdf_parse",
-        "pdf_spans",
-        "html_spans", "tei_spans", "page_assembly_refs", "decode_media",
-        "extracted_complexity_cube",
-        "lsh_candidate_pairs", "simhash_signatures", "simhash_near_dups",
-        "dedup_exact", "embedding_near_dups",
-        "ann_topk", "ann_lsh", "lang_id", "quality_score", "fingerprint",
-        "corpus_filter", "pii_scrub", "duplicate_ngram_pairs",
-        "formula_artifacts",
-        "grouped_mean_scores", "leaderboard", "pending_scores",
-        "doc_stats_rollup", "quality_percentiles",
-        "tpch_q1", "revenue_by_region", "sessionize_events", "windowed_counts",
-    ]
+    # every registered query is timed (VERDICT r3 item 7: the committed
+    # bench artifact must carry per-query data for ALL entries, not a
+    # curated headline subset); SPARK_GRAFT_BENCH_QUERIES=name,name scopes
+    # a local iteration run
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    headline = [x for x in only.split(",") if x] if only else list(qs)
     spark.range(10).count()  # JVM warm
     # python-worker warm: the first mapInPandas/pandas_udf query otherwise
     # pays worker spin-up + Arrow init inside its timed window, which
@@ -272,18 +264,28 @@ def main() -> None:
         # i.e. 0.77 ideal — see BASELINE.md scaling section)
         scaling = run_scaling([(2, 8), (max(2, CPUS // 4), CPUS)])
 
+    # `queries` deliberately LAST: the driver records only a bounded TAIL
+    # of stdout, so tail-anchored ordering keeps the per-query data even
+    # when the head of the line is cut (r3's artifact lost exactly the
+    # head). The complete artifact is also written to disk below — that
+    # file, not stdout, is the durable record.
     result = {
         "metric": "end-to-end extraction throughput (markdown->ordered spans),"
                   " exact span-sequence match vs golden",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
         "sf": float(Path(SF_DIR).name.replace("sf", "")),
         "n_docs": n_docs,
         "extract_sec_steady": round(ext_sec, 3),
         "docs_per_sec": round(docs_per_sec, 2),
         "scaling": scaling,
+        "queries": times,
     }
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        str(Path(__file__).parent / "BENCH_full_last.json"))
+    with open(out, "w") as fh:
+        json.dump(result, fh, indent=1)
     print(json.dumps(result))
 
 
