@@ -1118,11 +1118,18 @@ def oracle_sql() -> dict[str, str]:
     # error fallback (empty inner / unbalanced braces) is the 64x64
     # placeholder with mean 128*62^2/64^2/255
     o["formula_artifacts"] = (
+        # delimiter strip mirrors textnorm.DELIMITER_PAIRS exactly —
+        # $$..$$, $..$, \[..\], \(..\) in that order (ADVICE r3: the two
+        # backslash forms were previously missing here, so a future
+        # render_request using them would silently diverge). DuckDB LIKE
+        # has no default escape char, so '\[' is two literal characters.
         "WITH r AS (SELECT doc_id, \"offset\", CASE "
         "WHEN t LIKE '$$%$$' AND length(t) >= 4 "
         "THEN substring(t, 3, length(t) - 4) "
         "WHEN t LIKE '$%$' AND length(t) >= 2 "
         "THEN substring(t, 2, length(t) - 2) "
+        "WHEN (t LIKE '\\[%\\]' OR t LIKE '\\(%\\)') AND length(t) >= 4 "
+        "THEN substring(t, 3, length(t) - 4) "
         "ELSE t END AS fx_in FROM (SELECT doc_id, \"offset\", "
         f"trim(formula) AS t FROM '{ORACLE_FX}/render_requests.parquet')), "
         "m AS (SELECT doc_id, \"offset\", fx_in, "

@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v25"  # bump to force regeneration
+FIXTURE_VERSION = "v26"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -1188,6 +1188,16 @@ def ensure_fixtures(sf_dir: str) -> Path:
         if did % 11 == 0:
             render_rows.append({"doc_id": doc_id, "offset": 2001,
                                 "formula": "$$   $$"})
+        # backslash delimiter forms: the render kernel strips all four
+        # DELIMITER_PAIRS; these rows pin the \[..\]/\(..\) branches of
+        # the oracle CASE (ADVICE r3 — previously only $-forms occurred,
+        # so the extra oracle branches would have been dead code)
+        if did % 9 == 0:
+            render_rows.append({"doc_id": doc_id, "offset": 2002,
+                                "formula": f"\\[y_{{{did % 5}}} + {did % 7}\\]"})
+        if did % 13 == 0:
+            render_rows.append({"doc_id": doc_id, "offset": 2003,
+                                "formula": f"\\(a^{did % 4} - b\\)"})
         html_rows.append({"doc_id": doc_id,
                           "html": render_html(did, spans, rec.source)})
         tei_rows.append({"doc_id": doc_id,

@@ -65,7 +65,11 @@ def normalize_display_expr(col: str = "text") -> Column:
 # F1: unicode → LaTeX (formula_renderer.py:33-65): sub/superscript digits
 # plus the pylatexenc long tail (Greek / symbols / accents) — the SAME
 # table as the python kernel (kernels/textnorm.py), chained JVM-side
-# replaces so the whole normalization stays inside codegen.
+# replaces so the whole normalization stays inside codegen. The ~85-deep
+# expression tree is VERIFIED to compile under whole-stage codegen
+# (tests/test_plans.py::test_unicode_normalization_codegen_does_not_fall_back
+# runs it with spark.sql.codegen.fallback=false — a Janino 64KB-method
+# failure would throw there instead of silently interpreting).
 _SUB = "₀₁₂₃₄₅₆₇₈₉"
 _SUP = "⁰¹²³⁴⁵⁶⁷⁸⁹"
 

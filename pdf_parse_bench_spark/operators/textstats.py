@@ -219,9 +219,13 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 
 
 # C4/CCNet-style PII scrubbing: portable regexes (no lookaround — valid in
-# both Java regex and RE2) applied in a fixed order; counts are measured on
-# the ORIGINAL text per pattern, replacement is sequential. URL first so an
-# address inside a URL is not double-counted as an email.
+# both Java regex and RE2) applied in a fixed order. Replacement is
+# sequential (URL first, so an email inside a URL is scrubbed once, as part
+# of the <URL> token) — but the audit COUNTS are each measured on the
+# ORIGINAL text, so they MAY overlap: an email embedded in a URL increments
+# both n_urls and n_emails. That is the committed contract (the DuckDB
+# oracle counts the same way); treat the counts as per-pattern hit rates,
+# not a partition of the text.
 PII_PATTERNS = (
     ("n_urls", "https?://[^\\s]+", "<URL>"),
     ("n_emails",

@@ -187,6 +187,31 @@ def test_tfidf_word_join_not_forced_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_unicode_normalization_codegen_does_not_fall_back(spark, fx_smoke):
+    """ADVICE r3: preprocess_unicode_expr chains ~85 nested
+    replace/regexp_replace calls — verify whole-stage codegen actually
+    compiles the tree. With spark.sql.codegen.fallback=false a Janino
+    failure (e.g. the 64KB method limit) throws instead of silently
+    interpreting, and the Project must carry a codegen span id (*(n))."""
+    import re
+
+    from pdf_parse_bench_spark.functions import preprocess_unicode_expr
+
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    try:
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        df = (
+            spark.read.parquet(str(fx_smoke / "golden_spans.parquet"))
+            .where(F.col("kind") == "inline-formula")
+            .select(preprocess_unicode_expr("text").alias("latex"))
+        )
+        assert df.count() > 0  # executes compiled code — would throw on fallback
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"\*\(\d+\) Project", plan), plan
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
