@@ -207,13 +207,28 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5,
     returning partially-propagated labels would split a long chain into
     multiple clusters."""
     edges = ngram_jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
+    labels, _rounds = propagate_min_labels(
+        docs.select("doc_id"), edges, max_iter=max_iter)
+    return labels
+
+
+def propagate_min_labels(nodes: DataFrame, edges: DataFrame,
+                         max_iter: int = 20) -> tuple[DataFrame, int]:
+    """Min-label propagation + pointer doubling over an explicit edge list
+    (doc_a, doc_b) — the connected-components core of dedup_clusters,
+    factored out so tests can drive it with adversarial synthetic graphs
+    (e.g. a 10k-node chain, diameter >> max_iter) and assert the O(log d)
+    round count the docstring claims. Returns (labels, rounds_used) where
+    rounds_used INCLUDES the final no-change detection round."""
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neigh = (
             labels.join(sym, labels["doc_id"] == sym["doc_a"])
             .groupBy(F.col("doc_b").alias("doc_id"))
@@ -256,7 +271,7 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5,
             "raise max_iter (graph diameter exceeds 2^max_iter after "
             "pointer doubling, which indicates pathological input)"
         )
-    return labels
+    return labels, rounds
 
 
 SIMHASH64_BLOCKS = 4   # 4 x 16-bit blocks of the 64-bit signature

@@ -154,6 +154,31 @@ def test_dedup_clusters_match_union_find(spark):
     assert n_multi > 0  # the corpus slice really has near-dup clusters
 
 
+def test_pointer_doubling_converges_logarithmically_on_10k_chain(spark):
+    """VERDICT r3 item 10: adversarial connected-components input — a
+    10,000-node chain (diameter 9,999 >> the default max_iter=20). Plain
+    min-label propagation would need ~10^4 rounds; pointer doubling must
+    converge in <= ceil(log2(diameter)) + 2 rounds (one extra for the
+    no-change detection round; measured 14), pinning the O(log d) claim
+    in the dedup_clusters docstring. Every node must land on the chain's
+    min label."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pdf_parse_bench_spark.operators.dedup import propagate_min_labels
+
+    n = 10_000
+    nodes = spark.range(n).select(
+        F.format_string("%09d", "id").alias("doc_id"))
+    edges = spark.range(n - 1).select(
+        F.format_string("%09d", "id").alias("doc_a"),
+        F.format_string("%09d", F.col("id") + 1).alias("doc_b"))
+    labels, rounds = propagate_min_labels(nodes, edges, max_iter=25)
+    assert rounds <= math.ceil(math.log2(n - 1)) + 2, rounds
+    assert labels.where(F.col("cluster_id") != "000000000").isEmpty()
+    assert labels.count() == n
+
+
 def test_ann_sketch_recall_floor_at_committed_default(spark):
     """The committed ANN default (sketch_topk: 64-bit sign sketch +
     fixed ham<=T threshold rerank) must reach mean recall@10 >= 0.65 on
