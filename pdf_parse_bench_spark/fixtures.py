@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v26"  # bump to force regeneration
+FIXTURE_VERSION = "v27"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -177,6 +177,92 @@ def _mk_jpeg_bytes(w: int, h: int, ch: int) -> bytes:
             + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ch])
             + comps)
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+# canonical Huffman tables for the fixture baseline-JPEG encoder: all 12 DC
+# categories at code length 4, AC table carrying only EOB (flat blocks have
+# no AC coefficients) — legal per Annex C, trivially prefix-free
+_JDC_COUNTS = bytes([0, 0, 0, 12] + [0] * 12)
+_JDC_SYMS = bytes(range(12))
+_JAC_COUNTS = bytes([0, 1] + [0] * 14)
+_JAC_SYMS = bytes([0x00])
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF byte stuffing and 1-bit padding."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.write(1, 1)
+        return bytes(self.out)
+
+
+def _mk_gray_jpeg(blocks: "np.ndarray", w: int, h: int) -> bytes:
+    """Real baseline-DCT grayscale JPEG (SOF0, single scan) whose pixel
+    content is flat 8x8 blocks. With an all-ones quant table a flat block
+    is EXACTLY representable (DC = 8*(v-128), integer; all AC zero), so the
+    decode is bit-exact to the pre-encode array — the golden mean in
+    golden_media_stats is computed from that array, holding the kernel
+    decoder (kernels/jpeg.py:jpeg_decode_gray) to real pixel output.
+    `w`/`h` may be non-multiples of 8 to exercise decoder edge cropping."""
+    bh, bw = blocks.shape
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    out += (b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + bytes([1, 0x01, 0x11, 0x00]))
+    out += (b"\xff\xc4" + (19 + len(_JDC_SYMS)).to_bytes(2, "big")
+            + b"\x00" + _JDC_COUNTS + _JDC_SYMS)
+    out += (b"\xff\xc4" + (19 + len(_JAC_SYMS)).to_bytes(2, "big")
+            + b"\x10" + _JAC_COUNTS + _JAC_SYMS)
+    out += b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 0x01, 0x00, 0, 63, 0])
+    bwr = _JpegBitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            dc = 8 * (int(blocks[by, bx]) - 128)
+            d = dc - pred
+            pred = dc
+            t = abs(d).bit_length()
+            bwr.write(t, 4)  # DC category: canonical code == symbol here
+            if t:
+                bwr.write(d if d >= 0 else d + (1 << t) - 1, t)
+            bwr.write(0b00, 2)  # EOB
+    out += bwr.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+def _mk_gray_jpeg_with_stats(did: int) -> tuple[bytes, dict]:
+    """Deterministic flat-block grayscale JPEG + its golden decode stats
+    (mean from the pre-encode pixel array — exact, see _mk_gray_jpeg)."""
+    bh, bw = 2 + did % 3, 2 + did % 4
+    yy, xx = np.mgrid[0:bh, 0:bw]
+    blocks = ((did * 13 + xx * 7 + yy * 11) % 256).astype(np.int64)
+    w, h = bw * 8 - did % 8, bh * 8 - (did * 3) % 8
+    data = _mk_gray_jpeg(blocks, w, h)
+    px = np.repeat(np.repeat(blocks, 8, 0), 8, 1)[:h, :w]
+    mean = float(px.mean()) / 255.0
+    return data, {
+        "width": w, "height": h, "channels": 1, "n_bytes": len(data),
+        "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
+        "status": "ok",
+    }
 
 
 def _placeholder_stats(n_bytes: int) -> dict:
@@ -1276,6 +1362,16 @@ def ensure_fixtures(sf_dir: str) -> Path:
                 "width": jw, "height": jh, "channels": jch,
                 "n_bytes": len(jpg), "mean_intensity": None,
                 "status": "metadata_only"})
+        if did % 4 == 0:
+            # real baseline grayscale JPEGs with scan data: the kernel
+            # decoder must produce true pixel means ('ok'), not fall back
+            # to metadata_only (VERDICT r3 item 3)
+            jpg, jstats = _mk_gray_jpeg_with_stats(did)
+            ref = f"scan_{did}.jpg"
+            media_rows.append({"doc_id": doc_id, "offset": 1002,
+                               "media_ref": ref, "media_bytes": jpg})
+            media_stats_rows.append({"doc_id": doc_id, "offset": 1002,
+                                     "media_ref": ref, **jstats})
         if did % 7 == 0:
             junk = bytes((did * 31 + k * 17) % 256 for k in range(40))
             ref = f"corrupt_{did}.bin"

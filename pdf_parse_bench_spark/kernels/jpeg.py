@@ -1,14 +1,21 @@
-"""Dependency-free JPEG header parser: frame dimensions + component count
-from the SOF marker segment (ISO/IEC 10918-1 §B.2.2).
+"""Dependency-free JPEG support: header metadata for every JPEG, plus a
+full baseline-DCT pixel decoder for the grayscale single-scan profile
+(ISO/IEC 10918-1: SOF0, one component, no restart markers).
 
-A 100 TB multimodal corpus is mostly JPEG; baseline-DCT pixel decode is out
-of scope here, but the metadata contract (width/height/channels + n_bytes)
-that `decode_media` exposes needs only the SOFn header — the same surface
-the reference touches through fitz pixmap metadata
-(parsers/dots_ocr/__main__.py:111-118).
+A 100 TB multimodal corpus is mostly JPEG. `jpeg_dims` reads only the SOFn
+header — the metadata surface the reference touches through fitz pixmap
+metadata (parsers/dots_ocr/__main__.py:111-118). `jpeg_decode_gray` goes
+further for the dominant archival-scan profile: DQT/DHT/SOF0/SOS parse,
+canonical Huffman decode of the entropy stream (DC categories + AC
+run-length with ZRL/EOB), dequantize, inverse zigzag, separable float
+IDCT, level shift, clamp. Profiles outside that scope (color, progressive,
+restart-interval streams) raise — callers degrade to the header-only
+metadata contract rather than failing the task (X4 isolation).
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 # SOFn markers carrying frame headers (C4=DHT, C8=JPG, CC=DAC excluded)
 _SOF_MARKERS = frozenset(
@@ -60,3 +67,209 @@ def jpeg_dims(data: bytes) -> tuple[int, int, int]:
             break
         i += seglen
     raise ValueError("no SOF marker found")
+
+
+# --- baseline-DCT grayscale decode -----------------------------------------
+
+# zigzag order: ZIGZAG[i] = raster index of the i-th coefficient in the
+# stream (ISO/IEC 10918-1 Figure A.6)
+def _zigzag_order() -> list[int]:
+    order = []
+    for s in range(15):
+        ij = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            ij.reverse()  # even diagonals run bottom-left -> top-right
+        order.extend(i * 8 + j for i, j in ij)
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+
+# orthonormal 8x8 DCT-II basis: block = A.T @ coef @ A
+_A = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _c = np.sqrt(0.125) if _k == 0 else 0.5
+        _A[_k, _n] = _c * np.cos((2 * _n + 1) * _k * np.pi / 16)
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-unstuffing; raises at any marker (EOI ends a well-formed scan —
+    trailing pad bits before it are legal and simply never requested)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG scan truncated at 0xFF")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("marker inside entropy data")
+            self.bitbuf = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _build_huffman(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman per Annex C: {(length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """EXTEND (F.2.2.1): map t magnitude bits to the signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_decode_gray(data: bytes) -> "np.ndarray":
+    """Decode a baseline grayscale JPEG (SOF0, 1 component, single scan,
+    no restart interval) to a (h, w) uint8 array. Raises ValueError for
+    any stream outside that profile or malformed within it."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (missing SOI)")
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    width = height = 0
+    tq = 0  # quant table id of the single component
+    i = 2
+    n = len(data)
+    scan_pos = -1
+    dc_id = ac_id = 0
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        i += 2
+        if marker in _STANDALONE:
+            if marker == 0xD9:
+                break
+            continue
+        seglen = int.from_bytes(data[i:i + 2], "big")
+        if seglen < 2 or i + seglen > n:
+            raise ValueError("bad JPEG segment length")
+        seg = data[i + 2:i + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq_id = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq != 0:
+                    raise ValueError("16-bit quant table unsupported")
+                if p + 64 > len(seg):
+                    raise ValueError("short DQT")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(seg[p:p + 64], dtype=np.uint8)
+                quant[tq_id] = tbl.reshape(8, 8)
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = seg[p + 1:p + 17]
+                total = sum(counts)
+                syms = seg[p + 17:p + 17 + total]
+                if len(syms) < total:
+                    raise ValueError("short DHT")
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
+                    counts, syms)
+                p += 17 + total
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                raise ValueError("non-8-bit precision")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            if seg[5] != 1:
+                raise ValueError("only grayscale (1 component) supported")
+            if seg[7] != 0x11:
+                raise ValueError("subsampled single component")
+            tq = seg[8]
+        elif marker in _SOF_MARKERS:
+            raise ValueError("non-baseline SOF")
+        elif marker == 0xDD:  # DRI
+            if int.from_bytes(seg[0:2], "big") != 0:
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if seg[0] != 1:
+                raise ValueError("multi-component scan")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            scan_pos = i + seglen
+            break
+        i += seglen
+    if scan_pos < 0 or not width or not height:
+        raise ValueError("no scan data")
+    if tq not in quant or dc_id not in huff_dc or ac_id not in huff_ac:
+        raise ValueError("missing tables")
+    q = quant[tq].astype(np.float64)
+    dct_t, act_t = huff_dc[dc_id], huff_ac[ac_id]
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    br = _BitReader(data, scan_pos)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            coef = np.zeros(64, dtype=np.float64)
+            t = _huff_decode(br, dct_t)
+            pred += _extend(br.read_bits(t), t)
+            coef[0] = pred
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, act_t)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                coef[_ZIGZAG[k]] = _extend(br.read_bits(s), s)
+                k += 1
+            block = _A.T @ (coef.reshape(8, 8) * q) @ _A
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+    img = np.clip(np.round(out[:height, :width] + 128), 0, 255)
+    return img.astype(np.uint8)

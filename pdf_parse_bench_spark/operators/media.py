@@ -70,13 +70,18 @@ def decode_media(media_df: DataFrame, rebalance: bool = True) -> DataFrame:
 
       - PNG → real pixel decode (kernels/png.py) → width/height/channels +
         mean intensity in [0,1] (6 dp half-up, engine-portable); status 'ok'
-      - JPEG → SOFn header parse (kernels/jpeg.py) → width/height/channels,
-        no pixel decode (mean_intensity null); status 'metadata_only'
+      - JPEG, baseline grayscale (SOF0, 1 component, single scan) → real
+        pixel decode (kernels/jpeg.py:jpeg_decode_gray) → true
+        mean_intensity; status 'ok'
+      - other JPEG profiles (color, progressive, headers-only) → SOFn
+        header parse → width/height/channels, no pixel decode
+        (mean_intensity null); status 'metadata_only'
       - anything else / corrupt → the DETERMINISTIC error-placeholder
         artifact's stats with status 'decode_error' — the reference's
         error-image fallback contract (formula_renderer.py:119-164), never
         a task failure and never an all-null row (X4 isolation)."""
-    from pdf_parse_bench_spark.kernels.jpeg import is_jpeg, jpeg_dims
+    from pdf_parse_bench_spark.kernels.jpeg import (
+        is_jpeg, jpeg_decode_gray, jpeg_dims)
     from pdf_parse_bench_spark.operators.skew import rebalance_by_size
 
     if rebalance:
@@ -111,12 +116,25 @@ def decode_media(media_df: DataFrame, rebalance: bool = True) -> DataFrame:
                             float(np.floor(mean * 1e6 + 0.5)) / 1e6)
                         out["status"].append("ok")
                     elif is_jpeg(raw):
-                        w, h, ch = jpeg_dims(raw)
-                        out["width"].append(w)
-                        out["height"].append(h)
-                        out["channels"].append(ch)
-                        out["mean_intensity"].append(None)
-                        out["status"].append("metadata_only")
+                        try:
+                            img = jpeg_decode_gray(raw)
+                            h, w = img.shape
+                            mean = float(img.mean()) / 255.0
+                            out["width"].append(w)
+                            out["height"].append(h)
+                            out["channels"].append(1)
+                            out["mean_intensity"].append(
+                                float(np.floor(mean * 1e6 + 0.5)) / 1e6)
+                            out["status"].append("ok")
+                        except ValueError:
+                            # outside the baseline-grayscale decode profile:
+                            # honest metadata from the SOFn header
+                            w, h, ch = jpeg_dims(raw)
+                            out["width"].append(w)
+                            out["height"].append(h)
+                            out["channels"].append(ch)
+                            out["mean_intensity"].append(None)
+                            out["status"].append("metadata_only")
                     else:
                         raise ValueError("unknown media format")
                 except Exception:

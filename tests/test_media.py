@@ -152,3 +152,114 @@ def test_render_formula_artifacts_ok_and_error(spark):
         assert (err.width, err.height) == (64, 64)
         assert np.array_equal(decode_png(bytes(err.png_bytes)),
                               error_placeholder())
+
+
+def test_jpeg_decode_gray_flat_block_exact():
+    """Baseline grayscale decode is bit-exact for flat-block content with
+    an all-ones quant table (DC = 8*(v-128) exactly; zero AC): the fixture
+    encoder and the kernel decoder must roundtrip every pixel, including
+    non-multiple-of-8 edge cropping."""
+    import numpy as np
+
+    from pdf_parse_bench_spark.fixtures import _mk_gray_jpeg
+    from pdf_parse_bench_spark.kernels.jpeg import jpeg_decode_gray, jpeg_dims
+
+    rng = np.random.default_rng(20260816)
+    for _ in range(10):
+        bh, bw = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        blocks = rng.integers(0, 256, (bh, bw))
+        w = bw * 8 - int(rng.integers(0, 8))
+        h = bh * 8 - int(rng.integers(0, 8))
+        data = _mk_gray_jpeg(blocks, w, h)
+        img = jpeg_decode_gray(data)
+        expect = np.repeat(np.repeat(blocks, 8, 0), 8, 1)[:h, :w]
+        assert img.shape == (h, w)
+        assert (img == expect).all()
+        assert jpeg_dims(data) == (w, h, 1)
+
+
+def test_jpeg_decode_gray_ac_runlength_and_zrl():
+    """AC path: hand-assemble a one-block scan carrying AC coefficients
+    (with a >16 zero run forcing ZRL and a negative value exercising
+    EXTEND), using a test-local Huffman table; expected pixels computed by
+    an independent textbook IDCT double loop (ISO 10918-1 A.3.3), not the
+    kernel's basis matrix."""
+    import numpy as np
+
+    from pdf_parse_bench_spark.fixtures import _JpegBitWriter
+    from pdf_parse_bench_spark.kernels.jpeg import _ZIGZAG, jpeg_decode_gray
+
+    # quantized zigzag-position coefficients: DC then sparse AC
+    coefs = {0: 40, 3: -5, 5: 7, 28: -12, 50: 3}  # pos 29..49 run = ZRL+4
+    # canonical tables: DC cats 0..11 at len 4; AC symbols all at len 6
+    ac_syms = [0x00, 0xF0]  # EOB, ZRL
+    # (run,size) symbols in stream order
+    def cat(v):
+        return abs(v).bit_length()
+    stream = []
+    pos = sorted(k for k in coefs if k > 0)
+    prev = 0
+    for p in pos:
+        run = p - prev - 1
+        while run > 15:
+            stream.append(("ZRL", None))
+            run -= 16
+        sym = (run << 4) | cat(coefs[p])
+        if sym not in ac_syms:
+            ac_syms.append(sym)
+        stream.append((sym, coefs[p]))
+        prev = p
+    stream.append(("EOB", None))
+    ac_counts = [0] * 16
+    ac_counts[5] = len(ac_syms)  # all AC codes at length 6
+    ac_code = {s: i for i, s in enumerate(sorted(ac_syms))}
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes(
+        [(i % 7) + 1 for i in range(64)])  # non-trivial quant table
+    out += (b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+            + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+            + bytes([1, 0x01, 0x11, 0x00]))
+    out += (b"\xff\xc4" + (19 + 12).to_bytes(2, "big") + b"\x00"
+            + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
+    out += (b"\xff\xc4" + (19 + len(ac_syms)).to_bytes(2, "big") + b"\x10"
+            + bytes(ac_counts) + bytes(sorted(ac_syms)))
+    out += b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 0x01, 0x00, 0, 63, 0])
+    bw = _JpegBitWriter()
+    t = cat(coefs[0])
+    bw.write(t, 4)
+    bw.write(coefs[0] if coefs[0] >= 0 else coefs[0] + (1 << t) - 1, t)
+    for sym, val in stream:
+        if sym == "ZRL":
+            bw.write(ac_code[0xF0], 6)
+            continue
+        if sym == "EOB":
+            bw.write(ac_code[0x00], 6)
+            continue
+        bw.write(ac_code[sym], 6)
+        s = sym & 0x0F
+        bw.write(val if val >= 0 else val + (1 << s) - 1, s)
+    out += bw.flush() + b"\xff\xd9"
+
+    img = jpeg_decode_gray(bytes(out))
+
+    # independent reference: dequantize into raster order, textbook IDCT
+    qt = [(i % 7) + 1 for i in range(64)]
+    block = np.zeros((8, 8))
+    for zz, v in coefs.items():
+        block.flat[_ZIGZAG[zz]] = v * qt[zz]
+    ref = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v_ in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v_ == 0 else 1.0
+                    acc += (cu * cv * block[u, v_]
+                            * np.cos((2 * x + 1) * v_ * np.pi / 16)
+                            * np.cos((2 * y + 1) * u * np.pi / 16))
+            ref[y, x] = acc / 4
+    expect = np.clip(np.round(ref + 128), 0, 255).astype(np.uint8)
+    assert img.shape == (8, 8)
+    assert (img == expect).all()
