@@ -705,7 +705,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["pdf_parse"] = f"SELECT doc_id, text FROM {_GPDF}"
     o["pdf_spans"] = (
-        'SELECT doc_id, "offset", kind, text '
+        'SELECT doc_id, "offset", kind, text, media_ref '
         f"FROM '{ORACLE_FX}/golden_pdf_spans.parquet'"
     )
     o["page_raster_stats"] = (

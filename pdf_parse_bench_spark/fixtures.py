@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v27"  # bump to force regeneration
+FIXTURE_VERSION = "v28"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -976,18 +976,23 @@ def _assemble_modern_pdf(objs: list[bytes], use_predictor: bool) -> bytes:
     return bytes(out)
 
 
-def _merge_pdf_spans(entries: list[tuple[int, str, str]]) -> list[dict]:
-    """Golden (kind, text) spans from per-line entries: consecutive
-    same-kind lines WITHIN a page merge newline-joined — exactly the
-    pdf_spans operator's merge rule (kernels/pdftext._runs_to_spans)."""
+def _merge_pdf_spans(entries: list[tuple]) -> list[dict]:
+    """Golden (kind, text, media_ref) spans from per-line entries
+    (pg, kind, text[, media_ref]): consecutive same-kind lines WITHIN a
+    page merge newline-joined — exactly the pdf_spans operator's merge
+    rule (kernels/pdftext._runs_to_spans). Image entries (non-empty
+    media_ref) never merge."""
     merged: list[list] = []
-    for pg, kind, text in entries:
-        if merged and merged[-1][0] == pg and merged[-1][1] == kind:
+    for entry in entries:
+        pg, kind, text = entry[0], entry[1], entry[2]
+        ref = entry[3] if len(entry) > 3 else ""
+        if (merged and merged[-1][0] == pg and merged[-1][1] == kind
+                and ref == "" and merged[-1][3] == ""):
             merged[-1][2].append(text)
         else:
-            merged.append([pg, kind, [text]])
-    return [{"offset": i, "kind": k, "text": "\n".join(ts)}
-            for i, (_pg, k, ts) in enumerate(merged)]
+            merged.append([pg, kind, [text], ref])
+    return [{"offset": i, "kind": k, "text": "\n".join(ts), "media_ref": r}
+            for i, (_pg, k, ts, r) in enumerate(merged)]
 
 
 def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str, list]:
@@ -1077,6 +1082,19 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str, list]:
             golden_entries.append((pg, "inline-formula", mid))
             golden_entries.append((pg, "text", post))
             y0 -= 20.0
+        if rng.random() < 0.3:
+            # Image XObject figure (M11): /Im1 painted through an explicit
+            # CTM in the top band — pdf_spans must surface it as a
+            # kind='image' span with the page_<x>_<y>_<w>_<h>.png ref at
+            # the right place in the sequence. Placement dims (CTM scale)
+            # deliberately differ from /Im1's pixel dims.
+            iw, ih = 96 + 8 * (doc_id % 5), 48 + 8 * (pg % 4)
+            iy = y0 - ih
+            ops.append(f"q {iw} 0 0 {ih} 72.0 {iy:.1f} cm /Im1 Do Q")
+            golden_entries.append(
+                (pg, "image", "",
+                 f"page_72_{round(page_h - y0)}_{iw}_{ih}.png"))
+            y0 -= ih + 12.0
         for x, col_lines, max_w in cols:
             col_ops, emitted = _emit_column(x, y0, col_lines, rng,
                                             size=size, max_w=max_w)
@@ -1104,7 +1122,7 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str, list]:
             break
 
     # objects: 1=Catalog 2=Pages 3=F1 4=F2 5=F3 6=CMap 7=F4 8=CIDCMap
-    # 9=FormA4 10=FormLetter 11=F5 (math face),
+    # 9=FormA4 10=FormLetter 11=F5 (math face) 12=Im1 (image XObject),
     # then per page:
     # streams, page dict. MediaBox + Resources live on the Pages node
     # (inheritance path); Letter pages override MediaBox locally.
@@ -1135,6 +1153,12 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str, list]:
     # math face: BaseFont name carries the LM math-family marker
     objs.append(b"<< /Type /Font /Subtype /Type1 "
                 b"/BaseFont /SYNTH+LMMathItalic12-Regular >>")
+    # Image XObject (M11): pixel dims differ from every placement CTM so
+    # the extractor provably reads geometry from the CTM, not the dict
+    img_px = bytes((doc_id * 7 + k) % 256 for k in range(16))
+    objs.append(b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 16 >>"
+                b"\nstream\n%s\nendstream" % img_px)
     page_nums: list[int] = []
     for page in pages:
         snums = []
@@ -1152,14 +1176,15 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str, list]:
     kids = b" ".join(b"%d 0 R" % n for n in page_nums)
     objs[1] = (b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 595 842] "
                b"/Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 5 0 R "
-               b"/F4 7 0 R /F5 11 0 R >> /XObject << /FmA 9 0 R /FmL 10 0 R >> >> >>"
+               b"/F4 7 0 R /F5 11 0 R >> "
+               b"/XObject << /FmA 9 0 R /FmL 10 0 R /Im1 12 0 R >> >> >>"
                % (kids, len(page_nums)))
 
     # ~30% of docs ship in the PDF 1.5 modern layout (xref STREAM +
     # /ObjStm-packed dicts, half of those with /Predictor 12)
     if rng.random() < 0.3:
         return (_assemble_modern_pdf(objs, bool(rng.random() < 0.5)),
-                "\n".join(t for _, _, t in golden_entries),
+                "\n".join(e[2] for e in golden_entries if len(e) < 4),
                 _merge_pdf_spans(golden_entries))
 
     out = bytearray(b"%PDF-1.4\n")
@@ -1175,7 +1200,7 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str, list]:
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objs) + 1, xref_at)
     )
-    return (bytes(out), "\n".join(t for _, _, t in golden_entries),
+    return (bytes(out), "\n".join(e[2] for e in golden_entries if len(e) < 4),
             _merge_pdf_spans(golden_entries))
 
 
@@ -1422,7 +1447,8 @@ def ensure_fixtures(sf_dir: str) -> Path:
                       ("formula", pa.string())]))
     _write("golden_pdf_spans.parquet", pdf_span_rows,
            pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
-                      ("kind", pa.string()), ("text", pa.string())]))
+                      ("kind", pa.string()), ("text", pa.string()),
+                      ("media_ref", pa.string())]))
     _write("golden_raster_stats.parquet", raster_rows,
            pa.schema([("doc_id", pa.string()), ("page_no", pa.int32()),
                       ("width", pa.int32()), ("height", pa.int32()),

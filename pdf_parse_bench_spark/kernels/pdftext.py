@@ -579,9 +579,12 @@ class _PdfDoc:
                self._xobject_lookup(resources), page_w, page_h)
 
     def _xobject_lookup(self, resources):
-        """Closure resolving a /XObject name to (body, fonts, sub_lookup)
-        for Form XObjects — the `Do` operator recursion (§8.10); forms
-        inherit the parent resources when they carry none."""
+        """Closure resolving a /XObject name for the `Do` operator (§8.10):
+        ("form", body, fonts, sub_lookup) for Form XObjects (forms inherit
+        the parent resources when they carry none) or ("image", w_px, h_px)
+        for Image XObjects (M11 — the figure surface dots.ocr reports as
+        Picture blocks, parsers/dots_ocr/__main__.py:125-142; placement
+        comes from the CTM at the Do site, not from these pixel dims)."""
         def lookup(name: str):
             res = self.resolve(resources)
             if not isinstance(res, dict):
@@ -591,11 +594,21 @@ class _PdfDoc:
                 return None
             ref = xo.get(name)
             d = self.resolve(ref)
-            if not isinstance(d, dict) or str(d.get("Subtype", "")) != "Form":
+            if not isinstance(d, dict):
+                return None
+            sub = str(d.get("Subtype", ""))
+            if sub == "Image":
+                try:
+                    return ("image", int(self.resolve(d.get("Width", 0))),
+                            int(self.resolve(d.get("Height", 0))))
+                except (TypeError, ValueError):
+                    return None
+            if sub != "Form":
                 return None
             body = self.stream_bytes(ref)
             sub_res = d.get("Resources") or resources
-            return body, self._fonts(sub_res), self._xobject_lookup(sub_res)
+            return ("form", body, self._fonts(sub_res),
+                    self._xobject_lookup(sub_res))
         return lookup
 
     # -- fonts / encodings ----------------------------------------------------
@@ -937,7 +950,8 @@ _CONTENT_TOKEN = re.compile(
 )
 
 
-def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
+def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0,
+               images: list | None = None, ctm0=None):
     """Interpret one page's content stream; return
     [(x, y_pdf, width_pt, height_pt, text), ...].
 
@@ -949,9 +963,18 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
     0.5·size·len per shown string (the CM/LM average advance) — so the
     XY-cut over these boxes keeps two-column math PDFs column-major instead
     of fragmenting formula runs across the gutter. Rotation in Tm is
-    ignored for layout (translation + axis scale only)."""
+    ignored for layout (translation + axis scale only).
+
+    The GRAPHICS state tracked is the CTM (`cm` composition under `q`/`Q`
+    nesting) — not for text (fixtures place text via Tm) but for Image
+    XObjects: an image `Do` paints the unit square through the CTM, so its
+    user-space rect is the transformed square's bounding box; collected
+    into `images` as (x, y_pdf, w, h) when the caller passes a list
+    (M11: parsers/olmocr/__main__.py:59-61 figure-ref emission)."""
     runs: list[tuple[float, float, float, float, str, bool]] = []
     stack: list = []
+    ctm = ctm0 or (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)  # (a, b, c, d, e, f)
+    gs_stack: list = []
     lx = ly = 0.0
     leading = 0.0
     cur_font = _DEFAULT_DECODER
@@ -1090,14 +1113,35 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0):
                         buf.append(" ")
                         buf_w += 0.5 * cur_size * tm_a
                         pen += 0.5 * cur_size * tm_a
+            elif op == b"q":
+                gs_stack.append(ctm)
+            elif op == b"Q":
+                if gs_stack:
+                    ctm = gs_stack.pop()
+            elif op == b"cm" and len(stack) >= 6:
+                # CTM' = M × CTM (row-vector convention: coordinates pass
+                # through the NEW matrix first)
+                ma, mb, mc, md, me, mf = (float(v) for v in stack[-6:])
+                ca, cb, cc, cd, ce, cf = ctm
+                ctm = (ma * ca + mb * cc, ma * cb + mb * cd,
+                       mc * ca + md * cc, mc * cb + md * cd,
+                       me * ca + mf * cc + ce, me * cb + mf * cd + cf)
             elif op == b"Do" and stack and isinstance(stack[-1], _Name):
-                # Form XObject: recurse with the form's own resources;
-                # text state does not leak across the boundary (§8.10)
                 if xobj_fn is not None and depth < 8:
                     sub = xobj_fn(str(stack[-1]))
-                    if sub:
-                        runs.extend(_page_runs(sub[0], sub[1], sub[2],
-                                               depth + 1))
+                    if sub and sub[0] == "form":
+                        # Form XObject: recurse with the form's own
+                        # resources; text state does not leak across the
+                        # boundary (§8.10), the CTM does
+                        runs.extend(_page_runs(sub[1], sub[2], sub[3],
+                                               depth + 1, images, ctm))
+                    elif sub and sub[0] == "image" and images is not None:
+                        # unit square through the CTM -> user-space rect
+                        a, b, c, d, e, f = ctm
+                        xs = (e, a + e, c + e, a + c + e)
+                        ys = (f, b + f, d + f, b + d + f)
+                        x0, y0 = min(xs), min(ys)
+                        images.append((x0, y0, max(xs) - x0, max(ys) - y0))
             elif op == b"BI":  # inline image: skip to EI
                 e = data.find(b"EI", i)
                 i = n if e < 0 else e + 2
@@ -1128,9 +1172,10 @@ def _runs_to_text(runs, page_h: float) -> str:
 _MATH_LINE_FRAC = 0.3  # math-glyph mass above which a baseline is formula
 
 
-def _runs_to_spans(runs, page_h: float) -> list[tuple[str, str]]:
-    """Reading-ordered (kind, text) spans for one page — the dots.ocr
-    block-category contract (parsers/dots_ocr/__main__.py:125-142)
+def _runs_to_spans(runs, page_h: float,
+                   images: list | None = None) -> list[tuple[str, str, str]]:
+    """Reading-ordered (kind, text, media_ref) spans for one page — the
+    dots.ocr block-category contract (parsers/dots_ocr/__main__.py:125-142)
     recovered from font metadata instead of a VLM:
 
       - reading-ordered runs group into BASELINES (|Δy| <= 2pt between
@@ -1142,9 +1187,22 @@ def _runs_to_spans(runs, page_h: float) -> list[tuple[str, str]]:
         (multi-baseline fraction/limit layouts);
       - math runs sitting inside a prose line are inline-formula spans,
         emitted between the line's text pieces in x order;
-      - consecutive same-kind emissions merge (newline-joined)."""
+      - consecutive same-kind emissions merge (newline-joined);
+      - Image XObjects (`images`: (x, y_pdf, w, h) user-space rects from
+        _page_runs) become kind='image' spans with the olmOCR figure-ref
+        convention page_<x>_<ytop>_<w>_<h>.png (parsers/olmocr/
+        __main__.py:59-61), inserted into the line sequence by top-origin
+        y (a figure sits between the baselines above and below it); images
+        never merge with neighbors."""
+    img_spans = [
+        ("image", "",
+         f"page_{round(x)}_{round(page_h - y - h)}_{round(w)}_{round(h)}.png",
+         page_h - y - h)
+        for x, y, w, h in (images or [])
+    ]
     if not runs:
-        return []
+        return [(k, t, m) for k, t, m, _y in
+                sorted(img_spans, key=lambda s: s[3])]
     order = reading_order(_run_boxes(runs, page_h))
     lines: list[list[int]] = []
     for i in order:
@@ -1235,12 +1293,22 @@ def _runs_to_spans(runs, page_h: float) -> list[tuple[str, str]]:
     spans: list[list] = []
 
     def emit(kind: str, text: str):
-        if spans and spans[-1][0] == kind:
+        if spans and spans[-1][0] == kind and spans[-1][2] == "":
             spans[-1][1].append(text)
         else:
-            spans.append([kind, [text]])
+            spans.append([kind, [text], ""])
 
+    # images interleave DURING emission (by top-origin y against each
+    # line's baseline-derived y), so a figure between two text baselines
+    # SPLITS their merge — same rule the golden generator applies. An
+    # image is its own span (non-empty media_ref) and never merges.
+    pending = sorted(img_spans, key=lambda s: s[3])
+    pi = 0
     for k, members in enumerate(lines):
+        y_top = page_h - line_y[k]
+        while pi < len(pending) and pending[pi][3] <= y_top:
+            spans.append([pending[pi][0], [pending[pi][1]], pending[pi][2]])
+            pi += 1
         if is_formula[k]:
             emit("display-formula",
                  " ".join(runs[i][4] for i in members))
@@ -1249,7 +1317,10 @@ def _runs_to_spans(runs, page_h: float) -> list[tuple[str, str]]:
         else:
             for i in members:
                 emit("inline-formula" if runs[i][5] else "text", runs[i][4])
-    out = [[k, "\n".join(parts)] for k, parts in spans]
+    while pi < len(pending):
+        spans.append([pending[pi][0], [pending[pi][1]], pending[pi][2]])
+        pi += 1
+    out = [[k, "\n".join(parts), ref] for k, parts, ref in spans]
     # run-level sandwich: a bare operator set in CMR between two math runs
     # on a prose line ('η' '=' 's') belongs to the inline formula
     j = 1
@@ -1263,7 +1334,7 @@ def _runs_to_spans(runs, page_h: float) -> list[tuple[str, str]]:
             del out[j:j + 2]
         else:
             j += 1
-    return [(k, t) for k, t in out]
+    return [(k, t, m) for k, t, m in out]
 
 
 def page_pixmap(runs: list[tuple[float, float, str]], page_w: float,
@@ -1368,18 +1439,21 @@ def extract_pdf_text(pdf_bytes: bytes) -> str:
 
 
 def extract_pdf_spans(pdf_bytes: bytes) -> list[dict]:
-    """Ordered (kind, text) spans from a PDF: the per-backend extraction
-    contract (reference parse stage) recovered deterministically — prose
-    runs become text spans, math-font runs become inline/display-formula
-    spans (see _runs_to_spans), page by page in reading order."""
+    """Ordered (kind, text, media_ref) spans from a PDF: the per-backend
+    extraction contract (reference parse stage) recovered deterministically
+    — prose runs become text spans, math-font runs become inline/display-
+    formula spans, Image XObjects become image spans with the
+    page_<x>_<y>_<w>_<h>.png figure ref (see _runs_to_spans), page by page
+    in reading order."""
     out: list[dict] = []
-    page_spans: list[list[tuple[str, str]]] = []
+    page_spans: list[list[tuple[str, str, str]]] = []
     try:
         doc = _PdfDoc(pdf_bytes)
         for body, fonts, xobj_fn, _page_w, page_h in doc.pages():
             if body:
-                page_spans.append(
-                    _runs_to_spans(_page_runs(body, fonts, xobj_fn), page_h))
+                images: list = []
+                runs = _page_runs(body, fonts, xobj_fn, images=images)
+                page_spans.append(_runs_to_spans(runs, page_h, images))
     except Exception:
         page_spans = []
     if not page_spans:
@@ -1389,7 +1463,8 @@ def extract_pdf_spans(pdf_bytes: bytes) -> list[dict]:
                 page_spans.append(sp)
     off = 0
     for sp in page_spans:
-        for kind, text in sp:
-            out.append({"kind": kind, "text": text, "offset": off})
+        for kind, text, media_ref in sp:
+            out.append({"kind": kind, "text": text, "media_ref": media_ref,
+                        "offset": off})
             off += 1
     return out

@@ -226,17 +226,20 @@ def pdf_spans(pdf_df: DataFrame, rebalance: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "offset": [], "kind": [], "text": []}
+            out = {"doc_id": [], "offset": [], "kind": [], "text": [],
+                   "media_ref": []}
             for doc_id, b in zip(pdf["doc_id"], pdf["pdf_bytes"]):
                 for s in extract_pdf_spans(bytes(b)):
                     out["doc_id"].append(doc_id)
                     out["offset"].append(s["offset"])
                     out["kind"].append(s["kind"])
                     out["text"].append(s["text"])
+                    out["media_ref"].append(s["media_ref"])
             yield pd.DataFrame(out)
 
     return pdf_df.mapInPandas(
-        run, schema="doc_id string, offset int, kind string, text string")
+        run, schema="doc_id string, offset int, kind string, text string, "
+                    "media_ref string")
 
 
 def rasterize_pages(pdf_df: DataFrame, dpi: int = 72,

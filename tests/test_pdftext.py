@@ -511,3 +511,53 @@ def _one_page_with_fonts(body: bytes) -> bytes:
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (len(objs) + 1, xref))
     return bytes(out)
+
+
+def test_pdf_spans_image_xobject_from_ctm():
+    """M11: an Image XObject painted via `q .. cm /Im Do Q` must surface as
+    a kind='image' span with media_ref page_<x>_<y>_<w>_<h>.png computed
+    from the CTM (top-left origin) — NOT from the XObject's /Width//Height
+    pixel dims — positioned between the baselines above and below it, and
+    it must split the merge of the surrounding text spans. CTM composition
+    under q/Q nesting is exercised by a translate-then-scale pair."""
+    from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_spans
+
+    body = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Above the figure.) Tj ET\n"
+        # translate then scale in separate cm ops: composed CTM places the
+        # 150x100 rect at (80, 560)
+        b"q 1 0 0 1 80 560 cm 150 0 0 100 0 0 cm /Im9 Do Q\n"
+        b"BT /F1 12 Tf 1 0 0 1 72 520 Tm (Below the figure.) Tj ET"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 595 842] /Resources << "
+        b"/Font << /F1 4 0 R >> /XObject << /Im9 5 0 R >> >> >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 16 >>"
+        b"\nstream\n0123456789abcdef\nendstream",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, b in enumerate(objs, start=1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + b + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for o in offs:
+        out += b"%010d 00000 n \n" % o
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref))
+
+    sp = extract_pdf_spans(bytes(out))
+    got = [(s["kind"], s["text"], s["media_ref"]) for s in sp]
+    # image rect: x=80, y_top = 842 - 560 - 100 = 182, w=150, h=100
+    assert got == [
+        ("text", "Above the figure.", ""),
+        ("image", "", "page_80_182_150_100.png"),
+        ("text", "Below the figure.", ""),
+    ], got
