@@ -641,7 +641,19 @@ class _PdfDoc:
             if cmap:
                 tounicode = _parse_tounicode(cmap)
         if str(font.get("Subtype", "")) == "Type0":
-            # composite CID font (/Identity-H et al.): 2-byte codes
+            enc = font.get("Encoding")
+            if isinstance(enc, _Ref):
+                # embedded CMap stream (non-Identity CID encoding): the
+                # codespace ranges drive variable code widths and the
+                # cidchar/cidrange sections give the CID fallback when a
+                # code is missing from /ToUnicode (PDF 32000-1 §9.7.5.3)
+                data = self.stream_bytes(enc)
+                if data:
+                    codespaces, cidmap, cidranges = _parse_cid_cmap(data)
+                    if codespaces:
+                        return _cid_cmap_decoder(
+                            codespaces, cidmap, cidranges, tounicode)
+            # /Identity-H et al.: 2-byte codes
             return _cid2_decoder(tounicode)
         enc = self.resolve(font.get("Encoding"))
         base = enc if isinstance(enc, _Name) else None
@@ -718,6 +730,74 @@ def _parse_tounicode(cmap: bytes) -> dict[int, str]:
 def _simple_decoder(table: list[str]):
     def decode(raw: bytes) -> str:
         return "".join(table[b] for b in raw)
+    return decode
+
+
+_CSRANGE_SECTION_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_CIDCHAR_SECTION_RE = re.compile(rb"begincidchar(.*?)endcidchar", re.S)
+_CIDRANGE_SECTION_RE = re.compile(rb"begincidrange(.*?)endcidrange", re.S)
+_CSRANGE_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_CIDCHAR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s+(\d+)")
+_CIDRANGE_CMAP_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s+(\d+)")
+
+
+def _parse_cid_cmap(data: bytes):
+    """Embedded CID CMap (PDF 32000-1 §9.7.5.3): codespace ranges (the hex
+    literal's byte count IS the code width), cidchar singletons and
+    cidrange runs. Returns (codespaces[(nbytes, lo, hi)] sorted by width,
+    {code: cid}, [(lo, hi, cid0)])."""
+    codespaces = []
+    for sec in _CSRANGE_SECTION_RE.findall(data):
+        for lo, hi in _CSRANGE_RE.findall(sec):
+            codespaces.append((len(lo) // 2, int(lo, 16), int(hi, 16)))
+    cidmap: dict[int, int] = {}
+    for sec in _CIDCHAR_SECTION_RE.findall(data):
+        for code, cid in _CIDCHAR_RE.findall(sec):
+            cidmap[int(code, 16)] = int(cid)
+    cidranges = []
+    for sec in _CIDRANGE_SECTION_RE.findall(data):
+        for lo, hi, cid in _CIDRANGE_CMAP_RE.findall(sec):
+            cidranges.append((int(lo, 16), int(hi, 16), int(cid)))
+    return sorted(codespaces), cidmap, cidranges
+
+
+def _cid_cmap_decoder(codespaces, cidmap, cidranges, tounicode):
+    """Type0 decode through an embedded CMap: consume the SHORTEST
+    codespace range matching at the cursor (mixed 1-/2-byte streams per
+    the Adobe-Japan1 shape), then /ToUnicode by code, falling back to the
+    CID codepoint; a byte matching no range skips the narrowest width
+    (§9.7.6.3 error handling)."""
+    min_w = codespaces[0][0]
+
+    def to_cid(code: int):
+        if code in cidmap:
+            return cidmap[code]
+        for lo, hi, cid0 in cidranges:
+            if lo <= code <= hi:
+                return cid0 + code - lo
+        return None
+
+    def decode(raw: bytes) -> str:
+        out = []
+        i, n = 0, len(raw)
+        while i < n:
+            for nb, lo, hi in codespaces:
+                if i + nb > n:
+                    continue
+                code = int.from_bytes(raw[i:i + nb], "big")
+                if lo <= code <= hi:
+                    u = tounicode.get(code)
+                    if u is None:
+                        cid = to_cid(code)
+                        u = chr(cid) if cid is not None else chr(code)
+                    out.append(u)
+                    i += nb
+                    break
+            else:
+                i += min_w
+        return "".join(out)
     return decode
 
 

@@ -561,3 +561,82 @@ def test_pdf_spans_image_xobject_from_ctm():
         ("image", "", "page_80_182_150_100.png"),
         ("text", "Below the figure.", ""),
     ], got
+
+
+def _assemble_pdf(objs: list[bytes]) -> bytes:
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, b in enumerate(objs, start=1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + b + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for o in offs:
+        out += b"%010d 00000 n \n" % o
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref))
+    return bytes(out)
+
+
+def test_type0_embedded_cmap_mixed_code_widths():
+    """A non-Identity Type0 font whose /Encoding is an embedded CMap
+    STREAM with mixed 1-byte and 2-byte codespace ranges (the
+    Adobe-Japan1 shell shape): 1-byte codes <20>-<7E> pass through a
+    partial /ToUnicode; 2-byte codes <8140>-<9FFC> resolve through a
+    cidrange to CID codepoints. The show string interleaves both widths —
+    the decoder must consume the right number of bytes per code
+    (VERDICT r3 item 5)."""
+    from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_text
+
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"2 begincodespacerange\n<20> <7e>\n<8140> <9ffc>\nendcodespacerange\n"
+            b"1 begincidrange\n<8140> <9ffc> 9000\nendcidrange\n"
+            b"endcmap\nend")
+    # ToUnicode keyed by CODE: maps the 1-byte codes to letters
+    tounicode = (b"begincmap\n"
+                 b"3 beginbfchar\n<41> <0058>\n<42> <0059>\n<20> <0020>\n"
+                 b"endbfchar\nendcmap")
+    # show: 'A' ' ' <8141 -> cid 9001> 'B'  (1,1,2,1 bytes)
+    body = (b"BT /F6 12 Tf 1 0 0 1 72 700 Tm <412081414220> Tj ET")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 595 842] "
+        b"/Resources << /Font << /F6 4 0 R >> >> >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthJ "
+        b"/Encoding 5 0 R /ToUnicode 6 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(tounicode), tounicode),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body),
+    ]
+    text = extract_pdf_text(_assemble_pdf(objs))
+    # 0x8141 -> cid 9000 + (0x8141-0x8140) = 9001 -> chr(9001) = '〈'
+    assert text == "X " + chr(9001) + "Y" + chr(0x20), text
+
+
+def test_type3_font_charprocs_differences():
+    """A /Type3 font (no BaseFont) whose /Encoding /Differences maps codes
+    to its /CharProcs glyph names: the names decode through the AGL table
+    (bullet, emdash) exactly like a Differences-encoded simple font — and
+    with zero replacement characters (VERDICT r3 item 5)."""
+    from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_text
+
+    glyph = b"10 0 0 10 0 0 d1"  # trivial CharProc body
+    body = b"BT /F7 12 Tf 1 0 0 1 72 700 Tm (\x01\x02\x01) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 595 842] "
+        b"/Resources << /Font << /F7 4 0 R >> >> >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+        b"<< /Type /Font /Subtype /Type3 "
+        b"/FontBBox [0 0 10 10] /FontMatrix [0.001 0 0 0.001 0 0] "
+        b"/CharProcs << /bullet 5 0 R /emdash 5 0 R >> "
+        b"/Encoding << /Differences [ 1 /bullet /emdash ] >> "
+        b"/FirstChar 1 /LastChar 2 >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(glyph), glyph),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body),
+    ]
+    text = extract_pdf_text(_assemble_pdf(objs))
+    assert text == "•—•", repr(text)
+    assert "�" not in text
