@@ -41,7 +41,12 @@ PAGE_H = 842.0  # fallback page height when no /MediaBox is recoverable
 # pdf_spans (formula vs prose); prose CM faces (CMR/LMRoman…) don't match
 _MATH_FONT_RE = re.compile(
     r"(CMMI|CMSY|CMEX|CMBSY|MSAM|MSBM|Math(?:Italic|Symbols|Extension)?"
-    r"|Symbol|rsfs|wasy|stmary)", re.I)
+    r"|Symbol|rsfs|wasy|stmary"
+    # Euler math families (EUFM fraktur / EURM+EURB roman / EUSM script /
+    # EUEX extension), TX math faces (txsy/txex/tx(b)mi & r-prefixed, but
+    # NOT the rtxr/rtxb text romans), Kepler math ('Kp--M-' marker): all
+    # present in the reference 2025-q4/2026-q1 corpora
+    r"|EU(?:FM|RM|RB|SM|EX)|r?txb?(?:syc?|mia?|ex)|Kp--M-)", re.I)
 _LINE_H = 12.0
 _RUN_W = 200.0
 _TJ_SPACE_KERN = -150.0  # TJ adjustment (1/1000 em) at/below which a space is implied
@@ -613,11 +618,17 @@ class _PdfDoc:
 
     # -- fonts / encodings ----------------------------------------------------
     def _fonts(self, resources) -> dict:
-        """name -> (decode callable (bytes -> str), is_math_font).
+        """name -> (decode callable (bytes -> str), is_math_font, adv_fn).
 
         is_math comes from the /BaseFont name (CM/LM math families,
         Symbol, AMS fonts) — the signal pdf_spans uses to classify runs
-        into formula vs prose spans."""
+        into formula vs prose spans. adv_fn(raw) returns the shown
+        string's advance in text-space ems (sum of /Widths entries /1000)
+        when the font carries real metrics, or None — the caller then
+        falls back to the 0.5 em/glyph average model. Real metrics matter
+        for layout: with the average model every run of a narrow face
+        (Libertine ≈ 0.435 em) overhangs ~15% — enough to flood a
+        two-column gutter and break the XY-cut."""
         fonts: dict = {}
         resources = self.resolve(resources)
         if not isinstance(resources, dict):
@@ -630,8 +641,67 @@ class _PdfDoc:
             if isinstance(font, dict):
                 base = str(font.get("BaseFont", ""))
                 fonts[name] = (self._font_decoder(font),
-                               bool(_MATH_FONT_RE.search(base)))
+                               bool(_MATH_FONT_RE.search(base)),
+                               self._font_advance(font))
         return fonts
+
+    def _font_advance(self, font: dict):
+        """Advance function from real font metrics: simple fonts index
+        /Widths by byte code from /FirstChar (PDF 32000-1 §9.6.2); Type0
+        fonts use the descendant CIDFont's /W runs with /DW default 1000
+        (§9.7.4.3). Returns None when no metrics are present."""
+        subtype = str(font.get("Subtype", ""))
+        if subtype == "Type0":
+            desc = self.resolve(font.get("DescendantFonts"))
+            d0 = self.resolve(desc[0]) if isinstance(desc, list) and desc else None
+            if not isinstance(d0, dict):
+                return None
+            dw = float(self.resolve(d0.get("DW", 1000)) or 1000)
+            cid_w: dict[int, float] = {}
+            w = self.resolve(d0.get("W"))
+            if isinstance(w, list):
+                i = 0
+                while i < len(w):
+                    a = self.resolve(w[i])
+                    b = self.resolve(w[i + 1]) if i + 1 < len(w) else None
+                    if isinstance(b, list):
+                        for k, wi in enumerate(b):
+                            cid_w[int(a) + k] = float(self.resolve(wi))
+                        i += 2
+                    elif b is not None and i + 2 < len(w):
+                        wi = float(self.resolve(w[i + 2]))
+                        for c in range(int(a), int(b) + 1):
+                            cid_w[c] = wi
+                        i += 3
+                    else:
+                        break
+
+            def adv0(raw: bytes) -> float:
+                total = 0.0
+                for j in range(0, len(raw) - 1, 2):
+                    cid = (raw[j] << 8) | raw[j + 1]
+                    total += cid_w.get(cid, dw)
+                return total / 1000.0
+            return adv0
+        widths = self.resolve(font.get("Widths"))
+        if not isinstance(widths, list) or not widths:
+            return None
+        try:
+            table = [float(self.resolve(x) or 0) for x in widths]
+        except (TypeError, ValueError):
+            return None
+        fc = int(self.resolve(font.get("FirstChar", 0)) or 0)
+
+        def adv(raw: bytes) -> float:
+            total = 0.0
+            for b in raw:
+                k = b - fc
+                # 0-width table entries (unused slots) fall back to the
+                # average model rather than collapsing the run
+                total += table[k] if 0 <= k < len(table) and table[k] > 0 \
+                    else 500.0
+            return total / 1000.0
+        return adv
 
     def _font_decoder(self, font: dict):
         tounicode: dict[int, str] = {}
@@ -1059,6 +1129,7 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0,
     leading = 0.0
     cur_font = _DEFAULT_DECODER
     cur_math = False
+    cur_adv = None
     cur_size = 12.0
     tm_a = tm_d = 1.0  # Tm axis scale (text space -> user space)
     buf: list[str] = []
@@ -1085,7 +1156,10 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0,
             buf_pos = (lx + pen, ly)
         s = cur_font(raw)
         buf.append(s)
-        adv = 0.5 * cur_size * tm_a * len(s)
+        if cur_adv is not None:
+            adv = cur_adv(raw) * cur_size * tm_a
+        else:
+            adv = 0.5 * cur_size * tm_a * len(s)
         buf_w += adv
         pen += adv
         buf_h = max(buf_h, cur_size * tm_d)
@@ -1168,12 +1242,14 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0,
             elif op == b"TL" and stack:
                 leading = float(stack[-1])
             elif op == b"Tf" and len(stack) >= 2 and isinstance(stack[-2], _Name):
-                entry = fonts.get(str(stack[-2]), (_DEFAULT_DECODER, False))
+                entry = fonts.get(
+                    str(stack[-2]), (_DEFAULT_DECODER, False, None))
                 if entry[1] != cur_math:
                     # math<->prose font switch splits the run so spans
                     # classify cleanly; same-kind switches keep one run
                     flush()
-                cur_font, cur_math = entry
+                cur_font, cur_math = entry[0], entry[1]
+                cur_adv = entry[2] if len(entry) > 2 else None
                 cur_size = abs(float(stack[-1])) or cur_size
             elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
                 show(stack[-1])
@@ -1191,8 +1267,19 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0,
                         if not buf:
                             buf_pos = (lx + pen, ly)
                         buf.append(" ")
-                        buf_w += 0.5 * cur_size * tm_a
-                        pen += 0.5 * cur_size * tm_a
+                        # with real metrics the space IS the kern's width
+                        # (LaTeX emits inter-word glue as TJ kerns);
+                        # average model keeps the 0.5 em space
+                        k = (-el / 1000.0 if cur_adv is not None else 0.5
+                             ) * cur_size * tm_a
+                        buf_w += k
+                        pen += k
+                    elif isinstance(el, float) and cur_adv is not None:
+                        # sub-threshold kern: shifts the pen without
+                        # implying a space (exact-metrics mode only)
+                        k = -el / 1000.0 * cur_size * tm_a
+                        buf_w += k
+                        pen += k
             elif op == b"q":
                 gs_stack.append(ctm)
             elif op == b"Q":
@@ -1250,6 +1337,9 @@ def _runs_to_text(runs, page_h: float) -> str:
 
 
 _MATH_LINE_FRAC = 0.3  # math-glyph mass above which a baseline is formula
+# a prose-font run on a formula baseline carrying a real word (>= 4
+# letters) is wrapped sentence text, not formula notation
+_PROSE_WORD_RE = re.compile(r"[^\W\d_]{4,}")
 
 
 def _runs_to_spans(runs, page_h: float,
@@ -1344,21 +1434,45 @@ def _runs_to_spans(runs, page_h: float,
     num_re = re.compile(r"^[±+-]?[0-9][0-9.,%]*$")
 
     def _rowlike(k: int) -> bool:
-        toks = " ".join(runs[i][4] for i in lines[k]).split()
+        text = " ".join(runs[i][4] for i in lines[k])
+        toks = text.split()
         if len(toks) < 2:
             return False
         n_num = sum(1 for t in toks if num_re.match(t))
+        if is_formula[k]:
+            # a math-classified baseline joins a table block only as a
+            # bracketed-unit parameter row ('µ max [day−1] 1.8144'):
+            # trailing numeric + a [..] unit. Aligned display equations
+            # (which can also end in a numeral) carry no unit brackets.
+            return (n_num >= 1 and num_re.match(toks[-1]) is not None
+                    and "[" in text and "]" in text)
         return n_num >= 2 or (n_num >= 1 and num_re.match(toks[-1]) is not None)
 
     k = 0
     while k < n_lines:
-        if not is_formula[k] and _rowlike(k):
+        if _rowlike(k):
+            # chain consecutive rows, absorbing up to 2 gap lines between
+            # genuine rows when they look like table furniture rather than
+            # prose: sub/superscript cell fragments ('40k†' banding as 'k',
+            # '†'), row labels ('ResNet50') and header rows ('Vitis Calyx
+            # ...') are short and never end in a period
             j = k
-            while j < n_lines and not is_formula[j] and _rowlike(j):
-                j += 1
-            if j - k >= 3:
+            last_row = k
+            while j < n_lines:
+                if _rowlike(j):
+                    last_row = j
+                    j += 1
+                elif (j - last_row <= 2 and line_len[j] <= 40
+                      and not "".join(
+                          runs[i][4] for i in lines[j]).rstrip().endswith(".")):
+                    j += 1
+                else:
+                    break
+            j = last_row + 1  # trailing debris stays outside the block
+            if sum(1 for t in range(k, j) if _rowlike(t)) >= 3:
                 for t in range(k, j):
                     is_table[t] = True
+                    is_formula[t] = False  # table block wins the overlap
                 hdr = k - 1  # absorb one short non-sentence header line
                 if (hdr >= 0 and not is_formula[hdr] and not is_table[hdr]
                         and line_len[hdr] <= 60
@@ -1390,8 +1504,23 @@ def _runs_to_spans(runs, page_h: float,
             spans.append([pending[pi][0], [pending[pi][1]], pending[pi][2]])
             pi += 1
         if is_formula[k]:
-            emit("display-formula",
-                 " ".join(runs[i][4] for i in members))
+            # prose fragments sharing the baseline with display math (a
+            # sentence wrapping around an inline equation — 'pre- /
+            # [math] / cios.') must NOT be swallowed into the formula:
+            # a PROSE-font run containing a >=4-letter word is emitted as
+            # its own text segment in x order. Short CMR pieces (digits,
+            # 'cos', 'lim', operators) stay inside the formula.
+            segs: list[tuple[str, list[int]]] = []
+            for i in members:
+                prose_word = (not runs[i][5]
+                              and _PROSE_WORD_RE.search(runs[i][4]))
+                kind = "text" if prose_word else "display-formula"
+                if segs and segs[-1][0] == kind:
+                    segs[-1][1].append(i)
+                else:
+                    segs.append((kind, [i]))
+            for kind, idxs in segs:
+                emit(kind, " ".join(runs[i][4] for i in idxs))
         elif is_table[k]:
             emit("table", " ".join(runs[i][4] for i in members))
         else:

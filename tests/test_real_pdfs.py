@@ -82,11 +82,13 @@ def test_002_column_major_reading_order():
 
 def test_gt_text_span_alignment_real_pdfs():
     """The J2 fuzzy-alignment kernel (sliding-window Levenshtein, 15%
-    tolerance — segment_extractor.py:628-711 semantics) must locate >=75%
+    tolerance — segment_extractor.py:628-711 semantics) must locate >=80%
     of the reference's ground-truth TEXT spans inside our extraction of
     the corresponding real PDF, aggregated over 10 docs. Deterministic:
-    fixed corpus, fixed kernel. (Measured 185/232 = 0.797 at round 3 —
-    misses are prose spans interrupted by inline-formula glyph runs.)"""
+    fixed corpus, fixed kernel. (0.797 at round 3; round 4's real
+    advance metrics raised the full-text rate too — remaining misses are
+    prose interrupted by inline-formula glyph runs, which the prose-only
+    pdf_spans path recovers.)"""
     from pdf_parse_bench_spark.kernels.alignment import find_original_segment
 
     hit = tot = 0
@@ -101,7 +103,7 @@ def test_gt_text_span_alignment_real_pdfs():
             tot += 1
             if find_original_segment(s["data"], ext) is not None:
                 hit += 1
-    assert hit / tot >= 0.75, f"{hit}/{tot}"
+    assert hit / tot >= 0.80, f"{hit}/{tot}"
 
 
 def test_pdf_spans_classifies_real_math():
@@ -141,8 +143,11 @@ def test_pdf_spans_detects_tables_on_tables_corpus():
 def test_pdf_spans_prose_improves_alignment():
     """Downstream utility of pdf_spans: aligning GT text spans against the
     PROSE-ONLY span text (formula runs classified out) beats the raw
-    full-text rate — 0.828 vs 0.797 measured at round 3, both pinned as
-    floors (>=0.80 prose-only, and prose-only >= full-text)."""
+    full-text rate. Round 4 lifted prose-only 0.828 -> 0.948 via real
+    /Widths+TJ-kern advance metrics (two-column gutters stay clear, so
+    the XY-cut keeps columns apart), the Euler/TX/Kepler math-face tags,
+    and splitting wrapped-sentence fragments out of display-formula
+    baselines; floor pinned at 0.92, and prose-only >= full-text."""
     from pdf_parse_bench_spark.kernels.alignment import find_original_segment
     from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_spans
 
@@ -163,5 +168,5 @@ def test_pdf_spans_prose_improves_alignment():
                 hit_full += 1
             if find_original_segment(s["data"], prose) is not None:
                 hit_prose += 1
-    assert hit_prose / tot >= 0.80, f"{hit_prose}/{tot}"
+    assert hit_prose / tot >= 0.92, f"{hit_prose}/{tot}"
     assert hit_prose >= hit_full
