@@ -784,21 +784,31 @@ def oracle_sql() -> dict[str, str]:
         "AS INTEGER), 0), 0), 10) AS parsed_score "
         f"FROM {_SC}"
     )
-    _uni = "text"
-    for i, ch in enumerate("₀₁₂₃₄₅₆₇₈₉"):
-        _uni = f"replace({_uni}, '{ch}', '_{i}')"
-    for i, ch in enumerate("⁰¹²³⁴⁵⁶⁷⁸⁹"):
-        _uni = f"replace({_uni}, '{ch}', '^{i}')"
-    for ch, latex in tn.UNICODE_LATEX_MAP.items():
-        _uni = f"replace({_uni}, '{ch}', '{latex.replace(chr(39), chr(39) * 2)}')"
+    # the r4 long-tail map pushes the mechanical replace chain past
+    # DuckDB's 128-deep expression-binder recursion limit, so the chain is
+    # split into nested subquery LAYERS of <= 60 replaces each (same
+    # composition order as the Spark expr / python kernel)
+    _pairs = (
+        [(ch, f"_{i}") for i, ch in enumerate("₀₁₂₃₄₅₆₇₈₉")]
+        + [(ch, f"^{i}") for i, ch in enumerate("⁰¹²³⁴⁵⁶⁷⁸⁹")]
+        + list(tn.UNICODE_LATEX_MAP.items())
+    )
+    _uni_q = (f'SELECT doc_id, "offset", text AS u FROM {_GOLD} '
+              "WHERE kind = 'inline-formula'")
+    for at in range(0, len(_pairs), 60):
+        expr = "u"
+        for ch, latex in _pairs[at:at + 60]:
+            expr = (f"replace({expr}, '{ch}', "
+                    f"'{latex.replace(chr(39), chr(39) * 2)}')")
+        _uni_q = f'SELECT doc_id, "offset", {expr} AS u FROM ({_uni_q})'
+    _uni = "u"
     for mark, acc in tn.COMBINING_LATEX.items():
         # RE2 replacement: '\\' = literal backslash, '\1' = group ref
         repl = ("\\\\" + acc + "{\\1}").replace("'", "''")
         _uni = (f"regexp_replace({_uni}, '([A-Za-z]){mark}', "
                 f"'{repl}', 'g')")
     o["unicode_normalization"] = (
-        f'SELECT doc_id, "offset", {_uni} AS latex FROM {_GOLD} '
-        "WHERE kind = 'inline-formula'"
+        f'SELECT doc_id, "offset", {_uni} AS latex FROM ({_uni_q})'
     )
 
     # ---- aggregates ----

@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v28"  # bump to force regeneration
+FIXTURE_VERSION = "v29"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -71,6 +71,10 @@ _INLINE_TEMPLATES = (
     "π²+θ₃≤∞",
     "é_{{{a}}}≈é^{{{b}}}",
     "ü_{{{a}}}≠ü·Ω_{{{b}}}",
+    # r4 long-tail ranges: Latin Extended precomposed, arrows,
+    # relations, letterlike (branches of the extended map)
+    "ā_{{{a}}}⊕šč^{{{b}}}⟶ℓ∘ø",
+    "x≪ℏ⊗λ{a}∥ý↦ż≳{b}′",
 )
 
 _DISPLAY_TEMPLATES = (

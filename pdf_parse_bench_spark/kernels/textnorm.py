@@ -62,6 +62,43 @@ UNICODE_LATEX_MAP = {
     "ñ": "\\~{n}", "ç": "\\c{c}",
     "É": "\\'{E}", "È": "\\`{E}", "Ü": '\\"{U}', "Ö": '\\"{O}',
     "Ä": '\\"{A}', "Ñ": "\\~{N}", "Ç": "\\c{C}",
+    # Latin Extended-A/B precomposed (pylatexenc accent macro forms)
+    "ā": "\\={a}", "ē": "\\={e}", "ī": "\\={i}", "ō": "\\={o}",
+    "ū": "\\={u}", "ă": "\\u{a}", "ĕ": "\\u{e}", "ğ": "\\u{g}",
+    "ą": "\\k{a}", "ę": "\\k{e}", "ć": "\\'{c}", "ń": "\\'{n}",
+    "ś": "\\'{s}", "ź": "\\'{z}", "č": "\\v{c}", "ď": "\\v{d}",
+    "ě": "\\v{e}", "ň": "\\v{n}", "ř": "\\v{r}", "š": "\\v{s}",
+    "ť": "\\v{t}", "ž": "\\v{z}", "ż": "\\.{z}", "ő": "\\H{o}",
+    "ű": "\\H{u}", "ů": "\\r{u}", "å": "\\r{a}", "Å": "\\r{A}",
+    "ł": "{\\l}", "Ł": "{\\L}", "ø": "{\\o}", "Ø": "{\\O}",
+    "æ": "{\\ae}", "Æ": "{\\AE}", "œ": "{\\oe}", "Œ": "{\\OE}",
+    "ß": "{\\ss}", "ð": "{\\dh}", "þ": "{\\th}",
+    "ý": "\\'{y}", "ÿ": '\\"{y}', "Š": "\\v{S}", "Č": "\\v{C}",
+    "Ž": "\\v{Z}",
+    # arrows
+    "↑": "{\\uparrow}", "↓": "{\\downarrow}", "↔": "{\\leftrightarrow}",
+    "⇑": "{\\Uparrow}", "⇓": "{\\Downarrow}", "⇔": "{\\Leftrightarrow}",
+    "↦": "{\\mapsto}", "⟶": "{\\longrightarrow}",
+    "⟵": "{\\longleftarrow}", "⇌": "{\\rightleftharpoons}",
+    "↗": "{\\nearrow}", "↘": "{\\searrow}", "↪": "{\\hookrightarrow}",
+    # relations / operators
+    "≅": "{\\cong}", "≃": "{\\simeq}", "≪": "{\\ll}", "≫": "{\\gg}",
+    "∝": "{\\propto}", "∼": "{\\sim}", "≲": "{\\lesssim}",
+    "≳": "{\\gtrsim}", "≺": "{\\prec}", "≻": "{\\succ}",
+    "⪯": "{\\preceq}", "⪰": "{\\succeq}", "⊇": "{\\supseteq}",
+    "⊃": "{\\supset}", "⊕": "{\\oplus}", "⊗": "{\\otimes}",
+    "⊖": "{\\ominus}", "⊙": "{\\odot}", "⊥": "{\\perp}",
+    "∥": "{\\parallel}", "∧": "{\\wedge}", "∨": "{\\vee}",
+    "¬": "{\\neg}", "⊢": "{\\vdash}", "⊨": "{\\models}",
+    "∘": "{\\circ}", "∖": "{\\setminus}", "∠": "{\\angle}",
+    "∴": "{\\therefore}", "∵": "{\\because}", "∗": "{\\ast}",
+    # letterlike / misc
+    "ℏ": "{\\hbar}", "ℓ": "{\\ell}", "℘": "{\\wp}", "ℜ": "{\\Re}",
+    "ℑ": "{\\Im}", "ℵ": "{\\aleph}", "°": "{\\degree}",
+    "′": "{\\prime}", "″": "{\\prime\\prime}", "…": "{\\ldots}",
+    "⋯": "{\\cdots}", "⋮": "{\\vdots}", "⋱": "{\\ddots}",
+    "⟨": "{\\langle}", "⟩": "{\\rangle}", "∣": "{\\mid}",
+    "†": "{\\dagger}", "‡": "{\\ddagger}", "∄": "{\\nexists}",
 }
 
 # combining accents: the mark FOLLOWS its ASCII base, so these need a

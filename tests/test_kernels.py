@@ -419,8 +419,10 @@ def test_pdf_roundtrip_property(doc_id, texts):
               "complexity": None} for i, t in enumerate(texts)]
     pdf, golden, golden_spans = generate_pdf(doc_id, spans)
     assert extract_pdf_text(pdf) == golden
-    # the span golden agrees with the text golden line-for-line
-    assert "\n".join(s["text"] for s in golden_spans) == golden
+    # the span golden agrees with the text golden line-for-line (image
+    # spans carry no text and are absent from the text golden)
+    assert "\n".join(s["text"] for s in golden_spans
+                     if s["kind"] != "image") == golden
 
 
 _XML_TEXT = st.text(
