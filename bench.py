@@ -150,14 +150,23 @@ def _burn_level(procs: int) -> float:
                       columns=["markdown"])
     mds = t.column("markdown").to_pylist()[:1250]
     n_iter = max(2, 16 // max(1, procs // 8))  # ~2s+ per level
+    init, initargs = None, ()
+    if os.environ.get("SPARK_GRAFT_PIN", "") == "1" and procs < CPUS:
+        init, initargs = _pin_affinity, (procs,)
     best = 0.0
     for _ in range(2):
-        with mp.Pool(procs) as p:
+        with mp.Pool(procs, initializer=init, initargs=initargs) as p:
             t0 = time.time()
             p.map(_burn_worker, [(mds, n_iter)] * procs)
             dt = time.time() - t0
         best = max(best, procs * len(mds) * n_iter / dt)
     return best
+
+
+def _pin_affinity(n: int) -> None:
+    """Pool initializer for SPARK_GRAFT_PIN=1: confine burn workers to the
+    first n CPUs — the same set the pinned Spark level runs on."""
+    os.sched_setaffinity(0, set(range(n)))
 
 
 def _stats(xs: list[float]) -> dict:
@@ -183,11 +192,19 @@ def run_scaling(pairs: list[tuple[int, int]],
     levels = sorted({c for p in pairs for c in p})
     thr: dict[int, list[float]] = {c: [] for c in levels}
     burn: dict[int, list[float]] = {c: [] for c in levels}
+    pin = os.environ.get("SPARK_GRAFT_PIN", "") == "1"
     for _ in range(repeats):
         for cores in levels:
+            cmd = [sys.executable, __file__, "--scale-worker", str(cores)]
+            if pin and cores < CPUS:
+                # SPARK_GRAFT_PIN=1: pin sub-maximal levels to the first
+                # `cores` CPUs so the ceiling comparison isolates
+                # frequency/SMT effects from scheduler placement (a free
+                # 8-thread JVM on a 32-CPU box migrates across all cores,
+                # catching per-core turbo the pinned level cannot)
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             r = subprocess.run(
-                [sys.executable, __file__, "--scale-worker", str(cores)],
-                capture_output=True, text=True, timeout=1200,
+                cmd, capture_output=True, text=True, timeout=1200,
             )
             line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
             d = json.loads(line)
@@ -261,8 +278,14 @@ def main() -> None:
         # 32-core sandbox can give every worker a dedicated core; (8,32)
         # additionally shows the all-core turbo-downclock ceiling
         # (hardware: 32-proc pure-python throughput = 3.08x of 8-proc,
-        # i.e. 0.77 ideal — see BASELINE.md scaling section)
-        scaling = run_scaling([(2, 8), (max(2, CPUS // 4), CPUS)])
+        # i.e. 0.77 ideal — see BASELINE.md scaling section).
+        # SPARK_GRAFT_SCALE_PAIRS="8:32,2:8" overrides the pair list.
+        pairs = [(2, 8), (max(2, CPUS // 4), CPUS)]
+        env_pairs = os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "")
+        if env_pairs:
+            pairs = [tuple(int(x) for x in p.split(":"))
+                     for p in env_pairs.split(",")]
+        scaling = run_scaling(pairs)
 
     # `queries` deliberately LAST: the driver records only a bounded TAIL
     # of stdout, so tail-anchored ordering keeps the per-query data even
