@@ -277,7 +277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dd.dedup_exact(_t(s, d, "documents")), dup_count="long")
     q["minhash_signatures"] = lambda s, d: (
         dd.minhash_signatures(_t(s, d, "documents"))
-        .select("doc_id", F.array_join("signature", "|").alias("sig"))
+        .select("doc_id", F.array_join(
+            F.transform("signature", lambda x: x.cast("string")), "|"
+        ).alias("sig"))
     )
     q["lsh_candidate_pairs"] = lambda s, d: dd.lsh_candidate_pairs(
         _t(s, d, "documents"))
@@ -500,9 +502,13 @@ _SHINGLES_CTE = _WORDS_CTE + (
 
 
 def _minhash_sql() -> str:
+    # Kirsch-Mitzenmacher double hashing, mirroring dd.minhash_signatures:
+    # one md5 per shingle, h_i = (a + i*b) mod 2^32 over its 32-bit halves
     mins = ", ".join(
         f"list_min(list_transform(shingles, s -> "
-        f"substr(md5(s || '#{i // 4}'), {1 + 8 * (i % 4)}, 8))) AS mh{i}"
+        f"(('0x' || substr(md5(s), 1, 8))::BIGINT "
+        f"+ {i} * ('0x' || substr(md5(s), 9, 8))::BIGINT) "
+        f"% {dd._MINHASH_MOD})) AS mh{i}"
         for i in range(dd.MINHASH_K)
     )
     return f"WITH {_SHINGLES_CTE} SELECT doc_id, {mins} FROM sh"
