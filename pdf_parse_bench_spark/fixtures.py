@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v29"  # bump to force regeneration
+FIXTURE_VERSION = "v30"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -1105,6 +1105,27 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str, list]:
             ops.extend(col_ops)
             golden_entries.extend((pg, "text", ln) for ln in emitted)
 
+        pages.append({"ops": ops, "letter": letter, "page_h": page_h})
+        if pos >= len(lines):
+            break
+
+    # page chrome (header/footer boilerplate the extractor must SUPPRESS —
+    # north-star P2 on the raw-PDF path; never in golden): a running
+    # header repeated on every page (multi-page docs only, since the
+    # kernel's repetition rule needs >= 2 pages) and bare page numbers in
+    # the bottom band (suppressed by the page-number rule alone)
+    header = (f"Synthetic Journal of Extraction Vol. {doc_id % 9}"
+              if len(pages) >= 2 and doc_id % 2 == 0 else None)
+    for pg, page in enumerate(pages):
+        chrome = []
+        if header is not None:
+            chrome.append(
+                f"BT /F1 9 Tf 1 0 0 1 72.0 {page['page_h'] - 28.0:.1f} Tm "
+                f"({header}) Tj ET")
+        if doc_id % 3 != 2:
+            chrome.append(f"BT /F1 9 Tf 1 0 0 1 300.0 24.0 Tm "
+                          f"({pg + 1}) Tj ET")
+        ops = chrome + page["ops"]
         if len(ops) > 2 and rng.random() < 0.3:  # /Contents array path
             cut = len(ops) // 2
             chunks = [ops[:cut], ops[cut:]]
@@ -1121,9 +1142,7 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str, list]:
             else:
                 streams.append(
                     b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream))
-        pages.append({"streams": streams, "letter": letter})
-        if pos >= len(lines):
-            break
+        page["streams"] = streams
 
     # objects: 1=Catalog 2=Pages 3=F1 4=F2 5=F3 6=CMap 7=F4 8=CIDCMap
     # 9=FormA4 10=FormLetter 11=F5 (math face) 12=Im1 (image XObject),

@@ -1623,27 +1623,80 @@ def _iter_raw_streams(pdf_bytes: bytes):
 # ---------------------------------------------------------------------------
 
 
+_CHROME_BAND = 40.0   # pt from either page edge: the header/footer zone
+_CHROME_FRAC = 0.6    # repeat on >= this fraction of pages => boilerplate
+_PAGE_NUM_RE = re.compile(
+    r"^\s*(?:page\s+)?[0-9ivxlcdm]{1,6}(?:\s*(?:of|/)\s*\d+)?\s*$", re.I)
+_DIGIT_RE = re.compile(r"\d+")
+
+
+def _strip_page_chrome(pages: list[tuple[list, float]]
+                       ) -> list[tuple[list, float]]:
+    """Header/footer suppression on the raw-PDF path (the north-star
+    boilerplate strip: y-band location + repeated-line suppression across
+    pages). A run is chrome iff its baseline sits within _CHROME_BAND pt
+    of the top or bottom page edge AND either (a) it is a bare page
+    number ('3', 'iv', 'Page 7 of 12'), or (b) the doc has >= 2 pages and
+    the run's digit-normalized text recurs in the band on >=
+    _CHROME_FRAC of pages (running headers; digit folding matches
+    'Chapter 2' with 'Chapter 3'). Body text never sits in the band in
+    any sane layout, and the repetition test protects the odd figure
+    caption that drifts there on one page."""
+    n_pages = len(pages)
+
+    def key(r, page_h: float) -> tuple[str, int]:
+        # y-coordinate clustering: a running header recurs at a FIXED
+        # offset from its page edge (quantized to 4pt; measured from the
+        # NEAREST edge so mixed A4/Letter docs cluster), while body text
+        # that merely overflows into the band lands at varying depths
+        edge = r[1] if r[1] <= page_h / 2 else page_h - r[1]
+        return (_DIGIT_RE.sub("#", r[4].strip().lower()), round(edge / 4))
+
+    counts: dict[tuple[str, int], int] = {}
+    for runs, page_h in pages:
+        seen = set()
+        for r in runs:
+            if r[1] <= _CHROME_BAND or r[1] >= page_h - _CHROME_BAND:
+                seen.add(key(r, page_h))
+        for k in seen:
+            counts[k] = counts.get(k, 0) + 1
+    need = max(2, int(_CHROME_FRAC * n_pages + 0.999))
+
+    def chrome(r, page_h: float) -> bool:
+        if not (r[1] <= _CHROME_BAND or r[1] >= page_h - _CHROME_BAND):
+            return False
+        if _PAGE_NUM_RE.match(r[4]):
+            return True
+        return n_pages >= 2 and counts.get(key(r, page_h), 0) >= need
+
+    return [([r for r in runs if not chrome(r, page_h)], page_h)
+            for runs, page_h in pages]
+
+
 def extract_pdf_text(pdf_bytes: bytes) -> str:
-    """Extract text from a PDF, reading-ordered within each page.
+    """Extract text from a PDF, reading-ordered within each page, with
+    page chrome (running headers/footers, page numbers) suppressed by
+    _strip_page_chrome.
 
     Pages come from the real ``/Pages`` tree when the file indexes one
     (reference pypdf path: per-page ``extract_text`` then join,
     parsers/pypdf/__main__.py:30-32); otherwise every content stream is
     treated as a page (truncated-file fallback)."""
-    pages: list[str] = []
+    staged: list[tuple[list, float]] = []
     try:
         doc = _PdfDoc(pdf_bytes)
         for body, fonts, xobj_fn, _page_w, page_h in doc.pages():
             if body:
-                pages.append(_runs_to_text(
-                    _page_runs(body, fonts, xobj_fn), page_h))
+                staged.append((_page_runs(body, fonts, xobj_fn), page_h))
     except Exception:
-        pages = []
-    if not pages:
+        staged = []
+    if not staged:
         for body in _iter_raw_streams(pdf_bytes):
-            text = _runs_to_text(_page_runs(body, {}), PAGE_H)
-            if text:
-                pages.append(text)
+            runs = _page_runs(body, {})
+            if runs:
+                staged.append((runs, PAGE_H))
+    pages = [_runs_to_text(runs, page_h)
+             for runs, page_h in _strip_page_chrome(staged)]
     return "\n".join(p for p in pages if p)
 
 
@@ -1655,21 +1708,31 @@ def extract_pdf_spans(pdf_bytes: bytes) -> list[dict]:
     page_<x>_<y>_<w>_<h>.png figure ref (see _runs_to_spans), page by page
     in reading order."""
     out: list[dict] = []
-    page_spans: list[list[tuple[str, str, str]]] = []
+    staged: list[tuple[list, float]] = []
+    page_images: list[list] = []
     try:
         doc = _PdfDoc(pdf_bytes)
         for body, fonts, xobj_fn, _page_w, page_h in doc.pages():
             if body:
                 images: list = []
-                runs = _page_runs(body, fonts, xobj_fn, images=images)
-                page_spans.append(_runs_to_spans(runs, page_h, images))
+                staged.append(
+                    (_page_runs(body, fonts, xobj_fn, images=images),
+                     page_h))
+                page_images.append(images)
     except Exception:
-        page_spans = []
-    if not page_spans:
+        staged = []
+        page_images = []
+    if not staged:
         for body in _iter_raw_streams(pdf_bytes):
-            sp = _runs_to_spans(_page_runs(body, {}), PAGE_H)
-            if sp:
-                page_spans.append(sp)
+            runs = _page_runs(body, {})
+            if runs:
+                staged.append((runs, PAGE_H))
+                page_images.append([])
+    page_spans = [
+        _runs_to_spans(runs, page_h, imgs)
+        for (runs, page_h), imgs in zip(_strip_page_chrome(staged),
+                                        page_images)
+    ]
     off = 0
     for sp in page_spans:
         for kind, text, media_ref in sp:

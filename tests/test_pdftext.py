@@ -640,3 +640,44 @@ def test_type3_font_charprocs_differences():
     text = extract_pdf_text(_assemble_pdf(objs))
     assert text == "•—•", repr(text)
     assert "�" not in text
+
+
+def test_page_chrome_header_footer_suppressed():
+    """North-star boilerplate strip on the raw-PDF path: a running header
+    (same text, fixed offset from the top edge — detected by y-coordinate
+    clustering + cross-page repetition) and bare page-number footers are
+    suppressed; body text with digits and a one-page-only line in the
+    band survive."""
+    from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_text
+
+    def page(pg: int, extra: str = "") -> bytes:
+        ops = (
+            f"BT /F1 9 Tf 1 0 0 1 72 814 Tm (Journal of Tests Vol. {pg}) Tj ET\n"
+            f"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Body {pg} line one.) Tj ET\n"
+            f"BT /F1 12 Tf 1 0 0 1 72 680 Tm (Numbers 42 stay {pg}.) Tj ET\n"
+            f"{extra}"
+            f"BT /F1 9 Tf 1 0 0 1 300 24 Tm ({pg + 1}) Tj ET"
+        )
+        return ops.encode()
+
+    # page 2 carries a one-off caption inside the bottom band — must stay
+    bodies = [page(0), page(1), page(2, "BT /F1 9 Tf 1 0 0 1 72 30 Tm "
+                                        "(Unique caption drifted low.) Tj ET\n")]
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        (b"<< /Type /Pages /Kids [3 0 R 4 0 R 5 0 R] /Count 3 "
+         b"/MediaBox [0 0 595 842] /Resources << /Font "
+         b"<< /F1 6 0 R >> >> >>"),
+        b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 9 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ] + [b"<< /Length %d >>\nstream\n%s\nendstream" % (len(b), b)
+         for b in bodies]
+    pdf = _assemble_pdf(objs)
+    text = extract_pdf_text(pdf)
+    assert "Journal of Tests" not in text          # header (digit-folded)
+    assert "\n1\n" not in text and not text.endswith("3")  # page numbers
+    assert "Body 0 line one." in text and "Body 2 line one." in text
+    assert "Numbers 42 stay 1." in text            # body digits untouched
+    assert "Unique caption drifted low." in text   # one-off band line kept
