@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v30"  # bump to force regeneration
+FIXTURE_VERSION = "v31"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -250,6 +250,82 @@ def _mk_gray_jpeg(blocks: "np.ndarray", w: int, h: int) -> bytes:
             bwr.write(0b00, 2)  # EOB
     out += bwr.flush() + b"\xff\xd9"
     return bytes(out)
+
+
+def _mk_color_jpeg(y_mcu: "np.ndarray", cb_mcu: "np.ndarray",
+                   cr_mcu: "np.ndarray", w: int, h: int,
+                   subsample: bool) -> bytes:
+    """Baseline YCbCr color JPEG with flat per-MCU channels (exact under
+    the all-ones quant table, like _mk_gray_jpeg). `subsample` picks
+    4:2:0 (2x2 Y blocks per MCU, flat across the MCU) vs 4:4:4. Arrays
+    are (mcu_rows, mcu_cols) of channel values 0..255."""
+    bh, bw = y_mcu.shape
+    ys, xs = (2, 2) if subsample else (1, 1)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    sof_comp = bytes([1, (xs << 4) | ys, 0, 2, 0x11, 0, 3, 0x11, 0])
+    out += (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+            + sof_comp)
+    out += (b"\xff\xc4" + (19 + len(_JDC_SYMS)).to_bytes(2, "big")
+            + b"\x00" + _JDC_COUNTS + _JDC_SYMS)
+    out += (b"\xff\xc4" + (19 + len(_JAC_SYMS)).to_bytes(2, "big")
+            + b"\x10" + _JAC_COUNTS + _JAC_SYMS)
+    out += (b"\xff\xda" + (12).to_bytes(2, "big")
+            + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    bwr = _JpegBitWriter()
+    preds = [0, 0, 0]
+
+    def put_block(comp: int, v: int) -> None:
+        dc = 8 * (int(v) - 128)
+        d = dc - preds[comp]
+        preds[comp] = dc
+        t = abs(d).bit_length()
+        bwr.write(t, 4)
+        if t:
+            bwr.write(d if d >= 0 else d + (1 << t) - 1, t)
+        bwr.write(0b00, 2)  # EOB
+
+    for my in range(bh):
+        for mx in range(bw):
+            for _ in range(ys * xs):  # flat MCU: all Y blocks identical
+                put_block(0, y_mcu[my, mx])
+            put_block(1, cb_mcu[my, mx])
+            put_block(2, cr_mcu[my, mx])
+    out += bwr.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+def _mk_color_jpeg_with_stats(did: int) -> tuple[bytes, dict]:
+    """Deterministic flat-MCU color JPEG + golden decode stats. The
+    expected RGB is the DECODER'S arithmetic spec applied to the exact
+    YCbCr values (JFIF/BT.601 full-range, np.round, clip) — the channels
+    are exact under the all-ones quant table, so the only arithmetic is
+    the documented color conversion."""
+    subsample = did % 2 == 0
+    bh, bw = 1 + did % 3, 1 + (did // 2) % 3
+    yy, xx = np.mgrid[0:bh, 0:bw]
+    y_m = ((did * 17 + xx * 5 + yy * 3) % 256).astype(np.int64)
+    cb_m = ((did * 7 + xx * 11) % 256).astype(np.int64)
+    cr_m = ((did * 13 + yy * 9) % 256).astype(np.int64)
+    mcu = 16 if subsample else 8
+    w = bw * mcu - did % 5
+    h = bh * mcu - (did * 3) % 5
+    data = _mk_color_jpeg(y_m, cb_m, cr_m, w, h, subsample)
+    # pixel-level expected channels (flat per MCU)
+    ypx = np.repeat(np.repeat(y_m, mcu, 0), mcu, 1)[:h, :w].astype(np.float64)
+    cbpx = np.repeat(np.repeat(cb_m, mcu, 0), mcu, 1)[:h, :w].astype(np.float64) - 128.0
+    crpx = np.repeat(np.repeat(cr_m, mcu, 0), mcu, 1)[:h, :w].astype(np.float64) - 128.0
+    r = ypx + 1.402 * crpx
+    g = ypx - 0.344136 * cbpx - 0.714136 * crpx
+    b = ypx + 1.772 * cbpx
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+    mean = float(rgb.mean()) / 255.0
+    return data, {
+        "width": w, "height": h, "channels": 3, "n_bytes": len(data),
+        "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
+        "status": "ok",
+    }
 
 
 def _mk_gray_jpeg_with_stats(did: int) -> tuple[bytes, dict]:
@@ -1419,6 +1495,16 @@ def ensure_fixtures(sf_dir: str) -> Path:
             media_rows.append({"doc_id": doc_id, "offset": 1002,
                                "media_ref": ref, "media_bytes": jpg})
             media_stats_rows.append({"doc_id": doc_id, "offset": 1002,
+                                     "media_ref": ref, **jstats})
+        if did % 5 == 0:
+            # baseline COLOR JPEGs (YCbCr 4:2:0 / 4:4:4 alternating):
+            # the dominant real-world profile must decode to true RGB
+            # means, not degrade to metadata_only
+            jpg, jstats = _mk_color_jpeg_with_stats(did)
+            ref = f"photo_{did}.jpg"
+            media_rows.append({"doc_id": doc_id, "offset": 1003,
+                               "media_ref": ref, "media_bytes": jpg})
+            media_stats_rows.append({"doc_id": doc_id, "offset": 1003,
                                      "media_ref": ref, **jstats})
         if did % 7 == 0:
             junk = bytes((did * 31 + k * 17) % 256 for k in range(40))

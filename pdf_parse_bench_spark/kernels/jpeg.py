@@ -161,21 +161,23 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def jpeg_decode_gray(data: bytes) -> "np.ndarray":
-    """Decode a baseline grayscale JPEG (SOF0, 1 component, single scan,
-    no restart interval) to a (h, w) uint8 array. Raises ValueError for
-    any stream outside that profile or malformed within it."""
+def jpeg_decode(data: bytes) -> "np.ndarray":
+    """Decode a baseline JPEG (SOF0, single interleaved scan, no restart
+    interval) to uint8 pixels: (h, w) for grayscale, (h, w, 3) RGB for
+    YCbCr color with 4:4:4 or 4:2:0 sampling (the two layouts that cover
+    virtually all archival scans). Raises ValueError for any stream
+    outside that profile or malformed within it."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (missing SOI)")
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     width = height = 0
-    tq = 0  # quant table id of the single component
+    comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
+    scan_sel: list[tuple[int, int, int]] = []    # (comp_idx, dc_id, ac_id)
     i = 2
     n = len(data)
     scan_pos = -1
-    dc_id = ac_id = 0
     while i + 4 <= n:
         if data[i] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -222,54 +224,115 @@ def jpeg_decode_gray(data: bytes) -> "np.ndarray":
                 raise ValueError("non-8-bit precision")
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
-            if seg[5] != 1:
-                raise ValueError("only grayscale (1 component) supported")
-            if seg[7] != 0x11:
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise ValueError("unsupported component count")
+            for c in range(nc):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
+            if nc == 1 and comps[0][1:3] != (1, 1):
                 raise ValueError("subsampled single component")
-            tq = seg[8]
+            if nc == 3:
+                samp = [(c[1], c[2]) for c in comps]
+                if samp not in ([(1, 1)] * 3,
+                                [(2, 2), (1, 1), (1, 1)]):
+                    raise ValueError("only 4:4:4 / 4:2:0 sampling")
         elif marker in _SOF_MARKERS:
             raise ValueError("non-baseline SOF")
         elif marker == 0xDD:  # DRI
             if int.from_bytes(seg[0:2], "big") != 0:
                 raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
-            if seg[0] != 1:
-                raise ValueError("multi-component scan")
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            if seg[0] != len(comps) or not comps:
+                raise ValueError("scan/frame component mismatch")
+            by_id = {c[0]: k for k, c in enumerate(comps)}
+            for c in range(seg[0]):
+                cid = seg[1 + 2 * c]
+                tt = seg[2 + 2 * c]
+                if cid not in by_id:
+                    raise ValueError("unknown scan component")
+                scan_sel.append((by_id[cid], tt >> 4, tt & 0x0F))
             scan_pos = i + seglen
             break
         i += seglen
     if scan_pos < 0 or not width or not height:
         raise ValueError("no scan data")
-    if tq not in quant or dc_id not in huff_dc or ac_id not in huff_ac:
-        raise ValueError("missing tables")
-    q = quant[tq].astype(np.float64)
-    dct_t, act_t = huff_dc[dc_id], huff_ac[ac_id]
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    for _, _, _, tq in comps:
+        if tq not in quant:
+            raise ValueError("missing quant table")
+    for _, dc_id, ac_id in scan_sel:
+        if dc_id not in huff_dc or ac_id not in huff_ac:
+            raise ValueError("missing Huffman table")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for _, hs, vs, _ in comps:
+        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8),
+                               dtype=np.float64))
     br = _BitReader(data, scan_pos)
-    pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            coef = np.zeros(64, dtype=np.float64)
-            t = _huff_decode(br, dct_t)
-            pred += _extend(br.read_bits(t), t)
-            coef[0] = pred
-            k = 1
-            while k < 64:
-                rs = _huff_decode(br, act_t)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                coef[_ZIGZAG[k]] = _extend(br.read_bits(s), s)
-                k += 1
-            block = _A.T @ (coef.reshape(8, 8) * q) @ _A
-            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
-    img = np.clip(np.round(out[:height, :width] + 128), 0, 255)
-    return img.astype(np.uint8)
+    preds = [0] * len(comps)
+
+    def read_block(dct_t, act_t, q, pred):
+        coef = np.zeros(64, dtype=np.float64)
+        t = _huff_decode(br, dct_t)
+        pred += _extend(br.read_bits(t), t)
+        coef[0] = pred
+        k = 1
+        while k < 64:
+            rs = _huff_decode(br, act_t)
+            r, s_ = rs >> 4, rs & 0x0F
+            if s_ == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC index overflow")
+            coef[_ZIGZAG[k]] = _extend(br.read_bits(s_), s_)
+            k += 1
+        return _A.T @ (coef.reshape(8, 8) * q) @ _A, pred
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for si, (ci, dc_id, ac_id) in enumerate(scan_sel):
+                _, hs, vs, tq = comps[ci]
+                q = quant[tq].astype(np.float64)
+                for by in range(vs):
+                    for bx in range(hs):
+                        block, preds[ci] = read_block(
+                            huff_dc[dc_id], huff_ac[ac_id], q, preds[ci])
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+
+    if len(comps) == 1:
+        img = np.clip(np.round(planes[0][:height, :width] + 128), 0, 255)
+        return img.astype(np.uint8)
+    # upsample chroma to full resolution (pixel replication — the JFIF
+    # nearest-neighbor path), then YCbCr -> RGB (JFIF / BT.601 full-range)
+    full = []
+    for ci, (_, hs, vs, _) in enumerate(comps):
+        p = planes[ci]
+        if hs < hmax or vs < vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, 0), hmax // hs, 1)
+        full.append(p[:height, :width])
+    y, cb, cr = full[0] + 128.0, full[1], full[2]
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def jpeg_decode_gray(data: bytes) -> "np.ndarray":
+    """Grayscale-profile entry point kept for callers that require a 2-D
+    result: decodes via jpeg_decode and rejects color streams."""
+    img = jpeg_decode(data)
+    if img.ndim != 2:
+        raise ValueError("not a grayscale JPEG")
+    return img

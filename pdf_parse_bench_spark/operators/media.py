@@ -81,7 +81,7 @@ def decode_media(media_df: DataFrame, rebalance: bool = True) -> DataFrame:
         error-image fallback contract (formula_renderer.py:119-164), never
         a task failure and never an all-null row (X4 isolation)."""
     from pdf_parse_bench_spark.kernels.jpeg import (
-        is_jpeg, jpeg_decode_gray, jpeg_dims)
+        is_jpeg, jpeg_decode, jpeg_dims)
     from pdf_parse_bench_spark.operators.skew import rebalance_by_size
 
     if rebalance:
@@ -117,12 +117,13 @@ def decode_media(media_df: DataFrame, rebalance: bool = True) -> DataFrame:
                         out["status"].append("ok")
                     elif is_jpeg(raw):
                         try:
-                            img = jpeg_decode_gray(raw)
-                            h, w = img.shape
-                            mean = float(img.mean()) / 255.0
+                            img = jpeg_decode(raw)
+                            h, w = img.shape[:2]
+                            ch = 1 if img.ndim == 2 else img.shape[2]
+                            mean = float(img.astype(np.float64).mean()) / 255.0
                             out["width"].append(w)
                             out["height"].append(h)
-                            out["channels"].append(1)
+                            out["channels"].append(ch)
                             out["mean_intensity"].append(
                                 float(np.floor(mean * 1e6 + 0.5)) / 1e6)
                             out["status"].append("ok")

@@ -263,3 +263,36 @@ def test_jpeg_decode_gray_ac_runlength_and_zrl():
     expect = np.clip(np.round(ref + 128), 0, 255).astype(np.uint8)
     assert img.shape == (8, 8)
     assert (img == expect).all()
+
+
+def test_jpeg_decode_color_420_and_444_exact():
+    """Baseline COLOR decode: flat-MCU YCbCr JPEGs in both 4:2:0 and
+    4:4:4 sampling decode to exactly the generator's expected RGB
+    (channels exact under the all-ones quant table; the only arithmetic
+    is the shared JFIF/BT.601 conversion spec), including
+    non-multiple-of-MCU edge cropping and chroma upsampling."""
+    import numpy as np
+
+    from pdf_parse_bench_spark.fixtures import _mk_color_jpeg
+    from pdf_parse_bench_spark.kernels.jpeg import jpeg_decode, jpeg_dims
+
+    rng = np.random.default_rng(42)
+    for subsample in (True, False):
+        mcu = 16 if subsample else 8
+        bh, bw = 2, 3
+        y = rng.integers(0, 256, (bh, bw))
+        cb = rng.integers(0, 256, (bh, bw))
+        cr = rng.integers(0, 256, (bh, bw))
+        w, h = bw * mcu - 3, bh * mcu - 5
+        data = _mk_color_jpeg(y, cb, cr, w, h, subsample)
+        img = jpeg_decode(data)
+        assert img.shape == (h, w, 3)
+        assert jpeg_dims(data) == (w, h, 3)
+        ypx = np.repeat(np.repeat(y, mcu, 0), mcu, 1)[:h, :w].astype(float)
+        cbp = np.repeat(np.repeat(cb, mcu, 0), mcu, 1)[:h, :w] - 128.0
+        crp = np.repeat(np.repeat(cr, mcu, 0), mcu, 1)[:h, :w] - 128.0
+        expect = np.clip(np.round(np.stack([
+            ypx + 1.402 * crp,
+            ypx - 0.344136 * cbp - 0.714136 * crp,
+            ypx + 1.772 * cbp], axis=-1)), 0, 255).astype(np.uint8)
+        assert (img == expect).all()
