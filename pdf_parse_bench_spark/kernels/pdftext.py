@@ -1309,7 +1309,15 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0,
                         ys = (f, b + f, d + f, b + d + f)
                         x0, y0 = min(xs), min(ys)
                         images.append((x0, y0, max(xs) - x0, max(ys) - y0))
-            elif op == b"BI":  # inline image: skip to EI
+            elif op == b"BI":  # inline image: record rect, skip to EI
+                if images is not None:
+                    # an inline image paints the unit square through the
+                    # CTM exactly like an Image XObject (§8.9.7)
+                    a, b, c, d, e, f = ctm
+                    xs = (e, a + e, c + e, a + c + e)
+                    ys = (f, b + f, d + f, b + d + f)
+                    x0, y0m = min(xs), min(ys)
+                    images.append((x0, y0m, max(xs) - x0, max(ys) - y0m))
                 e = data.find(b"EI", i)
                 i = n if e < 0 else e + 2
         except (TypeError, ValueError):

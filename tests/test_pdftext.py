@@ -681,3 +681,22 @@ def test_page_chrome_header_footer_suppressed():
     assert "Body 0 line one." in text and "Body 2 line one." in text
     assert "Numbers 42 stay 1." in text            # body digits untouched
     assert "Unique caption drifted low." in text   # one-off band line kept
+
+
+def test_inline_image_becomes_image_span():
+    """A BI..EI inline image paints the unit square through the CTM like
+    an Image XObject (§8.9.7) and must surface as a kind='image' span
+    with the CTM-derived figure ref."""
+    from pdf_parse_bench_spark.kernels.pdftext import extract_pdf_spans
+
+    body = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Before.) Tj ET\n"
+        b"q 120 0 0 90 100 500 cm BI /W 2 /H 2 /CS /G /BPC 8 ID "
+        b"\x00\x01\x02\x03 EI Q\n"
+        b"BT /F1 12 Tf 1 0 0 1 72 460 Tm (After.) Tj ET"
+    )
+    pdf = _one_page_with_fonts(body)
+    got = [(s["kind"], s["media_ref"]) for s in extract_pdf_spans(pdf)]
+    # rect: x=100, y_top = 842 - 500 - 90 = 252, w=120, h=90
+    assert got == [("text", ""), ("image", "page_100_252_120_90.png"),
+                   ("text", "")], got
