@@ -241,6 +241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["decode_media"] = lambda s, d: _cast(
         mediaops.decode_media(_f(s, d, "media_files")),
         n_bytes="long")
+    q["thumbnail_media"] = lambda s, d: _cast(
+        mediaops.thumbnail_media(_f(s, d, "media_files")),
+        thumb_png_bytes="long")
     q["extracted_complexity_cube"] = lambda s, d: (
         agg.extracted_complexity_cube(extract_spans(_f(s, d, "parsed_markdown")))
         .select("kind", "complexity",
@@ -469,7 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score", "simhash_signatures", "dedup_exact",
         "judge_scores", "judged_complexity_cube", "boilerplate_lines",
         "span_match_rate", "span_kind_projection", "span_sequencing",
-        "empty_filter", "page_assembly",
+        "empty_filter", "page_assembly", "media_features",
     ]
     assert all(k in q for k in rotate_first + defer_last)
     assert not set(rotate_first) & set(defer_last)
@@ -763,6 +766,11 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN kind = 'image' THEN '![](' || media_ref || ')' ELSE text END, "
         'chr(10) || chr(10) ORDER BY "offset") AS markdown '
         f"FROM {_GOLD} WHERE text <> '' OR kind = 'image' GROUP BY doc_id"
+    )
+    o["thumbnail_media"] = (
+        'SELECT doc_id, "offset", media_ref, thumb_w, thumb_h, '
+        "thumb_mean, thumb_png_bytes, status "
+        f"FROM '{ORACLE_FX}/golden_thumb_stats.parquet'"
     )
     o["decode_media"] = (
         'SELECT doc_id, "offset", media_ref, width, height, channels, '

@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v31"  # bump to force regeneration
+FIXTURE_VERSION = "v32"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -138,7 +138,7 @@ def _mk_image(rng: np.random.Generator) -> str:
     return f"page_{x}_{y}_{w}_{h}.png"
 
 
-def _mk_image_bytes(media_ref: str, doc_id: int) -> tuple[bytes, dict]:
+def _mk_image_bytes(media_ref: str, doc_id: int) -> tuple[bytes, dict, "np.ndarray"]:
     """Deterministic PNG payload + pre-computed golden decode stats.
 
     Pixels are a gradient pattern seeded by the ref geometry and doc_id;
@@ -167,7 +167,7 @@ def _mk_image_bytes(media_ref: str, doc_id: int) -> tuple[bytes, dict]:
         "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
         "status": "ok",
     }
-    return png, stats
+    return png, stats, img
 
 
 def _mk_jpeg_bytes(w: int, h: int, ch: int) -> bytes:
@@ -296,7 +296,7 @@ def _mk_color_jpeg(y_mcu: "np.ndarray", cb_mcu: "np.ndarray",
     return bytes(out)
 
 
-def _mk_color_jpeg_with_stats(did: int) -> tuple[bytes, dict]:
+def _mk_color_jpeg_with_stats(did: int) -> tuple[bytes, dict, "np.ndarray"]:
     """Deterministic flat-MCU color JPEG + golden decode stats. The
     expected RGB is the DECODER'S arithmetic spec applied to the exact
     YCbCr values (JFIF/BT.601 full-range, np.round, clip) — the channels
@@ -325,10 +325,10 @@ def _mk_color_jpeg_with_stats(did: int) -> tuple[bytes, dict]:
         "width": w, "height": h, "channels": 3, "n_bytes": len(data),
         "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
         "status": "ok",
-    }
+    }, rgb.astype(np.uint8)
 
 
-def _mk_gray_jpeg_with_stats(did: int) -> tuple[bytes, dict]:
+def _mk_gray_jpeg_with_stats(did: int) -> tuple[bytes, dict, "np.ndarray"]:
     """Deterministic flat-block grayscale JPEG + its golden decode stats
     (mean from the pre-encode pixel array — exact, see _mk_gray_jpeg)."""
     bh, bw = 2 + did % 3, 2 + did % 4
@@ -342,7 +342,7 @@ def _mk_gray_jpeg_with_stats(did: int) -> tuple[bytes, dict]:
         "width": w, "height": h, "channels": 1, "n_bytes": len(data),
         "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
         "status": "ok",
-    }
+    }, px.astype(np.uint8)
 
 
 def _placeholder_stats(n_bytes: int) -> dict:
@@ -357,6 +357,52 @@ def _placeholder_stats(n_bytes: int) -> dict:
         "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
         "status": "decode_error",
     }
+
+
+_THUMB_SIDE = 32  # mirrors operators/media.THUMB_SIDE
+
+
+def _thumb_stats(img: "np.ndarray", status: str = "ok") -> dict:
+    """Golden thumbnail stats, computed INDEPENDENTLY of the operator:
+    the spec is k = ceil(max(h,w)/32) block-average with edge cells
+    averaging only existing pixels, half-up uint8 rounding. Implemented
+    here via np.add.reduceat (the operator uses an explicit cell loop) so
+    operator and golden share only the documented arithmetic, not code.
+    PNG byte counts use the shared kernels/png codec (established for the
+    media fixtures)."""
+    from pdf_parse_bench_spark.kernels.png import encode_png
+
+    h, w = img.shape[:2]
+    k = -(-max(h, w) // _THUMB_SIDE)
+    chans = img if img.ndim == 3 else img[:, :, None]
+    if k > 1:
+        f = chans.astype(np.float64)
+        iy = np.arange(0, h, k)
+        ix = np.arange(0, w, k)
+        tot = np.add.reduceat(np.add.reduceat(f, iy, axis=0), ix, axis=1)
+        cy = np.minimum(iy + k, h) - iy
+        cx = np.minimum(ix + k, w) - ix
+        thumb = np.floor(tot / np.outer(cy, cx)[:, :, None] + 0.5
+                         ).astype(np.uint8)
+    else:
+        thumb = chans.astype(np.uint8)
+    if img.ndim == 2:
+        thumb = thumb[:, :, 0]
+    mean = float(thumb.astype(np.float64).mean()) / 255.0
+    return {
+        "thumb_w": int(thumb.shape[1]), "thumb_h": int(thumb.shape[0]),
+        "thumb_mean": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
+        "thumb_png_bytes": len(encode_png(thumb)),
+        "status": status,
+    }
+
+
+def _placeholder_px() -> "np.ndarray":
+    """The error-placeholder pixel spec (64x64 mid-gray, 1px black
+    border), re-stated here for golden computation."""
+    img = np.full((64, 64), 128, dtype=np.uint8)
+    img[0, :] = img[-1, :] = img[:, 0] = img[:, -1] = 0
+    return img
 
 
 def _mk_web_text(doc_id: int, text: str) -> str:
@@ -1362,6 +1408,7 @@ def ensure_fixtures(sf_dir: str) -> Path:
     pdf_rows, pdf_text_rows, score_rows = [], [], []
     md_refs_rows, table_rows, golden_md_refs_rows = [], [], []
     tei_rows, media_rows, media_stats_rows = [], [], []
+    thumb_rows = []
     raster_rows = []
     web_rows = []
     render_rows = []
@@ -1464,13 +1511,16 @@ def ensure_fixtures(sf_dir: str) -> Path:
                                     "markdown": "\n\n".join(golden_pieces)})
         for s in spans:  # PNG payloads + golden decode stats per image span
             if s["kind"] == "image":
-                png, stats = _mk_image_bytes(s["media_ref"], did)
+                png, stats, px = _mk_image_bytes(s["media_ref"], did)
                 media_rows.append({"doc_id": doc_id, "offset": s["offset"],
                                    "media_ref": s["media_ref"],
                                    "media_bytes": png})
                 media_stats_rows.append({"doc_id": doc_id,
                                          "offset": s["offset"],
                                          "media_ref": s["media_ref"], **stats})
+                thumb_rows.append({"doc_id": doc_id, "offset": s["offset"],
+                                   "media_ref": s["media_ref"],
+                                   **_thumb_stats(px)})
         # mixed-format + corrupted media rows (media_files-only, not spans):
         # JPEGs exercise the SOF metadata path, corrupt payloads the
         # deterministic error-placeholder contract (formula_renderer.py's
@@ -1486,26 +1536,35 @@ def ensure_fixtures(sf_dir: str) -> Path:
                 "width": jw, "height": jh, "channels": jch,
                 "n_bytes": len(jpg), "mean_intensity": None,
                 "status": "metadata_only"})
+            # header-only stream: no pixels to thumbnail -> placeholder
+            thumb_rows.append({"doc_id": doc_id, "offset": 1000,
+                               "media_ref": ref,
+                               **_thumb_stats(_placeholder_px(),
+                                              "decode_error")})
         if did % 4 == 0:
             # real baseline grayscale JPEGs with scan data: the kernel
             # decoder must produce true pixel means ('ok'), not fall back
             # to metadata_only (VERDICT r3 item 3)
-            jpg, jstats = _mk_gray_jpeg_with_stats(did)
+            jpg, jstats, jpx = _mk_gray_jpeg_with_stats(did)
             ref = f"scan_{did}.jpg"
             media_rows.append({"doc_id": doc_id, "offset": 1002,
                                "media_ref": ref, "media_bytes": jpg})
             media_stats_rows.append({"doc_id": doc_id, "offset": 1002,
                                      "media_ref": ref, **jstats})
+            thumb_rows.append({"doc_id": doc_id, "offset": 1002,
+                               "media_ref": ref, **_thumb_stats(jpx)})
         if did % 5 == 0:
             # baseline COLOR JPEGs (YCbCr 4:2:0 / 4:4:4 alternating):
             # the dominant real-world profile must decode to true RGB
             # means, not degrade to metadata_only
-            jpg, jstats = _mk_color_jpeg_with_stats(did)
+            jpg, jstats, jpx = _mk_color_jpeg_with_stats(did)
             ref = f"photo_{did}.jpg"
             media_rows.append({"doc_id": doc_id, "offset": 1003,
                                "media_ref": ref, "media_bytes": jpg})
             media_stats_rows.append({"doc_id": doc_id, "offset": 1003,
                                      "media_ref": ref, **jstats})
+            thumb_rows.append({"doc_id": doc_id, "offset": 1003,
+                               "media_ref": ref, **_thumb_stats(jpx)})
         if did % 7 == 0:
             junk = bytes((did * 31 + k * 17) % 256 for k in range(40))
             ref = f"corrupt_{did}.bin"
@@ -1514,6 +1573,10 @@ def ensure_fixtures(sf_dir: str) -> Path:
             media_stats_rows.append({"doc_id": doc_id, "offset": 1001,
                                      "media_ref": ref,
                                      **_placeholder_stats(len(junk))})
+            thumb_rows.append({"doc_id": doc_id, "offset": 1001,
+                               "media_ref": ref,
+                               **_thumb_stats(_placeholder_px(),
+                                              "decode_error")})
 
     def _write(name: str, rows: list[dict], schema: pa.Schema):
         tbl = pa.Table.from_pylist(rows, schema=schema)
@@ -1565,6 +1628,12 @@ def ensure_fixtures(sf_dir: str) -> Path:
     _write("media_files.parquet", media_rows,
            pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
                       ("media_ref", pa.string()), ("media_bytes", pa.binary())]))
+    _write("golden_thumb_stats.parquet", thumb_rows,
+           pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
+                      ("media_ref", pa.string()), ("thumb_w", pa.int32()),
+                      ("thumb_h", pa.int32()), ("thumb_mean", pa.float64()),
+                      ("thumb_png_bytes", pa.int64()),
+                      ("status", pa.string())]))
     _write("golden_media_stats.parquet", media_stats_rows,
            pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
                       ("media_ref", pa.string()), ("width", pa.int32()),

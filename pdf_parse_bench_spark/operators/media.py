@@ -209,3 +209,92 @@ def render_formula_artifacts(formulas: DataFrame,
                 "height int, mean_intensity double, status string, "
                 "png_bytes binary"),
     )
+
+
+# --- thumbnailing (the training-pipeline resize path) ----------------------
+
+THUMB_SIDE = 32  # max output side
+
+
+def shrink_pixels(img: np.ndarray, max_side: int = THUMB_SIDE) -> np.ndarray:
+    """Deterministic integer block-average downsample — the arithmetic
+    spec the thumbnail golden is computed from. k = ceil(max(h,w)/max_side)
+    (k=1 → unchanged); each output pixel is the float64 mean of its k×k
+    cell intersected with the image (edge cells average the pixels that
+    exist), rounded half-up to uint8. Channels are averaged
+    independently."""
+    h, w = img.shape[:2]
+    k = -(-max(h, w) // max_side)
+    if k <= 1:
+        return img
+    th, tw = -(-h // k), -(-w // k)
+    chans = img if img.ndim == 3 else img[:, :, None]
+    out = np.zeros((th, tw, chans.shape[2]), dtype=np.uint8)
+    f = chans.astype(np.float64)
+    for y in range(th):
+        for x in range(tw):
+            cell = f[y * k:(y + 1) * k, x * k:(x + 1) * k, :]
+            out[y, x, :] = np.floor(
+                cell.mean(axis=(0, 1)) + 0.5).astype(np.uint8)
+    return out if img.ndim == 3 else out[:, :, 0]
+
+
+def thumbnail_media(media_df: DataFrame, max_side: int = THUMB_SIDE,
+                    rebalance: bool = True) -> DataFrame:
+    """Thumbnail generation over the media table — the resize stage a
+    training-data pipeline runs before a vision encoder, as a
+    size-rebalanced mapInPandas over Arrow batches (never per-row
+    Python). Decode via the real PNG/JPEG kernels, block-average shrink
+    per `shrink_pixels`, re-encode PNG; emits thumb dims, the thumb's
+    mean intensity (6 dp half-up) and the re-encoded byte count.
+    Undecodable payloads get the error-placeholder's thumbnail (status
+    'decode_error') — never a task failure (X4 isolation)."""
+    from pdf_parse_bench_spark.kernels.jpeg import is_jpeg, jpeg_decode
+    from pdf_parse_bench_spark.kernels.png import encode_png
+    from pdf_parse_bench_spark.operators.skew import rebalance_by_size
+
+    if rebalance:
+        media_df = rebalance_by_size(
+            media_df, size_col=F.length("media_bytes"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "offset", "media_ref", "thumb_w", "thumb_h",
+                "thumb_mean", "thumb_png_bytes", "status"]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, off, ref, b in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"],
+                pdf["media_bytes"],
+            ):
+                raw = bytes(b) if b is not None else b""
+                status = "ok"
+                try:
+                    if raw.startswith(_PNG_MAGIC):
+                        img = decode_png(raw)
+                    elif is_jpeg(raw):
+                        img = jpeg_decode(raw)
+                    else:
+                        raise ValueError("unknown media format")
+                except Exception:
+                    img = error_placeholder()
+                    status = "decode_error"
+                thumb = shrink_pixels(img, max_side)
+                th, tw = thumb.shape[:2]
+                mean = float(thumb.astype(np.float64).mean()) / 255.0
+                out["doc_id"].append(doc_id)
+                out["offset"].append(off)
+                out["media_ref"].append(ref)
+                out["thumb_w"].append(tw)
+                out["thumb_h"].append(th)
+                out["thumb_mean"].append(
+                    float(np.floor(mean * 1e6 + 0.5)) / 1e6)
+                out["thumb_png_bytes"].append(len(encode_png(thumb)))
+                out["status"].append(status)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(
+        run,
+        schema=("doc_id string, offset int, media_ref string, "
+                "thumb_w int, thumb_h int, thumb_mean double, "
+                "thumb_png_bytes long, status string"),
+    )

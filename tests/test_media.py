@@ -296,3 +296,33 @@ def test_jpeg_decode_color_420_and_444_exact():
             ypx - 0.344136 * cbp - 0.714136 * crp,
             ypx + 1.772 * cbp], axis=-1)), 0, 255).astype(np.uint8)
         assert (img == expect).all()
+
+
+def test_thumbnail_media_matches_fixture_golden(spark, fx_smoke):
+    from pdf_parse_bench_spark.operators.media import thumbnail_media
+
+    files = spark.read.parquet(str(fx_smoke / "media_files.parquet"))
+    golden = spark.read.parquet(str(fx_smoke / "golden_thumb_stats.parquet"))
+    got = thumbnail_media(files)
+    assert got.exceptAll(golden).isEmpty()
+    assert golden.exceptAll(got).isEmpty()
+
+
+def test_shrink_pixels_block_average_spec():
+    """Hand-computed anchor for the thumbnail arithmetic: a 65x3 gray
+    image (k=ceil(65/32)=3) shrinks to 22x1; the last row-cell covers
+    only 2 rows (edge cells average existing pixels); k=1 inputs pass
+    through untouched."""
+    import numpy as np
+
+    from pdf_parse_bench_spark.operators.media import shrink_pixels
+
+    img = np.arange(65 * 3, dtype=np.uint8).reshape(65, 3)
+    t = shrink_pixels(img, 32)
+    assert t.shape == (22, 1)
+    # cell (0,0): rows 0-2, cols 0-2 -> mean of 0..8 = 4
+    assert t[0, 0] == 4
+    # last cell: rows 63-64, cols 0-2 -> mean of 189..194 = 191.5 -> 192
+    assert t[21, 0] == 192
+    small = np.full((10, 20, 3), 7, dtype=np.uint8)
+    assert shrink_pixels(small, 32) is small
