@@ -244,6 +244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["thumbnail_media"] = lambda s, d: _cast(
         mediaops.thumbnail_media(_f(s, d, "media_files")),
         thumb_png_bytes="long")
+    q["audio_features"] = lambda s, d: _cast(
+        mediaops.audio_features(_f(s, d, "audio_files")),
+        n_samples="long", duration_ms="long")
     q["extracted_complexity_cube"] = lambda s, d: (
         agg.extracted_complexity_cube(extract_spans(_f(s, d, "parsed_markdown")))
         .select("kind", "complexity",
@@ -473,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "judge_scores", "judged_complexity_cube", "boilerplate_lines",
         "span_match_rate", "span_kind_projection", "span_sequencing",
         "empty_filter", "page_assembly", "media_features",
+        "normalize_for_matching",
     ]
     assert all(k in q for k in rotate_first + defer_last)
     assert not set(rotate_first) & set(defer_last)
@@ -766,6 +770,11 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN kind = 'image' THEN '![](' || media_ref || ')' ELSE text END, "
         'chr(10) || chr(10) ORDER BY "offset") AS markdown '
         f"FROM {_GOLD} WHERE text <> '' OR kind = 'image' GROUP BY doc_id"
+    )
+    o["audio_features"] = (
+        "SELECT doc_id, media_ref, channels, sample_rate, bits, "
+        "n_samples, duration_ms, mean_abs, peak, status "
+        f"FROM '{ORACLE_FX}/golden_audio_stats.parquet'"
     )
     o["thumbnail_media"] = (
         'SELECT doc_id, "offset", media_ref, thumb_w, thumb_h, '

@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v32"  # bump to force regeneration
+FIXTURE_VERSION = "v33"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -403,6 +403,42 @@ def _placeholder_px() -> "np.ndarray":
     img = np.full((64, 64), 128, dtype=np.uint8)
     img[0, :] = img[-1, :] = img[:, 0] = img[:, -1] = 0
     return img
+
+
+def _mk_wav(sr: int, samples: "np.ndarray",
+            audio_format: int = 1) -> bytes:
+    """Minimal RIFF/WAVE writer (independent of kernels/wav.py): fmt +
+    word-aligned data chunk; samples (n, ch) int16 little-endian."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    ch = samples.shape[1]
+    bits = 16
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", audio_format, ch, sr, sr * block,
+                      block, bits)
+    chunks = (b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+              + b"data" + len(data).to_bytes(4, "little") + data
+              + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def _mk_wav_with_stats(did: int) -> tuple[bytes, dict]:
+    """Deterministic PCM-16 WAV + golden stats computed here from the raw
+    sample array (integer sums — the audio_features arithmetic spec)."""
+    sr = (8000, 16000, 44100)[did % 3]
+    ch = 1 + did % 2
+    nf = 100 + (did * 37) % 1900
+    t = np.arange(nf * ch, dtype=np.int64).reshape(nf, ch)
+    samples = (((did * 7 + t * 13) % 4001) - 2000).astype(np.int16)
+    a = np.abs(samples.astype(np.int64))
+    mean_abs = float(a.sum()) / a.size
+    return _mk_wav(sr, samples), {
+        "channels": ch, "sample_rate": sr, "bits": 16,
+        "n_samples": nf, "duration_ms": (nf * 1000) // sr,
+        "mean_abs": float(np.floor(mean_abs * 1e3 + 0.5)) / 1e3,
+        "peak": int(a.max()), "status": "ok",
+    }
 
 
 def _mk_web_text(doc_id: int, text: str) -> str:
@@ -1409,6 +1445,7 @@ def ensure_fixtures(sf_dir: str) -> Path:
     md_refs_rows, table_rows, golden_md_refs_rows = [], [], []
     tei_rows, media_rows, media_stats_rows = [], [], []
     thumb_rows = []
+    audio_rows, audio_stats_rows = [], []
     raster_rows = []
     web_rows = []
     render_rows = []
@@ -1577,6 +1614,37 @@ def ensure_fixtures(sf_dir: str) -> Path:
                                "media_ref": ref,
                                **_thumb_stats(_placeholder_px(),
                                               "decode_error")})
+        if did % 6 == 0:
+            # PCM-16 WAV rows: real sample decode ('ok')
+            wav, wstats = _mk_wav_with_stats(did)
+            ref = f"audio_{did}.wav"
+            audio_rows.append({"doc_id": doc_id, "media_ref": ref,
+                               "media_bytes": wav})
+            audio_stats_rows.append({"doc_id": doc_id, "media_ref": ref,
+                                     **wstats})
+        if did % 15 == 0:
+            # IEEE-float WAV: metadata parses, samples do not (PCM-16
+            # profile only) -> metadata_only with null signal stats
+            fl = _mk_wav(22050, np.zeros((50, 1), dtype=np.int16),
+                         audio_format=3)
+            ref = f"audio_f32_{did}.wav"
+            audio_rows.append({"doc_id": doc_id, "media_ref": ref,
+                               "media_bytes": fl})
+            audio_stats_rows.append({
+                "doc_id": doc_id, "media_ref": ref, "channels": 1,
+                "sample_rate": 22050, "bits": 16, "n_samples": 50,
+                "duration_ms": (50 * 1000) // 22050, "mean_abs": None,
+                "peak": None, "status": "metadata_only"})
+        if did % 21 == 0:
+            # RIFF magic but truncated body -> decode_error zero row
+            ref = f"audio_bad_{did}.wav"
+            audio_rows.append({"doc_id": doc_id, "media_ref": ref,
+                               "media_bytes": b"RIFF\x10\x00\x00\x00WAVEfmt "})
+            audio_stats_rows.append({
+                "doc_id": doc_id, "media_ref": ref, "channels": 0,
+                "sample_rate": 0, "bits": 0, "n_samples": 0,
+                "duration_ms": 0, "mean_abs": None, "peak": None,
+                "status": "decode_error"})
 
     def _write(name: str, rows: list[dict], schema: pa.Schema):
         tbl = pa.Table.from_pylist(rows, schema=schema)
@@ -1628,6 +1696,15 @@ def ensure_fixtures(sf_dir: str) -> Path:
     _write("media_files.parquet", media_rows,
            pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
                       ("media_ref", pa.string()), ("media_bytes", pa.binary())]))
+    _write("audio_files.parquet", audio_rows,
+           pa.schema([("doc_id", pa.string()), ("media_ref", pa.string()),
+                      ("media_bytes", pa.binary())]))
+    _write("golden_audio_stats.parquet", audio_stats_rows,
+           pa.schema([("doc_id", pa.string()), ("media_ref", pa.string()),
+                      ("channels", pa.int32()), ("sample_rate", pa.int32()),
+                      ("bits", pa.int32()), ("n_samples", pa.int64()),
+                      ("duration_ms", pa.int64()), ("mean_abs", pa.float64()),
+                      ("peak", pa.int32()), ("status", pa.string())]))
     _write("golden_thumb_stats.parquet", thumb_rows,
            pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
                       ("media_ref", pa.string()), ("thumb_w", pa.int32()),

@@ -298,3 +298,76 @@ def thumbnail_media(media_df: DataFrame, max_side: int = THUMB_SIDE,
                 "thumb_w int, thumb_h int, thumb_mean double, "
                 "thumb_png_bytes long, status string"),
     )
+
+
+# --- audio metadata + PCM stats (the audio leg of the media model) ---------
+
+_AUDIO_COLS = ["doc_id", "media_ref", "channels", "sample_rate", "bits",
+               "n_samples", "duration_ms", "mean_abs", "peak", "status"]
+
+
+def audio_features(audio_df: DataFrame, rebalance: bool = True) -> DataFrame:
+    """WAV metadata + PCM-16 signal stats over (doc_id, media_ref,
+    media_bytes), as a size-rebalanced mapInPandas (audio payloads skew
+    exactly like oversized PDFs). Per row:
+
+      - PCM-16 → channels/rate/bits/n_samples/duration_ms + mean absolute
+        amplitude (integer-sum / n, 3 dp half-up) and peak |amplitude|;
+        status 'ok'
+      - other WAV profiles (float, ADPCM, 24-bit) → container metadata,
+        null signal stats; status 'metadata_only'
+      - anything else / corrupt → an all-zero row with status
+        'decode_error' — never a task failure (X4 isolation)."""
+    from pdf_parse_bench_spark.kernels.wav import parse_wav
+    from pdf_parse_bench_spark.operators.skew import rebalance_by_size
+
+    if rebalance:
+        audio_df = rebalance_by_size(
+            audio_df, size_col=F.length("media_bytes"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in _AUDIO_COLS}
+            for doc_id, ref, b in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["media_bytes"],
+            ):
+                out["doc_id"].append(doc_id)
+                out["media_ref"].append(ref)
+                raw = bytes(b) if b is not None else b""
+                try:
+                    meta = parse_wav(raw)
+                    out["channels"].append(meta["channels"])
+                    out["sample_rate"].append(meta["sample_rate"])
+                    out["bits"].append(meta["bits"])
+                    out["n_samples"].append(meta["n_samples"])
+                    out["duration_ms"].append(meta["duration_ms"])
+                    s = meta["samples"]
+                    if s is not None and len(s):
+                        a = np.abs(s.astype(np.int64))
+                        mean_abs = float(a.sum()) / a.size
+                        out["mean_abs"].append(
+                            float(np.floor(mean_abs * 1e3 + 0.5)) / 1e3)
+                        out["peak"].append(int(a.max()))
+                        out["status"].append("ok")
+                    else:
+                        out["mean_abs"].append(None)
+                        out["peak"].append(None)
+                        out["status"].append("metadata_only")
+                except Exception:
+                    out["channels"].append(0)
+                    out["sample_rate"].append(0)
+                    out["bits"].append(0)
+                    out["n_samples"].append(0)
+                    out["duration_ms"].append(0)
+                    out["mean_abs"].append(None)
+                    out["peak"].append(None)
+                    out["status"].append("decode_error")
+            yield pd.DataFrame(out)
+
+    return audio_df.mapInPandas(
+        run,
+        schema=("doc_id string, media_ref string, channels int, "
+                "sample_rate int, bits int, n_samples long, "
+                "duration_ms long, mean_abs double, peak int, "
+                "status string"),
+    )

@@ -326,3 +326,32 @@ def test_shrink_pixels_block_average_spec():
     assert t[21, 0] == 192
     small = np.full((10, 20, 3), 7, dtype=np.uint8)
     assert shrink_pixels(small, 32) is small
+
+
+def test_wav_parse_and_audio_features(spark, fx_smoke):
+    """WAV kernel: PCM-16 roundtrip (hand-built samples -> parse ->
+    identical array + metadata), float-format metadata_only, truncated
+    decode_error; and the audio_features operator matches the fixture
+    golden for every audio row."""
+    import numpy as np
+    import pytest
+
+    from pdf_parse_bench_spark.fixtures import _mk_wav
+    from pdf_parse_bench_spark.kernels.wav import parse_wav
+    from pdf_parse_bench_spark.operators.media import audio_features
+
+    samples = np.array([[100, -200], [32767, -32768], [0, 5]],
+                       dtype=np.int16)
+    meta = parse_wav(_mk_wav(16000, samples))
+    assert (meta["channels"], meta["sample_rate"], meta["bits"]) == (2, 16000, 16)
+    assert meta["n_samples"] == 3 and (meta["samples"] == samples).all()
+    f32 = parse_wav(_mk_wav(8000, samples, audio_format=3))
+    assert f32["samples"] is None  # metadata-only profile
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFF\x10\x00\x00\x00WAVEfmt ")
+
+    files = spark.read.parquet(str(fx_smoke / "audio_files.parquet"))
+    golden = spark.read.parquet(str(fx_smoke / "golden_audio_stats.parquet"))
+    got = audio_features(files)
+    assert got.exceptAll(golden).isEmpty()
+    assert golden.exceptAll(got).isEmpty()
