@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["audio_features"] = lambda s, d: _cast(
         mediaops.audio_features(_f(s, d, "audio_files")),
         n_samples="long", duration_ms="long")
+    q["video_frames"] = lambda s, d: mediaops.video_frames(
+        _f(s, d, "video_files"))
     q["extracted_complexity_cube"] = lambda s, d: (
         agg.extracted_complexity_cube(extract_spans(_f(s, d, "parsed_markdown")))
         .select("kind", "complexity",
@@ -476,7 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "judge_scores", "judged_complexity_cube", "boilerplate_lines",
         "span_match_rate", "span_kind_projection", "span_sequencing",
         "empty_filter", "page_assembly", "media_features",
-        "normalize_for_matching",
+        "normalize_for_matching", "score_parse_clamp",
     ]
     assert all(k in q for k in rotate_first + defer_last)
     assert not set(rotate_first) & set(defer_last)
@@ -770,6 +772,11 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN kind = 'image' THEN '![](' || media_ref || ')' ELSE text END, "
         'chr(10) || chr(10) ORDER BY "offset") AS markdown '
         f"FROM {_GOLD} WHERE text <> '' OR kind = 'image' GROUP BY doc_id"
+    )
+    o["video_frames"] = (
+        "SELECT doc_id, media_ref, frame_no, width, height, n_frames, "
+        "fps_num, fps_den, y_mean, status "
+        f"FROM '{ORACLE_FX}/golden_video_stats.parquet'"
     )
     o["audio_features"] = (
         "SELECT doc_id, media_ref, channels, sample_rate, bits, "

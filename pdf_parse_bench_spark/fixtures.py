@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v33"  # bump to force regeneration
+FIXTURE_VERSION = "v34"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -439,6 +439,42 @@ def _mk_wav_with_stats(did: int) -> tuple[bytes, dict]:
         "mean_abs": float(np.floor(mean_abs * 1e3 + 0.5)) / 1e3,
         "peak": int(a.max()), "status": "ok",
     }
+
+
+def _mk_y4m(w: int, h: int, frames: "np.ndarray",
+            colorspace: str = "420") -> bytes:
+    """Minimal YUV4MPEG2 writer (independent of kernels/y4m.py): frames
+    is (n, h, w) uint8 luma; chroma planes written mid-gray (128)."""
+    out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C%s\n"
+                    % (w, h, colorspace.encode()))
+    if colorspace == "420":
+        chroma = bytes([128]) * (2 * ((w // 2) * (h // 2)))
+    else:
+        chroma = bytes([128]) * (2 * w * h)
+    for f in frames:
+        out += b"FRAME\n" + f.astype(np.uint8).tobytes() + chroma
+    return bytes(out)
+
+
+def _mk_y4m_with_stats(did: int) -> tuple[bytes, list[dict]]:
+    """Deterministic Y4M clip + golden per-sampled-frame rows (stride 5,
+    luma mean computed here from the raw planes — the video_frames
+    arithmetic spec)."""
+    cs = "420" if did % 2 == 0 else "444"
+    w, h = 16 + 2 * (did % 5), 12 + 2 * (did % 4)
+    nf = 3 + did % 17
+    t = np.arange(nf)[:, None, None]
+    yy = np.arange(h)[None, :, None]
+    xx = np.arange(w)[None, None, :]
+    frames = ((did * 29 + t * 31 + yy * 7 + xx * 3) % 256).astype(np.uint8)
+    rows = []
+    for fno in range(0, nf, 5):
+        mean = float(frames[fno].astype(np.int64).sum()) / (w * h) / 255.0
+        rows.append({"frame_no": fno, "width": w, "height": h,
+                     "n_frames": nf, "fps_num": 25, "fps_den": 1,
+                     "y_mean": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
+                     "status": "ok"})
+    return _mk_y4m(w, h, frames, cs), rows
 
 
 def _mk_web_text(doc_id: int, text: str) -> str:
@@ -1446,6 +1482,7 @@ def ensure_fixtures(sf_dir: str) -> Path:
     tei_rows, media_rows, media_stats_rows = [], [], []
     thumb_rows = []
     audio_rows, audio_stats_rows = [], []
+    video_rows, video_stats_rows = [], []
     raster_rows = []
     web_rows = []
     render_rows = []
@@ -1635,6 +1672,25 @@ def ensure_fixtures(sf_dir: str) -> Path:
                 "sample_rate": 22050, "bits": 16, "n_samples": 50,
                 "duration_ms": (50 * 1000) // 22050, "mean_abs": None,
                 "peak": None, "status": "metadata_only"})
+        if did % 8 == 0:
+            # Y4M video rows: sampled-frame luma means ('ok')
+            y4m, vrows = _mk_y4m_with_stats(did)
+            ref = f"clip_{did}.y4m"
+            video_rows.append({"doc_id": doc_id, "media_ref": ref,
+                               "media_bytes": y4m})
+            for r in vrows:
+                video_stats_rows.append({"doc_id": doc_id,
+                                         "media_ref": ref, **r})
+        if did % 28 == 0:
+            # Y4M magic but truncated frame payload -> one error row
+            ref = f"clip_bad_{did}.y4m"
+            video_rows.append({"doc_id": doc_id, "media_ref": ref,
+                               "media_bytes":
+                               b"YUV4MPEG2 W8 H8 F25:1 C420\nFRAME\nxx"})
+            video_stats_rows.append({
+                "doc_id": doc_id, "media_ref": ref, "frame_no": -1,
+                "width": 0, "height": 0, "n_frames": 0, "fps_num": 0,
+                "fps_den": 0, "y_mean": None, "status": "decode_error"})
         if did % 21 == 0:
             # RIFF magic but truncated body -> decode_error zero row
             ref = f"audio_bad_{did}.wav"
@@ -1705,6 +1761,15 @@ def ensure_fixtures(sf_dir: str) -> Path:
                       ("bits", pa.int32()), ("n_samples", pa.int64()),
                       ("duration_ms", pa.int64()), ("mean_abs", pa.float64()),
                       ("peak", pa.int32()), ("status", pa.string())]))
+    _write("video_files.parquet", video_rows,
+           pa.schema([("doc_id", pa.string()), ("media_ref", pa.string()),
+                      ("media_bytes", pa.binary())]))
+    _write("golden_video_stats.parquet", video_stats_rows,
+           pa.schema([("doc_id", pa.string()), ("media_ref", pa.string()),
+                      ("frame_no", pa.int32()), ("width", pa.int32()),
+                      ("height", pa.int32()), ("n_frames", pa.int32()),
+                      ("fps_num", pa.int32()), ("fps_den", pa.int32()),
+                      ("y_mean", pa.float64()), ("status", pa.string())]))
     _write("golden_thumb_stats.parquet", thumb_rows,
            pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
                       ("media_ref", pa.string()), ("thumb_w", pa.int32()),

@@ -371,3 +371,63 @@ def audio_features(audio_df: DataFrame, rebalance: bool = True) -> DataFrame:
                 "duration_ms long, mean_abs double, peak int, "
                 "status string"),
     )
+
+
+# --- video frame sampling (the video leg of the media model) ---------------
+
+FRAME_STRIDE = 5  # sample every k-th frame
+
+
+def video_frames(video_df: DataFrame, stride: int = FRAME_STRIDE,
+                 rebalance: bool = True) -> DataFrame:
+    """Frame-sampling over Y4M video payloads: one output row per sampled
+    frame (frame 0, stride, 2*stride, ...) with the frame's luma mean
+    (6 dp half-up) — the pre-embedding subsample a multimodal training
+    pipeline runs before a vision encoder. Size-rebalanced mapInPandas
+    (video rows are the heaviest payloads in the media table — exactly
+    the UDF-stage skew rebalance_by_size exists for). Corrupt or
+    non-Y4M payloads yield ONE frame_no=-1 row with status
+    'decode_error' (X4: visible, never a task failure)."""
+    from pdf_parse_bench_spark.kernels.y4m import parse_y4m
+    from pdf_parse_bench_spark.operators.skew import rebalance_by_size
+
+    if rebalance:
+        video_df = rebalance_by_size(
+            video_df, size_col=F.length("media_bytes"))
+
+    cols = ["doc_id", "media_ref", "frame_no", "width", "height",
+            "n_frames", "fps_num", "fps_den", "y_mean", "status"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in cols}
+
+            def emit(doc_id, ref, frame_no, w, h, nf, fn, fd, ym, st):
+                for c, v in zip(cols, (doc_id, ref, frame_no, w, h, nf,
+                                       fn, fd, ym, st)):
+                    out[c].append(v)
+
+            for doc_id, ref, b in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["media_bytes"],
+            ):
+                raw = bytes(b) if b is not None else b""
+                try:
+                    v = parse_y4m(raw)
+                except Exception:
+                    emit(doc_id, ref, -1, 0, 0, 0, 0, 0, None,
+                         "decode_error")
+                    continue
+                for fno in range(0, v["n_frames"], stride):
+                    y = v["frames"][fno].astype(np.float64)
+                    mean = float(y.sum()) / y.size / 255.0
+                    emit(doc_id, ref, fno, v["width"], v["height"],
+                         v["n_frames"], v["fps_num"], v["fps_den"],
+                         float(np.floor(mean * 1e6 + 0.5)) / 1e6, "ok")
+            yield pd.DataFrame(out)
+
+    return video_df.mapInPandas(
+        run,
+        schema=("doc_id string, media_ref string, frame_no int, "
+                "width int, height int, n_frames int, fps_num int, "
+                "fps_den int, y_mean double, status string"),
+    )

@@ -355,3 +355,31 @@ def test_wav_parse_and_audio_features(spark, fx_smoke):
     got = audio_features(files)
     assert got.exceptAll(golden).isEmpty()
     assert golden.exceptAll(got).isEmpty()
+
+
+def test_y4m_parse_and_video_frames(spark, fx_smoke):
+    """Y4M kernel roundtrip (synthetic clip -> parse -> identical luma
+    planes + header fields, both colorspaces), truncated-payload
+    rejection, and operator-vs-golden equality for every video row."""
+    import numpy as np
+    import pytest
+
+    from pdf_parse_bench_spark.fixtures import _mk_y4m
+    from pdf_parse_bench_spark.kernels.y4m import parse_y4m
+    from pdf_parse_bench_spark.operators.media import video_frames
+
+    frames = np.arange(2 * 4 * 6, dtype=np.uint8).reshape(2, 4, 6)
+    for cs in ("420", "444"):
+        v = parse_y4m(_mk_y4m(6, 4, frames, cs))
+        assert (v["width"], v["height"], v["n_frames"]) == (6, 4, 2)
+        assert v["colorspace"] == cs
+        for a, b in zip(v["frames"], frames):
+            assert (a == b).all()
+    with pytest.raises(ValueError):
+        parse_y4m(b"YUV4MPEG2 W8 H8 F25:1 C420\nFRAME\nxx")
+
+    files = spark.read.parquet(str(fx_smoke / "video_files.parquet"))
+    golden = spark.read.parquet(str(fx_smoke / "golden_video_stats.parquet"))
+    got = video_frames(files)
+    assert got.exceptAll(golden).isEmpty()
+    assert golden.exceptAll(got).isEmpty()
