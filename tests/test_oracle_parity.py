@@ -47,6 +47,13 @@ SUBSET = [
     "dedup_clusters",       # connected components vs recursive CTE
     "corpus_filter",        # composed cleaning pass
     "vocab_stats",
+    # round-4 families
+    "pdf_spans",            # media_ref image spans + chrome suppression
+    "minhash_signatures",   # double-hashed minhash
+    "thumbnail_media",      # block-average resize
+    "audio_features",       # WAV metadata + PCM stats
+    "video_frames",         # Y4M frame sampling
+    "unicode_normalization",  # long-tail map, layered oracle
 ]
 
 
