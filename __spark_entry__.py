@@ -599,14 +599,15 @@ def _simhash64_near_dups_sql() -> str:
     """64-bit SimHash Hamming-neighbor oracle mirroring
     dedup.simhash_near_dups: 4x16-bit blocks, block-equality candidates,
     popcount(xor) verify."""
+    # bit k of the md5's first 64 bits (two 32-bit halves), mirroring
+    # dd.simhash64_blocks' one-md5 shape; vote sign is 2*sum(bit) > n
     votes = ", ".join(
-        f"sum(CASE WHEN substr(h{k // 32}, {(k % 32) + 1}, 1) >= '8' "
-        f"THEN 1 ELSE -1 END) AS v{k}"
+        f"sum((h{0 if k < 32 else 1} >> {k % 32}) & 1) AS s{k}"
         for k in range(64)
     )
     blocks = ", ".join(
         "CAST(" + " + ".join(
-            f"(CASE WHEN v{j * 16 + r} > 0 THEN {1 << r} ELSE 0 END)"
+            f"(CASE WHEN 2 * s{j * 16 + r} > n THEN {1 << r} ELSE 0 END)"
             for r in range(16)
         ) + f" AS INT) AS b{j}"
         for j in range(dd.SIMHASH64_BLOCKS)
@@ -620,9 +621,10 @@ def _simhash64_near_dups_sql() -> str:
     )
     return (
         f"WITH {_WORDS_CTE}, "
-        "h AS (SELECT doc_id, md5(unnest(w)) AS h0, "
-        "md5(unnest(w) || '#1') AS h1 FROM words), "
-        f"v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id), "
+        "h AS (SELECT doc_id, "
+        "('0x' || substr(md5(unnest(w)), 1, 8))::BIGINT AS h0, "
+        "('0x' || substr(md5(unnest(w)), 9, 8))::BIGINT AS h1 FROM words), "
+        f"v AS (SELECT doc_id, count(*) AS n, {votes} FROM h GROUP BY doc_id), "
         f"sig AS (SELECT doc_id, {blocks} FROM v), "
         f"bands AS ({bands}), "
         "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "

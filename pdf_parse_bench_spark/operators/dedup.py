@@ -288,26 +288,33 @@ def simhash64_blocks(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over word unigrams, stored as four 16-bit ints
     (b0..b3) to stay engine-portable (bit 63 of a BIGINT is the sign bit).
 
-    Bit k's vote uses the MSB of hex nibble (k mod 32) of
-    md5(word || '#' || k div 32) — two md5 calls per word yield 64
-    independent bits. One shuffle: groupBy(doc_id) with 64 map-side partial
-    sums (the shuffle carries 64 longs per doc)."""
+    Bit k's vote is bit k of the word's md5 first 64 bits (two 32-bit
+    halves via conv, then shiftright+and — r4 replaced the r3 shape of
+    TWO md5 calls per word + 64 per-bit hex-nibble string compares with
+    ONE md5 + integer bit ops: the md5 dominated the stage). One shuffle:
+    groupBy(doc_id) with 64 map-side partial bit-sums plus a count; the
+    vote sign is 2*sum(bit_k) - n > 0."""
     w = docs.select("doc_id", F.explode(_words()).alias("word"))
-    h = w.select(
+    h = F.md5("word")
+    halves = w.select(
         "doc_id",
-        F.md5("word").alias("h0"),
-        F.md5(F.concat("word", F.lit("#1"))).alias("h1"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("a"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("b"),
     )
-    votes = h.groupBy("doc_id").agg(*[
-        F.sum(
-            F.when(F.substring(f"h{k // 32}", (k % 32) + 1, 1) >= "8", 1)
-            .otherwise(-1)
-        ).alias(f"v{k}")
-        for k in range(64)
-    ])
+    votes = halves.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.shiftright(F.col("a" if k < 32 else "b"), k % 32)
+                .bitwiseAND(1)
+            ).alias(f"s{k}")
+            for k in range(64)
+        ],
+    )
     blocks = [
         sum(
-            F.when(F.col(f"v{j * 16 + r}") > 0, F.lit(1 << r)).otherwise(F.lit(0))
+            F.when(2 * F.col(f"s{j * 16 + r}") > F.col("n"), F.lit(1 << r))
+            .otherwise(F.lit(0))
             for r in range(16)
         ).cast("int").alias(f"b{j}")
         for j in range(SIMHASH64_BLOCKS)
