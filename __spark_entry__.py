@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_counts"] = lambda s, d: _cast(
         ts.token_counts(_t(s, d, "documents")), ws_tokens="long", regex_tokens="long")
     q["fingerprint"] = lambda s, d: ts.fingerprint(_t(s, d, "documents"))
+    q["winnowing_fingerprints"] = lambda s, d: ts.winnowing_fingerprints(
+        _t(s, d, "documents"))
     q["corpus_filter"] = lambda s, d: ts.corpus_filter(_t(s, d, "documents"))
     q["pii_scrub"] = lambda s, d: ts.pii_scrub(_f(s, d, "raw_web_documents"))
     q["doc_stats_rollup"] = lambda s, d: ts.doc_stats_rollup(
@@ -479,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_match_rate", "span_kind_projection", "span_sequencing",
         "empty_filter", "page_assembly", "media_features",
         "normalize_for_matching", "score_parse_clamp",
+        "delimiter_normalization",
     ]
     assert all(k in q for k in rotate_first + defer_last)
     assert not set(rotate_first) & set(defer_last)
@@ -1057,6 +1060,25 @@ def oracle_sql() -> dict[str, str]:
     o["fingerprint"] = (
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) "
         "AS fingerprint FROM documents"
+    )
+    # winnowing: word 3-gram 32-bit hashes, min per 4-window, distinct —
+    # the same per-doc window/order semantics as ts.winnowing_fingerprints
+    o["winnowing_fingerprints"] = (
+        f"WITH {_WORDS_CTE}, "
+        "g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+        "list_transform(range(1, len(w) - 1), i -> "
+        "array_to_string(w[i:i+2], ' ')) "
+        "ELSE [array_to_string(w, ' ')] END AS grams FROM words), "
+        "e AS (SELECT doc_id, len(grams) AS n, "
+        "generate_subscripts(grams, 1) - 1 AS pos, "
+        "unnest(grams) AS gram FROM g), "
+        "h AS (SELECT doc_id, pos, n, "
+        "('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM e), "
+        "wmin AS (SELECT doc_id, pos, n, min(h) OVER ("
+        "PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM h) "
+        "SELECT DISTINCT doc_id, fp FROM wmin "
+        "WHERE pos <= n - 4 OR pos = 0"
     )
     o["tfidf_top_terms"] = (
         f"WITH {_WORDS_CTE}, "

@@ -209,13 +209,59 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:
-    """Document fingerprint: md5 of case/punctuation-normalized text (the
-    relational stand-in for a rolling hash; identical expression in the
-    DuckDB oracle)."""
+    """Whole-document fingerprint: md5 of case/punctuation-normalized text
+    (the cheap exact-dup key; winnowing_fingerprints below is the
+    rolling-hash local-fingerprint set for partial-overlap detection)."""
     norm = F.trim(
         F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
     )
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+WINNOW_K = 3  # words per k-gram
+WINNOW_W = 4  # window of consecutive k-gram hashes per fingerprint
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = WINNOW_K,
+                           w: int = WINNOW_W) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
+    word k-gram to a 32-bit int, then keep the MIN hash of each window of
+    `w` consecutive k-grams; the doc's fingerprint set is the DISTINCT
+    window minima. Guarantees any shared run of >= k+w-1 words between
+    two docs contributes at least one common fingerprint — the local
+    analog of the whole-text md5 above, robust to partial overlap.
+
+    Physical shape: posexplode k-grams → one md5+conv per gram → per-doc
+    sliding min via Window.partitionBy(doc_id).rowsBetween(0, w-1) — the
+    partition key is doc_id, so the sort is per-document (bounded by doc
+    length), never a global funnel — → distinct. Docs shorter than k
+    words fingerprint their whole word sequence as one gram."""
+    from pyspark.sql import Window
+
+    words = docs.select("doc_id", _words().alias("ws"))
+    grams = words.select(
+        "doc_id",
+        F.when(
+            F.size("ws") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - k),
+                lambda i: F.array_join(F.slice("ws", i + 1, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join("ws", " "))).alias("grams"),
+    ).select("doc_id", F.size("grams").alias("_n"),
+             F.posexplode("grams").alias("pos", "gram"))
+    hashed = grams.select(
+        "doc_id", "pos", "_n",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+        .cast("long").alias("h"),
+    )
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(0, w - 1))
+    return (
+        hashed.withColumn("fp", F.min("h").over(win))
+        .where((F.col("pos") <= F.col("_n") - w) | (F.col("pos") == 0))
+        .select("doc_id", "fp").distinct()
+    )
 
 
 # C4/CCNet-style PII scrubbing: portable regexes (no lookaround — valid in

@@ -275,3 +275,26 @@ def test_pii_scrub_kinds_and_counts(spark):
     r2 = out[2]
     assert r2.clean_text == "no pii here at all just words"
     assert (r2.n_emails, r2.n_urls, r2.n_ips, r2.n_phones) == (0, 0, 0, 0)
+
+
+def test_winnowing_shared_passage_guarantee(spark):
+    """Schleimer et al. §2 guarantee: any shared word run of length >=
+    k+w-1 (= 6 at the committed k=3/w=4) between two documents yields at
+    least one COMMON fingerprint; two docs with no shared 3-gram share
+    none."""
+    from pyspark.sql import functions as F
+    from pdf_parse_bench_spark.operators.textstats import (
+        winnowing_fingerprints)
+
+    passage = "uniquely planted passage of seven shared words"
+    docs = spark.createDataFrame(
+        [("a", f"alpha bravo {passage} charlie delta"),
+         ("b", f"echo foxtrot golf {passage} hotel"),
+         ("c", "completely disjoint vocabulary nothing matches here at all")],
+        "doc_id string, text string")
+    fp = winnowing_fingerprints(docs)
+    a = {r.fp for r in fp.where(F.col("doc_id") == "a").collect()}
+    b = {r.fp for r in fp.where(F.col("doc_id") == "b").collect()}
+    c = {r.fp for r in fp.where(F.col("doc_id") == "c").collect()}
+    assert a & b, "shared passage must yield a common fingerprint"
+    assert not (a & c) and not (b & c)
