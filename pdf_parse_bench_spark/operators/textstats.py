@@ -231,37 +231,36 @@ def winnowing_fingerprints(docs: DataFrame, k: int = WINNOW_K,
     two docs contributes at least one common fingerprint — the local
     analog of the whole-text md5 above, robust to partial overlap.
 
-    Physical shape: posexplode k-grams → one md5+conv per gram → per-doc
-    sliding min via Window.partitionBy(doc_id).rowsBetween(0, w-1) — the
-    partition key is doc_id, so the sort is per-document (bounded by doc
-    length), never a global funnel — → distinct. Docs shorter than k
-    words fingerprint their whole word sequence as one gram."""
-    from pyspark.sql import Window
-
+    Physical shape: ZERO shuffles — the whole computation is higher-order
+    array functions inside one codegen projection (transform for gram
+    construction and hashing, array_min over slices for the sliding
+    minima, array_distinct per doc) followed by a single explode. An
+    exploded-rows + per-doc-window formulation is semantically identical
+    but pays a 5M-row sort at sf0.1 (measured 29s vs ~3s) — and the
+    DuckDB oracle deliberately KEEPS that window formulation as the
+    independent mirror. Docs shorter than k words fingerprint their
+    whole word sequence as one gram."""
     words = docs.select("doc_id", _words().alias("ws"))
-    grams = words.select(
+    grams = F.when(
+        F.size("ws") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - k),
+            lambda i: F.array_join(F.slice("ws", i + 1, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join("ws", " ")))
+    hs = words.select(
         "doc_id",
-        F.when(
-            F.size("ws") >= k,
-            F.transform(
-                F.sequence(F.lit(0), F.size("ws") - k),
-                lambda i: F.array_join(F.slice("ws", i + 1, k), " "),
-            ),
-        ).otherwise(F.array(F.array_join("ws", " "))).alias("grams"),
-    ).select("doc_id", F.size("grams").alias("_n"),
-             F.posexplode("grams").alias("pos", "gram"))
-    hashed = grams.select(
-        "doc_id", "pos", "_n",
-        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
-        .cast("long").alias("h"),
+        F.transform(grams, lambda g: F.conv(
+            F.substring(F.md5(g), 1, 8), 16, 10).cast("long")).alias("hs"),
     )
-    win = (Window.partitionBy("doc_id").orderBy("pos")
-           .rowsBetween(0, w - 1))
-    return (
-        hashed.withColumn("fp", F.min("h").over(win))
-        .where((F.col("pos") <= F.col("_n") - w) | (F.col("pos") == 0))
-        .select("doc_id", "fp").distinct()
-    )
+    n = F.size("hs")
+    fps = F.when(
+        n >= w,
+        F.transform(F.sequence(F.lit(0), n - w),
+                    lambda i: F.array_min(F.slice("hs", i + 1, w))),
+    ).otherwise(F.array(F.array_min("hs")))
+    return hs.select(
+        "doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
 
 
 # C4/CCNet-style PII scrubbing: portable regexes (no lookaround — valid in
