@@ -53,6 +53,7 @@ from pdf_parse_bench_spark.operators.extract import (  # noqa: E402
     substitute_table_refs,
 )
 from pdf_parse_bench_spark.operators.extract import (  # noqa: E402
+    pdf_encrypt_audit as pdf_encrypt_audit_op,
     pdf_spans as pdf_spans_op,
 )
 from pdf_parse_bench_spark.kernels import textnorm as tn  # noqa: E402
@@ -113,6 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["pdf_parse"] = lambda s, d: parse_pdfs(_f(s, d, "pdf_docs"))
     q["pdf_spans"] = lambda s, d: pdf_spans_op(_f(s, d, "pdf_docs"))
+    q["pdf_encrypt_audit"] = lambda s, d: pdf_encrypt_audit_op(
+        _f(s, d, "pdf_docs"))
     q["page_raster_stats"] = lambda s, d: (
         rasterize_pages(_f(s, d, "pdf_docs"))
         .select("doc_id", "page_no", "width", "height", "ink_ratio")
@@ -475,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     defer_last = [
         # untouched since r03 and triple-green there
+        "benchmark_counts",
         "token_counts", "fingerprint", "corpus_filter", "lang_id",
         "quality_score", "simhash_signatures", "dedup_exact",
         "judge_scores", "judged_complexity_cube", "boilerplate_lines",
@@ -741,6 +745,10 @@ def oracle_sql() -> dict[str, str]:
     o["page_raster_stats"] = (
         "SELECT doc_id, page_no, width, height, ink_ratio "
         f"FROM '{ORACLE_FX}/golden_raster_stats.parquet'"
+    )
+    o["pdf_encrypt_audit"] = (
+        "SELECT doc_id, scheme, decrypt_ok "
+        f"FROM '{ORACLE_FX}/golden_pdf_enc.parquet'"
     )
     o["boilerplate_lines"] = (
         "WITH lines AS (SELECT doc_id, list_filter(list_transform("

@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v34"  # bump to force regeneration
+FIXTURE_VERSION = "v35"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -1193,7 +1193,8 @@ def _merge_pdf_spans(entries: list[tuple]) -> list[dict]:
             for i, (_pg, k, ts, r) in enumerate(merged)]
 
 
-def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str, list]:
+def generate_pdf(doc_id: int, spans: list[dict]
+                 ) -> tuple[bytes, str, list, str]:
     """Multi-page PDF from the doc's text spans + expected text.
 
     Exercises the real PDF surface the extractor must handle (the constructs
@@ -1400,25 +1401,39 @@ def generate_pdf(doc_id: int, spans: list[dict]) -> tuple[bytes, str, list]:
     # ~30% of docs ship in the PDF 1.5 modern layout (xref STREAM +
     # /ObjStm-packed dicts, half of those with /Predictor 12)
     if rng.random() < 0.3:
-        return (_assemble_modern_pdf(objs, bool(rng.random() < 0.5)),
-                "\n".join(e[2] for e in golden_entries if len(e) < 4),
-                _merge_pdf_spans(golden_entries))
+        pdf = _assemble_modern_pdf(objs, bool(rng.random() < 0.5))
+    else:
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for i, body in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        xref_at = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_at)
+        )
+        pdf = bytes(out)
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for i, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
-    xref_at = len(out)
-    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
-    for off in offsets:
-        out += b"%010d 00000 n \n" % off
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, xref_at)
-    )
-    return (bytes(out), "\n".join(e[2] for e in golden_entries if len(e) < 4),
-            _merge_pdf_spans(golden_entries))
+    # ~8% of docs are encrypted with the standard security handler, empty
+    # user password (the crawl norm — permissions, not secrecy): spans the
+    # four supported schemes so pdf_parse/pdf_spans goldens prove the
+    # kernels/pdfcrypt decrypt path end-to-end.  AES-256/R6 is rarest: its
+    # Algorithm-2.B hash costs ~0.5s/doc at extract time by design.
+    enc_draw = float(rng.random())
+    scheme = "none"
+    if enc_draw < 0.08:
+        from pdf_parse_bench_spark.kernels.pdfcrypt import encrypt_pdf
+        scheme = ("rc4-128" if enc_draw < 0.030
+                  else "aes-128" if enc_draw < 0.055
+                  else "rc4-40" if enc_draw < 0.070 else "aes-256")
+        pdf = encrypt_pdf(pdf, scheme, seed=int(doc_id))
+
+    return (pdf, "\n".join(e[2] for e in golden_entries if len(e) < 4),
+            _merge_pdf_spans(golden_entries), scheme)
 
 
 # ---------------------------------------------------------------------------
@@ -1478,6 +1493,7 @@ def ensure_fixtures(sf_dir: str) -> Path:
     noisy_rows, golden_noisy_rows = [], []
     blocks_rows, golden_layout_rows = [], []
     pdf_rows, pdf_text_rows, score_rows = [], [], []
+    pdf_enc_rows = []
     md_refs_rows, table_rows, golden_md_refs_rows = [], [], []
     tei_rows, media_rows, media_stats_rows = [], [], []
     thumb_rows = []
@@ -1546,9 +1562,12 @@ def ensure_fixtures(sf_dir: str) -> Path:
                                 "category": cat, "text": txt})
         for g in golden_layout:
             golden_layout_rows.append({"doc_id": doc_id, **g})
-        pdf_bytes, pdf_text, pdf_span_list = generate_pdf(did, spans)
+        pdf_bytes, pdf_text, pdf_span_list, enc_scheme = \
+            generate_pdf(did, spans)
         pdf_rows.append({"doc_id": doc_id, "pdf_bytes": pdf_bytes})
         pdf_text_rows.append({"doc_id": doc_id, "text": pdf_text})
+        pdf_enc_rows.append({"doc_id": doc_id, "scheme": enc_scheme,
+                             "decrypt_ok": True})
         for ps in pdf_span_list:
             pdf_span_rows.append({"doc_id": doc_id, **ps})
         # raster-stats golden: pinned regression artifact — the deterministic
@@ -1745,6 +1764,9 @@ def ensure_fixtures(sf_dir: str) -> Path:
            pa.schema([("doc_id", pa.string()), ("offset", pa.int32()),
                       ("kind", pa.string()), ("text", pa.string()),
                       ("media_ref", pa.string())]))
+    _write("golden_pdf_enc.parquet", pdf_enc_rows,
+           pa.schema([("doc_id", pa.string()), ("scheme", pa.string()),
+                      ("decrypt_ok", pa.bool_())]))
     _write("golden_raster_stats.parquet", raster_rows,
            pa.schema([("doc_id", pa.string()), ("page_no", pa.int32()),
                       ("width", pa.int32()), ("height", pa.int32()),

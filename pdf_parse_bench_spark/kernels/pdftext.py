@@ -300,6 +300,8 @@ class _PdfDoc:
         self._freed: set[int] = set()  # free ('f'/type-0) entries, newest-wins
         self._cache: dict[int, tuple] = {}
         self._objstm_cache: dict[int, list] = {}
+        self._crypt = None  # must exist before any get_object call
+        self._encrypt_num = -1
         try:
             self._load_xref()
         except Exception:
@@ -308,6 +310,46 @@ class _PdfDoc:
         if (not self.offsets and not self.in_objstm) \
                 or "Root" not in self.trailer:
             self._scan_objects()
+        self._setup_encryption()
+
+    def _setup_encryption(self) -> None:
+        """Standard-security-handler setup (kernels/pdfcrypt): when the
+        trailer carries /Encrypt, derive the file key for the empty user
+        password.  Strings/streams resolved BEFORE this point (the
+        /Encrypt dict itself, the /ID strings, xref streams) are exactly
+        the ones the spec leaves unencrypted, so cache order is safe."""
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        try:
+            from pdf_parse_bench_spark.kernels.pdfcrypt import \
+                StandardDecrypter
+            if isinstance(enc_ref, _Ref):
+                self._encrypt_num = int(enc_ref)
+            enc = self.resolve(enc_ref)
+            if not isinstance(enc, dict):
+                return
+            ids = self.resolve(self.trailer.get("ID"))
+            id0 = ids[0] if isinstance(ids, list) and ids \
+                and isinstance(ids[0], bytes) else b""
+            h = StandardDecrypter(enc, id0)
+            if h.ok:
+                self._crypt = h
+        except Exception:
+            self._crypt = None  # unsupported handler -> damaged-file path
+
+    def _decrypt_strings(self, v, num: int, gen: int):
+        """Recursively decrypt string values of a freshly parsed object
+        (streams are handled separately; ObjStm-packed objects never
+        reach here — their strings are not separately encrypted)."""
+        if isinstance(v, bytes):
+            return self._crypt.decrypt_string(v, num, gen)
+        if isinstance(v, list):
+            return [self._decrypt_strings(x, num, gen) for x in v]
+        if isinstance(v, dict):
+            return {k: self._decrypt_strings(x, num, gen)
+                    for k, x in v.items()}
+        return v
 
     # -- xref ---------------------------------------------------------------
     def _load_xref(self) -> None:
@@ -466,6 +508,13 @@ class _PdfDoc:
                     else:
                         e = data.find(b"endstream", s)
                         stream = data[s:e if e >= 0 else len(data)].rstrip(b"\r\n")
+                if self._crypt is not None and num != self._encrypt_num:
+                    gen = int(m.group(2))
+                    val = self._decrypt_strings(val, num, gen)
+                    if stream is not None and not (
+                            isinstance(val, dict)
+                            and str(val.get("Type", "")) == "XRef"):
+                        stream = self._crypt.decrypt_stream(stream, num, gen)
                 result = (val, stream)
         self._cache[num] = result
         return result

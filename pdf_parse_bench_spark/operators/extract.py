@@ -242,6 +242,31 @@ def pdf_spans(pdf_df: DataFrame, rebalance: bool = True) -> DataFrame:
                     "media_ref string")
 
 
+def pdf_encrypt_audit(pdf_df: DataFrame, rebalance: bool = True) -> DataFrame:
+    """Per-document encryption audit over a raw-PDF corpus: scheme
+    (none / rc4-40 / rc4-128 / aes-128 / aes-256 / other / damaged) and
+    whether the empty-user-password key derivation succeeded — the triage
+    a 100 TB crawl runs before extraction (the reference inherits this
+    from pypdf's decrypt path, parsers/pypdf/__main__.py:30-32).  Pure
+    header/KDF work per doc; no page parsing."""
+    from pdf_parse_bench_spark.kernels.pdfcrypt import sniff_encryption
+
+    if rebalance:
+        pdf_df = rebalance_by_size(pdf_df, size_col=F.length("pdf_bytes"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sniffs = [sniff_encryption(bytes(b)) for b in pdf["pdf_bytes"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "scheme": [s for s, _ in sniffs],
+                "decrypt_ok": [ok for _, ok in sniffs],
+            })
+
+    return pdf_df.mapInPandas(
+        run, schema="doc_id string, scheme string, decrypt_ok boolean")
+
+
 def rasterize_pages(pdf_df: DataFrame, dpi: int = 72,
                     rebalance: bool = True) -> DataFrame:
     """M5 page rasterization (the fitz ``get_pixmap`` analog,

@@ -1,0 +1,126 @@
+"""Standard-security-handler tests (kernels/pdfcrypt).
+
+The reference reads encrypted PDFs for free through pypdf/fitz
+(parsers/pypdf/__main__.py:30-32, parsers/dots_ocr/__main__.py:111-118);
+here the handler is re-implemented from the public spec, so correctness
+is proven two ways: published known-answer vectors for the primitives
+(FIPS-197, the classic RC4 test vector), and full-file round-trips —
+encrypt a fixture PDF with each supported variant, then assert the
+extractor recovers byte-identical text/spans vs the unencrypted file.
+"""
+
+from __future__ import annotations
+
+import binascii
+
+import numpy as np
+import pytest
+
+from pdf_parse_bench_spark import fixtures as fx
+from pdf_parse_bench_spark.kernels import pdfcrypt as pc
+from pdf_parse_bench_spark.kernels.pdftext import (
+    extract_pdf_spans,
+    extract_pdf_text,
+)
+
+
+# -- primitives: published known-answer vectors -----------------------------
+
+def test_aes128_fips197_vector():
+    key = bytes(range(16))
+    pt = binascii.unhexlify("00112233445566778899aabbccddeeff")
+    ct = pc.aes_encrypt_block(key, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"  # FIPS-197 C.1
+    rk = pc._expand_key(key)
+    blk = np.frombuffer(ct, dtype=np.uint8).reshape(1, 16)
+    assert pc._ecb_decrypt_blocks(blk, rk).tobytes() == pt
+
+
+def test_aes256_fips197_vector():
+    key = bytes(range(32))
+    pt = binascii.unhexlify("00112233445566778899aabbccddeeff")
+    ct = pc.aes_encrypt_block(key, pt)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"  # FIPS-197 C.3
+    rk = pc._expand_key(key)
+    blk = np.frombuffer(ct, dtype=np.uint8).reshape(1, 16)
+    assert pc._ecb_decrypt_blocks(blk, rk).tobytes() == pt
+
+
+def test_rc4_vector():
+    assert pc.rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    # symmetric
+    assert pc.rc4(b"Key", pc.rc4(b"Key", b"arbitrary data")) \
+        == b"arbitrary data"
+
+
+def test_cbc_roundtrip_vectorised_decrypt():
+    """The numpy block-parallel CBC decrypt inverts the scalar encrypt
+    for every length class (empty / one block / many, padded)."""
+    key = b"0123456789abcdef"
+    iv = bytes(range(16))
+    for n in (0, 1, 15, 16, 17, 1000):
+        msg = bytes((i * 7) & 0xFF for i in range(n))
+        enc = pc.aes_cbc_encrypt(key, msg, iv=iv)
+        assert len(enc) % 16 == 0 and len(enc) > len(msg) - 16
+        assert pc.aes_cbc_decrypt(key, iv + enc) == msg
+
+
+# -- full-file round-trips ---------------------------------------------------
+
+def _fixture_pdf(did: int):
+    spans = fx.generate_doc_spans(
+        did, fx._mk_text(["alpha", "beta", "gamma", "delta"],
+                         fx._doc_rng(did)))
+    pdf, _txt, _entries, _scheme = fx.generate_pdf(did, spans)
+    return pdf
+
+
+@pytest.mark.parametrize("variant", pc.VARIANTS)
+def test_encrypted_pdf_roundtrip(variant):
+    pdf = _fixture_pdf(11)
+    epdf = pc.encrypt_pdf(pdf, variant, seed=11)
+    # the rewrite really is encrypted: plaintext stream bytes are gone
+    assert b"/Encrypt" in epdf
+    assert extract_pdf_text(epdf) == extract_pdf_text(pdf)
+    assert extract_pdf_spans(epdf) == extract_pdf_spans(pdf)
+
+
+def test_encrypted_streams_are_opaque():
+    """The encrypted file must not contain the original deflate streams
+    (i.e. encryption actually transformed the bytes)."""
+    pdf = _fixture_pdf(23)
+    from pdf_parse_bench_spark.kernels.pdftext import _PdfDoc
+    doc = _PdfDoc(pdf)
+    # longest raw content stream of the original
+    raws = [raw for num in sorted(set(doc.offsets) | set(doc.in_objstm))
+            for _, raw in [doc.get_object(num)] if raw]
+    probe = max(raws, key=len)[:64]
+    for variant in ("rc4-128", "aes-128"):
+        assert probe not in pc.encrypt_pdf(pdf, variant, seed=23)
+
+
+def test_wrong_password_validation_fails_closed():
+    """A V5 file whose /U hash does not match the empty password must
+    fall to the damaged-file path (handler.ok False), not crash."""
+    pdf = _fixture_pdf(5)
+    epdf = bytearray(pc.encrypt_pdf(pdf, "aes-256", seed=5))
+    # corrupt the /U validation hash (first hex digits after '/U <')
+    at = epdf.find(b"/U <")
+    epdf[at + 4:at + 8] = b"0000" if epdf[at + 4:at + 8] != b"0000" \
+        else b"1111"
+    out = extract_pdf_text(bytes(epdf))
+    assert out == ""  # no garbage text, no exception
+
+
+def test_sniff_encryption_labels_every_variant():
+    pdf = _fixture_pdf(31)
+    for variant in pc.VARIANTS:
+        s, ok = pc.sniff_encryption(pc.encrypt_pdf(pdf, variant, seed=31))
+        assert (s, ok) == (variant, True)
+
+
+def test_decrypter_rejects_unknown_handler():
+    h = pc.StandardDecrypter({"Filter": "Acme.SecretHandler"}, b"")
+    assert not h.ok
+    # Identity pass-through when not ok
+    assert h.decrypt_stream(b"abc", 1, 0) == b"abc"
