@@ -325,6 +325,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["winnowing_fingerprints"] = lambda s, d: ts.winnowing_fingerprints(
         _t(s, d, "documents"))
     q["corpus_filter"] = lambda s, d: ts.corpus_filter(_t(s, d, "documents"))
+    q["repetition_stats"] = lambda s, d: ts.repetition_stats(
+        _t(s, d, "documents"))
+    q["decontaminate"] = lambda s, d: (
+        ts.decontaminate(_t(s, d, "documents"))
+        .select("doc_id",
+                F.col("n_eval_grams").cast("long").alias("n_eval_grams")))
     q["pii_scrub"] = lambda s, d: ts.pii_scrub(_f(s, d, "raw_web_documents"))
     q["doc_stats_rollup"] = lambda s, d: ts.doc_stats_rollup(
         _t(s, d, "documents"))
@@ -478,7 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     defer_last = [
         # untouched since r03 and triple-green there
-        "benchmark_counts",
+        "benchmark_counts", "grouped_mean_scores", "score_cube",
         "token_counts", "fingerprint", "corpus_filter", "lang_id",
         "quality_score", "simhash_signatures", "dedup_exact",
         "judge_scores", "judged_complexity_cube", "boilerplate_lines",
@@ -1171,6 +1177,49 @@ def oracle_sql() -> dict[str, str]:
         "+ least(floor((CAST(stop_hits AS DOUBLE) / greatest(n_words, 1)) * 1000000 + 0.5) / 1000000 * 5, 1.0) * 0.3"
         ") * 1000000 + 0.5) / 1000000 AS quality, "
         f"{_PRED_CASE} AS pred_lang FROM m)"
+    )
+    # repetition_stats: independent unnest+GROUP BY mirror of the Spark
+    # sort+fold formulation (two implementations, one contract)
+    o["repetition_stats"] = (
+        "WITH base AS (SELECT doc_id, length(text) AS nch, "
+        "list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') "
+        "AS ws FROM documents), "
+        "b2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), "
+        "i -> ws[i] || ' ' || ws[i+1])) AS g FROM base WHERE len(ws) >= 2), "
+        "c2 AS (SELECT doc_id, g, count(*) AS c FROM b2 GROUP BY 1, 2), "
+        "t2 AS (SELECT doc_id, max(c * length(g)) AS cover "
+        "FROM c2 GROUP BY 1), "
+        "b5 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3), "
+        "i -> array_to_string(ws[i:i+4], ' '))) AS g "
+        "FROM base WHERE len(ws) >= 5), "
+        "c5 AS (SELECT doc_id, g, count(*) AS c FROM b5 GROUP BY 1, 2), "
+        "d5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c * length(g) "
+        "ELSE 0 END) AS dupch FROM c5 GROUP BY 1) "
+        "SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_words, "
+        "floor((CASE WHEN len(b.ws) > 0 THEN 1.0 - "
+        "CAST(len(list_distinct(b.ws)) AS DOUBLE) / len(b.ws) "
+        "ELSE 0 END) * 1000000 + 0.5) / 1000000 AS dup_word_frac, "
+        "floor((CASE WHEN b.nch > 0 THEN "
+        "CAST(coalesce(t2.cover, 0) AS DOUBLE) / b.nch ELSE 0 END) "
+        "* 1000000 + 0.5) / 1000000 AS top2_cover_frac, "
+        "floor((least(1.0, CASE WHEN b.nch > 0 THEN "
+        "CAST(coalesce(d5.dupch, 0) AS DOUBLE) / b.nch ELSE 0 END)) "
+        "* 1000000 + 0.5) / 1000000 AS dup5_cover_frac "
+        "FROM base b LEFT JOIN t2 USING (doc_id) "
+        "LEFT JOIN d5 USING (doc_id)"
+    )
+    o["decontaminate"] = (
+        "WITH w AS (SELECT doc_id, "
+        "list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') "
+        "AS ws FROM documents), "
+        "ok AS (SELECT * FROM w WHERE len(ws) >= 8), "
+        "g AS (SELECT DISTINCT doc_id, "
+        "md5(array_to_string(ws[i:i+7], ' ')) AS sh FROM "
+        "(SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM ok)), "
+        "e AS (SELECT DISTINCT sh FROM g WHERE doc_id % 20 = 3), "
+        "t AS (SELECT doc_id, sh FROM g WHERE doc_id % 20 <> 3) "
+        "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_eval_grams "
+        "FROM t JOIN e USING (sh) GROUP BY 1"
     )
     o["doc_stats_rollup"] = (
         f"{feats_cte} "

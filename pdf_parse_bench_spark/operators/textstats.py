@@ -333,3 +333,100 @@ def quality_percentiles(docs: DataFrame) -> DataFrame:
         aggs.append(round_half_up(
             F.percentile("quality", F.lit(p))).alias(f"quality_{tag}"))
     return feats.groupBy("source").agg(*aggs)
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    the NeMo-Curator/DataTrove formulation) with ZERO shuffles: each
+    document's word n-grams are array_sort-ed so equal grams sit
+    adjacent, then a higher-order `aggregate` fold turns run lengths
+    into counts — the whole query is one narrow projection inside the
+    parquet scan (the same sort+fold trick that beat the exploded
+    window formulation 10x for winnowing). Metrics per doc:
+
+      dup_word_frac    1 - distinct words / words
+      top2_cover_frac  max over bigrams of count*chars(gram) / chars(text)
+      dup5_cover_frac  sum over 5-grams seen >1 time of count*chars(gram)
+                       / chars(text), capped at 1 (overlap approximation —
+                       the standard pipeline definition)
+
+    At 100 TB the per-doc cost is O(n log n) in the doc's word count with
+    no exchange at all; the alternative explode->groupBy(doc, gram) shape
+    shuffles every gram of the corpus twice."""
+    ws = "filter(split(trim(text), ' +'), x -> x != '')"
+    gram = ("array_sort(transform(sequence(1, size(ws) - %d), "
+            "i -> concat_ws(' ', slice(ws, i, %d))))")
+    top2 = (
+        "aggregate(" + gram % (1, 2) + ", "
+        "named_struct('prev', '', 'run', 0L, 'best', 0L), "
+        "(a, x) -> named_struct('prev', x, "
+        "  'run', IF(x = a.prev, a.run + 1, 1L), "
+        "  'best', greatest(a.best, "
+        "          IF(x = a.prev, a.run + 1, 1L) * length(x))), "
+        "a -> a.best)")
+    dup5 = (
+        "aggregate(" + gram % (4, 5) + ", "
+        "named_struct('prev', '', 'run', 0L, 'tot', 0L), "
+        "(a, x) -> named_struct('prev', x, "
+        "  'run', IF(x = a.prev, a.run + 1, 1L), "
+        "  'tot', a.tot + IF(x = a.prev, "
+        "         IF(a.run = 1, 2L * length(x), CAST(length(x) AS BIGINT)), "
+        "         0L)), "
+        "a -> a.tot)")
+    base = (docs.select("doc_id", "text")
+            .withColumn("ws", F.expr(ws))
+            .withColumn("nch", F.length("text"))
+            .withColumn("cover2", F.expr(
+                f"IF(size(ws) >= 2, {top2}, 0L)"))
+            .withColumn("dupch5", F.expr(
+                f"IF(size(ws) >= 5, {dup5}, 0L)")))
+    nw = F.size("ws")
+    safe = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
+    return base.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        # written as 1 - distinct/total (not (total-distinct)/total): the
+        # DuckDB oracle uses the same literal formula, so the IEEE result
+        # is bit-identical before rounding
+        round_half_up(F.when(
+            nw > 0,
+            F.lit(1.0) - F.size(F.array_distinct("ws")).cast("double") / nw
+        ).otherwise(F.lit(0.0))).alias("dup_word_frac"),
+        round_half_up(safe(F.col("cover2").cast("double"), F.col("nch"))
+                      ).alias("top2_cover_frac"),
+        round_half_up(F.least(F.lit(1.0), safe(
+            F.col("dupch5").cast("double"), F.col("nch")))
+        ).alias("dup5_cover_frac"),
+    )
+
+
+DECON_EVAL_MOD = 20     # doc_id % MOD == REM selects the held-out slice
+DECON_EVAL_REM = 3
+DECON_N = 8             # same shingle width as duplicate_ngram_pairs
+
+
+def decontaminate(docs: DataFrame) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appx C / Lee et al.): flag every
+    training document that shares a word-8-gram with the held-out eval
+    slice (here: doc_id % 20 == 3 stands in for the benchmark table; in
+    production it is a separate tiny table).
+
+    Scale shape: real eval sets are a few MB against a 100 TB corpus, so
+    the eval side's distinct shingle hashes are BROADCAST — the training
+    scan joins map-side with no shuffle of corpus data, then one
+    partial-agg count per flagged doc. Output: (doc_id, n_eval_grams),
+    only contaminated docs."""
+    n = DECON_N
+    ws = F.filter(F.split(F.trim(F.col("text")), " +"), lambda x: x != "")
+    w = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") >= n)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - n),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i + 1, n))))
+    g = w.select("doc_id",
+                 F.explode(F.array_distinct(shingles)).alias("sh"))
+    is_eval = (F.col("doc_id") % DECON_EVAL_MOD) == DECON_EVAL_REM
+    ev = g.where(is_eval).select("sh").distinct()
+    return (g.where(~is_eval)
+            .join(F.broadcast(ev), "sh")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_eval_grams")))

@@ -38,3 +38,38 @@ def test_leaderboard_markdown_on_fixture(spark, fx_smoke):
     assert lines[0] == "| Rank | Parser | Overall | Inline | Display |"
     assert len(lines) == 2 + 3  # three fixture parsers
     assert [ln.split("|")[1].strip() for ln in lines[2:]] == ["1", "2", "3"]
+
+
+def test_repetition_stats_values(spark):
+    """Hand-computed Gopher metrics on a crafted doc."""
+    from pdf_parse_bench_spark.operators.textstats import repetition_stats
+    # "a b a b a b" -> words 6, distinct 2; bigrams: 'a b'x3, 'b a'x2
+    # top2 cover = 3 * 3 = 9 chars of 11; no 5-gram repeats (2 distinct)
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w v u t s"), (3, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 6
+    assert abs(r1["dup_word_frac"] - (1 - 2 / 6)) < 1e-6
+    assert abs(r1["top2_cover_frac"] - 9 / 11) < 1e-6
+    # 5-grams: 'a b a b a' x1, 'b a b a b' x1 -> no dups
+    assert r1["dup5_cover_frac"] == 0.0
+    r2 = rows[2]
+    assert r2["dup_word_frac"] == 0.0 and r2["top2_cover_frac"] > 0
+    r3 = rows[3]
+    assert r3["n_words"] == 0 and r3["dup_word_frac"] == 0.0
+
+
+def test_decontaminate_flags_only_train_docs(spark):
+    from pdf_parse_bench_spark.operators.textstats import decontaminate
+    shared = "q w e r t y u i"          # one exact 8-gram
+    docs = spark.createDataFrame(
+        [(3, shared + " tail tokens here"),      # eval doc (3 % 20 == 3)
+         (4, "prefix " + shared),                # train doc, contaminated
+         (5, "c l e a n d o c s only here")],    # train doc, clean
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n_eval_grams"]
+           for r in decontaminate(docs).collect()}
+    assert 4 in out and out[4] >= 1
+    assert 3 not in out and 5 not in out

@@ -272,3 +272,24 @@ def test_duplicate_ngram_pairs_df_filter_before_selfjoin(spark):
     out.collect()  # AQE finalizes exchange reuse
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_repetition_stats_zero_shuffle(spark):
+    """The sort+fold formulation must stay a single narrow projection:
+    no Exchange anywhere (the exploded groupBy(doc, gram) alternative
+    would shuffle every gram of a 100 TB corpus twice)."""
+    out = ts.repetition_stats(_docs(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert_read_schema_only(out, {"doc_id", "text"})
+
+
+def test_decontaminate_broadcasts_eval_side_only(spark):
+    """The corpus side must reach the shingle join map-side: the only
+    hash Exchanges allowed are inside the (tiny) eval branch before the
+    BroadcastExchange and the final per-doc count."""
+    out = ts.decontaminate(_docs(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert_no_cartesian(out)
