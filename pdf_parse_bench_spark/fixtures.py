@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v35"  # bump to force regeneration
+FIXTURE_VERSION = "v36"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -75,6 +75,11 @@ _INLINE_TEMPLATES = (
     # relations, letterlike (branches of the extended map)
     "ā_{{{a}}}⊕šč^{{{b}}}⟶ℓ∘ø",
     "x≪ℏ⊗λ{a}∥ý↦ż≳{b}′",
+    # r4b long-tail completion: blackboard/calligraphic, negated
+    # relations, floors, big ops, typographic, dingbats, sub/sup letters
+    "ℝⁿ∋x{a}⊔⌊yₖ⌋≰ℚ{b}",
+    "“µΩ{a}”–€⨁ϑ□✓{b}",
+    "đĝş{a}⟹ņǎį⊲ℋ{b}",
 )
 
 _DISPLAY_TEMPLATES = (

@@ -64,12 +64,20 @@ def normalize_display_expr(col: str = "text") -> Column:
 
 # F1: unicode → LaTeX (formula_renderer.py:33-65): sub/superscript digits
 # plus the pylatexenc long tail (Greek / symbols / accents) — the SAME
-# table as the python kernel (kernels/textnorm.py), chained JVM-side
-# replaces so the whole normalization stays inside codegen. The ~85-deep
-# expression tree is VERIFIED to compile under whole-stage codegen
-# (tests/test_plans.py::test_unicode_normalization_codegen_does_not_fall_back
-# runs it with spark.sql.codegen.fallback=false — a Janino 64KB-method
-# failure would throw there instead of silently interpreting).
+# table as the python kernel (kernels/textnorm.py).
+#
+# Architecture note (r4): the r3 version chained one replace() per table
+# entry. At ~230 entries that compiled; at 400 (the completed long tail)
+# the 400-deep nested Column tree overflowed the driver-side expression
+# converter stack and would eventually hit Janino's 64KB method limit —
+# depth does not scale with table size. This version is WIDE instead of
+# DEEP: all single-char entries become one literal MAP (constant-folded
+# once by Catalyst), the string is processed in a single split→lookup→
+# join pass, and only the 7 combining-accent rules (which need a
+# capture-group regex) stay as a shallow chain. Table growth adds map
+# entries, never expression depth — the shape pylatexenc's full ~10k-row
+# table would need. Pinned by
+# tests/test_plans.py::test_unicode_normalization_single_pass.
 _SUB = "₀₁₂₃₄₅₆₇₈₉"
 _SUP = "⁰¹²³⁴⁵⁶⁷⁸⁹"
 
@@ -78,13 +86,16 @@ def preprocess_unicode_expr(col: str = "text") -> Column:
     from pdf_parse_bench_spark.kernels.textnorm import (
         COMBINING_LATEX, UNICODE_LATEX_MAP)
 
-    out = F.col(col)
-    for i, ch in enumerate(_SUB):
-        out = F.replace(out, F.lit(ch), F.lit(f"_{i}"))
-    for i, ch in enumerate(_SUP):
-        out = F.replace(out, F.lit(ch), F.lit(f"^{i}"))
-    for ch, latex in UNICODE_LATEX_MAP.items():
-        out = F.replace(out, F.lit(ch), F.lit(latex))
+    pairs: list[tuple[str, str]] = []
+    pairs += [(ch, f"_{i}") for i, ch in enumerate(_SUB)]
+    pairs += [(ch, f"^{i}") for i, ch in enumerate(_SUP)]
+    pairs += list(UNICODE_LATEX_MAP.items())
+    table = F.create_map(*[F.lit(x) for kv in pairs for x in kv])
+    # try_element_at: NULL (not an ANSI error) on a miss -> identity char
+    out = F.array_join(
+        F.transform(F.split(F.col(col), ""),
+                    lambda c: F.coalesce(F.try_element_at(table, c), c)),
+        "")
     for mark, acc in COMBINING_LATEX.items():
         out = F.regexp_replace(out, f"([A-Za-z]){mark}", f"\\\\{acc}{{$1}}")
     return out

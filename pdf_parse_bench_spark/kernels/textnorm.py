@@ -99,6 +99,80 @@ UNICODE_LATEX_MAP = {
     "⋯": "{\\cdots}", "⋮": "{\\vdots}", "⋱": "{\\ddots}",
     "⟨": "{\\langle}", "⟩": "{\\rangle}", "∣": "{\\mid}",
     "†": "{\\dagger}", "‡": "{\\ddagger}", "∄": "{\\nexists}",
+    # ---- r4 long-tail completion (pylatexenc utf8 table remainder) ----
+    # typographic punctuation / quotes / dashes
+    "“": "``", "”": "''", "‘": "`", "’": "'",
+    "‚": ",", "„": ",,",
+    "«": "{\\guillemotleft}", "»": "{\\guillemotright}",
+    "–": "{\\textendash}", "—": "{\\textemdash}",
+    "•": "{\\textbullet}", "‰": "{\\textperthousand}",
+    "¡": "{\\textexclamdown}", "¿": "{\\textquestiondown}",
+    # currency / signs / fractions
+    "€": "{\\texteuro}", "£": "{\\pounds}", "¥": "{\\textyen}",
+    "¢": "{\\textcent}", "§": "{\\S}", "¶": "{\\P}",
+    "©": "{\\copyright}", "®": "{\\textregistered}",
+    "™": "{\\texttrademark}", "½": "{\\textonehalf}",
+    "¼": "{\\textonequarter}", "¾": "{\\textthreequarters}",
+    "ª": "{\\textordfeminine}", "º": "{\\textordmasculine}",
+    "µ": "{\\mu}", "Ω": "{\\Omega}",  # micro / ohm compatibility signs
+    # blackboard bold / calligraphic letterlike
+    "ℝ": "{\\mathbb{R}}", "ℕ": "{\\mathbb{N}}", "ℤ": "{\\mathbb{Z}}",
+    "ℚ": "{\\mathbb{Q}}", "ℂ": "{\\mathbb{C}}", "ℙ": "{\\mathbb{P}}",
+    "ℍ": "{\\mathbb{H}}", "ℒ": "{\\mathcal{L}}", "ℱ": "{\\mathcal{F}}",
+    "ℋ": "{\\mathcal{H}}", "ℰ": "{\\mathcal{E}}", "ℬ": "{\\mathcal{B}}",
+    # negated relations
+    "⊄": "{\\not\\subset}", "⊈": "{\\nsubseteq}", "⊊": "{\\subsetneq}",
+    "⊋": "{\\supsetneq}", "≢": "{\\not\\equiv}", "≰": "{\\nleq}",
+    "≱": "{\\ngeq}", "≮": "{\\nless}", "≯": "{\\ngtr}",
+    "∤": "{\\nmid}", "∦": "{\\nparallel}", "≇": "{\\ncong}",
+    # floors / ceilings
+    "⌊": "{\\lfloor}", "⌋": "{\\rfloor}",
+    "⌈": "{\\lceil}", "⌉": "{\\rceil}",
+    # operators / big operators
+    "∙": "{\\bullet}", "⋅": "{\\cdot}", "⊎": "{\\uplus}",
+    "⊓": "{\\sqcap}", "⊔": "{\\sqcup}", "⊑": "{\\sqsubseteq}",
+    "⊒": "{\\sqsupseteq}", "⋈": "{\\bowtie}", "⋆": "{\\star}",
+    "⊲": "{\\lhd}", "⊳": "{\\rhd}", "≀": "{\\wr}",
+    "⨁": "{\\bigoplus}", "⨂": "{\\bigotimes}", "⋃": "{\\bigcup}",
+    "⋂": "{\\bigcap}", "∮": "{\\oint}", "∬": "{\\iint}",
+    "∭": "{\\iiint}", "∐": "{\\coprod}",
+    # arrows (second batch)
+    "↩": "{\\hookleftarrow}", "⇀": "{\\rightharpoonup}",
+    "↽": "{\\leftharpoondown}", "⟹": "{\\Longrightarrow}",
+    "⟸": "{\\Longleftarrow}", "⟷": "{\\longleftrightarrow}",
+    "⟺": "{\\Longleftrightarrow}", "↕": "{\\updownarrow}",
+    "⇕": "{\\Updownarrow}", "↖": "{\\nwarrow}", "↙": "{\\swarrow}",
+    # Greek variant forms
+    "ϑ": "{\\vartheta}", "ϕ": "{\\varphi}", "ϖ": "{\\varpi}",
+    "ϱ": "{\\varrho}", "ς": "{\\varsigma}", "ϰ": "{\\varkappa}",
+    "ϵ": "{\\epsilon}", "∊": "{\\in}", "∋": "{\\ni}",
+    # geometric shapes / dingbats / music
+    "★": "{\\bigstar}", "■": "{\\blacksquare}", "□": "{\\square}",
+    "▲": "{\\blacktriangle}", "△": "{\\triangle}",
+    "▽": "{\\triangledown}", "◆": "{\\blacklozenge}",
+    "◇": "{\\lozenge}", "○": "{\\bigcirc}", "✓": "{\\checkmark}",
+    "✠": "{\\maltese}", "♠": "{\\spadesuit}", "♡": "{\\heartsuit}",
+    "♢": "{\\diamondsuit}", "♣": "{\\clubsuit}",
+    "♭": "{\\flat}", "♮": "{\\natural}", "♯": "{\\sharp}",
+    # Latin Extended completion (accent-macro + special-letter forms)
+    "ã": "\\~{a}", "õ": "\\~{o}", "ĩ": "\\~{i}", "ũ": "\\~{u}",
+    "Ã": "\\~{A}", "Õ": "\\~{O}",
+    "Á": "\\'{A}", "À": "\\`{A}", "Â": "\\^{A}", "Ê": "\\^{E}",
+    "Ë": '\\"{E}', "Í": "\\'{I}", "Ì": "\\`{I}", "Î": "\\^{I}",
+    "Ï": '\\"{I}', "Ó": "\\'{O}", "Ò": "\\`{O}", "Ô": "\\^{O}",
+    "Ú": "\\'{U}", "Ù": "\\`{U}", "Û": "\\^{U}", "Ý": "\\'{Y}",
+    "ĝ": "\\^{g}", "ĥ": "\\^{h}", "ĵ": "\\^{j}", "ŝ": "\\^{s}",
+    "ŵ": "\\^{w}", "ŷ": "\\^{y}", "ė": "\\.{e}", "ċ": "\\.{c}",
+    "ġ": "\\.{g}", "İ": "\\.{I}", "ı": "{\\i}",
+    "ģ": "\\c{g}", "ķ": "\\c{k}", "ļ": "\\c{l}", "ņ": "\\c{n}",
+    "ŗ": "\\c{r}", "ş": "\\c{s}", "ţ": "\\c{t}",
+    "ĺ": "\\'{l}", "ŕ": "\\'{r}", "ǎ": "\\v{a}", "ǐ": "\\v{i}",
+    "ǒ": "\\v{o}", "ǔ": "\\v{u}", "ȳ": "\\={y}",
+    "ǫ": "\\k{o}", "ų": "\\k{u}", "į": "\\k{i}",
+    "đ": "{\\dj}", "Đ": "{\\DJ}", "ŋ": "{\\ng}", "Ŋ": "{\\NG}",
+    # sub/superscript letters (digit maps live in _SUB/_SUP)
+    "ⁿ": "^n", "ⁱ": "^i", "ₐ": "_a", "ₑ": "_e", "ₒ": "_o",
+    "ₓ": "_x", "ₖ": "_k", "ₘ": "_m", "ₙ": "_n", "ₚ": "_p", "ₜ": "_t",
 }
 
 # combining accents: the mark FOLLOWS its ASCII base, so these need a

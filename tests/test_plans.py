@@ -187,29 +187,30 @@ def test_tfidf_word_join_not_forced_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_unicode_normalization_codegen_does_not_fall_back(spark, fx_smoke):
-    """ADVICE r3: preprocess_unicode_expr chains ~85 nested
-    replace/regexp_replace calls — verify whole-stage codegen actually
-    compiles the tree. With spark.sql.codegen.fallback=false a Janino
-    failure (e.g. the 64KB method limit) throws instead of silently
-    interpreting, and the Project must carry a codegen span id (*(n))."""
-    import re
-
+def test_unicode_normalization_single_pass(spark, fx_smoke):
+    """ADVICE r3 follow-through, resolved architecturally in r4: the
+    400-entry table must NOT appear as 400 nested replace() calls (that
+    depth overflowed the driver-side expression converter and risks
+    Janino's 64KB method limit — depth grew with table size). Pin the
+    wide shape: one constant-folded literal map + a single
+    split→lookup→join pass, with only the 7 combining-accent regexes as
+    a chain. Table growth must never add expression depth."""
     from pdf_parse_bench_spark.functions import preprocess_unicode_expr
+    from pdf_parse_bench_spark.kernels.textnorm import COMBINING_LATEX
 
-    old = spark.conf.get("spark.sql.codegen.fallback", "true")
-    try:
-        spark.conf.set("spark.sql.codegen.fallback", "false")
-        df = (
-            spark.read.parquet(str(fx_smoke / "golden_spans.parquet"))
-            .where(F.col("kind") == "inline-formula")
-            .select(preprocess_unicode_expr("text").alias("latex"))
-        )
-        assert df.count() > 0  # executes compiled code — would throw on fallback
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert re.search(r"\*\(\d+\) Project", plan), plan
-    finally:
-        spark.conf.set("spark.sql.codegen.fallback", old)
+    df = (
+        spark.read.parquet(str(fx_smoke / "golden_spans.parquet"))
+        .where(F.col("kind") == "inline-formula")
+        .select(preprocess_unicode_expr("text").alias("latex"))
+    )
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "transform(" in plan and "array_join(" in plan
+    assert plan.count("regexp_replace") == len(COMBINING_LATEX)
+    assert " replace(" not in plan  # no per-entry chain anywhere
+    # the map literal was constant-folded (appears as a folded literal,
+    # not as a create_map call re-evaluated per row)
+    assert "map(keys:" in plan and "create_map" not in plan
 
 
 def test_aqe_enabled(spark):
