@@ -72,3 +72,32 @@ def test_pdf_spans_never_raises(data):
 
     for s in extract_pdf_spans(b"%PDF-1.4\n" + data):
         assert s["kind"] in ("text", "inline-formula", "display-formula")
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text("abcdefg XYZ09().-", min_size=0, max_size=60),
+       st.sampled_from(["rc4-40", "rc4-128", "aes-128", "aes-256"]),
+       st.integers(min_value=0, max_value=2**31 - 1))
+def test_encrypted_roundtrip_property(body, variant, seed):
+    """Encryption is invisible to extraction: for ANY show-text content
+    and ANY supported scheme, encrypt_pdf -> extract equals the
+    unencrypted extraction (the decrypt path can never alter bytes)."""
+    from pdf_parse_bench_spark.kernels.pdfcrypt import encrypt_pdf
+    from tests.test_pdftext import _one_page
+
+    esc = body.replace("\\", "").replace("(", "").replace(")", "")
+    pdf = _one_page(b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (%s) Tj ET"
+                    % esc.encode("latin-1"))
+    assert extract_pdf_text(encrypt_pdf(pdf, variant, seed=seed)) \
+        == extract_pdf_text(pdf)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_encrypted_garbage_never_raises(data):
+    """Corrupt bytes carrying an /Encrypt marker still fall to the
+    damaged-file path, never an exception (X4 at the kernel boundary)."""
+    out = extract_pdf_text(
+        b"%PDF-1.4\n" + data
+        + b"\ntrailer\n<< /Encrypt << /V 4 /R 4 >> >>\n")
+    assert isinstance(out, str)
