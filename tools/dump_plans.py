@@ -75,6 +75,19 @@ PICKS = {
     "doc_stats_rollup": "one Expand (N+1 groupings) + one aggregation "
                         "exchange; features computed in the scan "
                         "projection.",
+    "repetition_stats": "Gopher repetition metrics as array_sort + "
+                        "higher-order aggregate folds: ZERO Exchanges — "
+                        "the explode+groupBy alternative would shuffle "
+                        "every n-gram of the corpus twice.",
+    "decontaminate": "eval-slice distinct shingles broadcast; the corpus "
+                     "side joins map-side (BroadcastHashJoin), only "
+                     "flagged docs reach the final count exchange.",
+    "unicode_normalization": "381-entry table as ONE constant-folded "
+                             "literal map + a single split/lookup/join "
+                             "pass — table growth adds map width, never "
+                             "expression depth.",
+    "pdf_encrypt_audit": "header/KDF-only mapInPandas pass over "
+                         "size-rebalanced PDF bytes; no page parsing.",
 }
 
 
