@@ -253,6 +253,82 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, '>' EOD;
+    an odd trailing digit is padded with 0."""
+    end = data.find(b">")
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", data[:end if end >= 0 else len(data)])
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except ValueError:
+        return b""
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): base-85 groups, 'z' = four zero bytes,
+    '~>' EOD, partial final group truncated."""
+    end = data.find(b"~>")
+    body = re.sub(rb"\s", b"", data[:end if end >= 0 else len(data)])
+    if body.startswith(b"<~"):
+        body = body[2:]
+    out = bytearray()
+    group: list[int] = []
+    for ch in body:
+        if ch == 0x7A and not group:  # 'z'
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= ch <= 0x75:
+            return b""
+        group.append(ch - 0x21)
+        if len(group) == 5:
+            n = 0
+            for g in group:
+                n = n * 85 + g
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:  # partial group: pad with 'u' (84), keep len-1 bytes
+        k = len(group)
+        group += [84] * (5 - k)
+        n = 0
+        for g in group:
+            n = n * 85 + g
+        out += n.to_bytes(4, "big")[:k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): length byte L -> copy L+1 literals
+    (L<128), repeat next byte 257-L times (L>128), 128 = EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i + 1:i + 2 + ln]
+            i += 2 + ln
+        else:
+            out += data[i + 1:i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+def _tiff_unpredict(data: bytes, columns: int, colors: int,
+                    bpc: int) -> bytes:
+    """TIFF Predictor 2 (horizontal differencing), 8-bit components."""
+    if bpc != 8:
+        return data
+    row_w = columns * colors
+    arr = np.frombuffer(data[:len(data) - len(data) % row_w],
+                        dtype=np.uint8).reshape(-1, row_w).copy()
+    np.cumsum(arr.reshape(arr.shape[0], columns, colors), axis=1,
+              dtype=np.uint8, out=arr.reshape(arr.shape[0], columns, colors))
+    return arr.tobytes()
+
+
 def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     """Undo PNG row predictors on a decoded stream (/DecodeParms
     /Predictor >= 10): each row is filter-type byte + `columns*colors*bpc/8`
@@ -576,16 +652,26 @@ class _PdfDoc:
                     return b""
             elif name in ("LZWDecode", "LZW"):
                 body = _lzw_decode(body)
-            else:  # unsupported filter chain
+            elif name in ("ASCIIHexDecode", "AHx"):
+                body = _asciihex_decode(body)
+            elif name in ("ASCII85Decode", "A85"):
+                body = _ascii85_decode(body)
+            elif name in ("RunLengthDecode", "RL"):
+                body = _runlength_decode(body)
+            elif name == "Crypt":
+                continue  # handled at the object layer (or /Identity)
+            else:  # unsupported filter chain (DCT/CCITT image data etc.)
                 return b""
             p = self.resolve(p)
             if isinstance(p, dict):
                 pred = int(self.resolve(p.get("Predictor", 1)) or 1)
+                cols = int(self.resolve(p.get("Columns", 1)) or 1)
+                colors = int(self.resolve(p.get("Colors", 1)) or 1)
+                bpc = int(self.resolve(p.get("BitsPerComponent", 8)) or 8)
                 if pred >= 10:  # PNG predictors (xref streams use Up=12)
-                    cols = int(self.resolve(p.get("Columns", 1)) or 1)
-                    colors = int(self.resolve(p.get("Colors", 1)) or 1)
-                    bpc = int(self.resolve(p.get("BitsPerComponent", 8)) or 8)
                     body = _png_unpredict(body, cols, colors, bpc)
+                elif pred == 2:  # TIFF horizontal differencing
+                    body = _tiff_unpredict(body, cols, colors, bpc)
         return body
 
     def stream_bytes(self, v) -> bytes:

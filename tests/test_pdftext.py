@@ -700,3 +700,39 @@ def test_inline_image_becomes_image_span():
     # rect: x=100, y_top = 842 - 500 - 90 = 252, w=120, h=90
     assert got == [("text", ""), ("image", "page_100_252_120_90.png"),
                    ("text", "")], got
+
+
+def test_asciihex_ascii85_runlength_filters():
+    """§7.4 filter coverage: AHx / A85 / RL content streams (and an
+    AHx+Fl chain) all decode to the same shown text."""
+    import base64
+    import zlib as _z
+
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (filter test) Tj ET"
+
+    def page(body: bytes, filt: bytes) -> bytes:
+        return _mk_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+            b" /MediaBox [0 0 595 842] >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            b" /Resources << /Font << /F1 5 0 R >> >> >>",
+            b"<< /Length %d /Filter %s >>\nstream\n%s\nendstream"
+            % (len(body), filt, body),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ])
+
+    ahx = content.hex().encode() + b">"
+    assert extract_pdf_text(page(ahx, b"/ASCIIHexDecode")) == "filter test"
+    a85 = base64.a85encode(content) + b"~>"
+    assert extract_pdf_text(page(a85, b"/ASCII85Decode")) == "filter test"
+    rl = b""
+    for at in range(0, len(content), 100):
+        chunk = content[at:at + 100]
+        rl += bytes([len(chunk) - 1]) + chunk
+    rl += bytes([128])
+    assert extract_pdf_text(page(rl, b"/RunLengthDecode")) == "filter test"
+    # chain: deflate then hex-armor (decode order: AHx first, then Fl)
+    chain = _z.compress(content).hex().encode() + b">"
+    assert extract_pdf_text(
+        page(chain, b"[/ASCIIHexDecode /FlateDecode]")) == "filter test"
