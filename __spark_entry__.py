@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_buckets"] = lambda s, d: _cast(
         sim.lsh_topk(_t(s, d, "embeddings"), probe_radius=2), rank="long")
     q["ann_lsh_recall"] = lambda s, d: sim.lsh_recall(_t(s, d, "embeddings"))
+    q["ann_ivf"] = lambda s, d: _cast(
+        sim.ivf_topk(_t(s, d, "embeddings")), rank="long")
 
     # ---- text analysis ----
     q["lang_id"] = lambda s, d: _cast(
@@ -485,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     defer_last = [
         # untouched since r03 and triple-green there
         "benchmark_counts", "grouped_mean_scores", "score_cube",
+        "ngram_jaccard_pairs",
         "token_counts", "fingerprint", "corpus_filter", "lang_id",
         "quality_score", "simhash_signatures", "dedup_exact",
         "judge_scores", "judged_complexity_cube", "boilerplate_lines",
@@ -971,6 +974,36 @@ def oracle_sql() -> dict[str, str]:
         "scored AS (SELECT q.query_id, n.vec_id, "
         "floor((list_dot_product(q.qv, n.v) / (q.qnorm * n.norm)) * 1000000 + 0.5) / 1000000 AS cosine "
         "FROM n, q WHERE n.vec_id <> q.query_id) "
+        "SELECT query_id, vec_id, cosine, rank FROM ("
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM scored) "
+        "WHERE rank <= 10"
+    )
+    # IVF: corpus assigned to argmax-dot coarse cell, queries probe their
+    # nprobe best cells, exact cosine inside probed cells only
+    _cent_rows = ", ".join(
+        f"({ci}, CAST([{', '.join(str(x) for x in cv)}] AS DOUBLE[]))"
+        for ci, cv in enumerate(sim.ivf_centroids()))
+    o["ann_ivf"] = (
+        f"WITH {emb_cte8}, "
+        f"cent(cell, cv) AS (VALUES {_cent_rows}), "
+        "ad AS (SELECT vec_id, cell, list_dot_product(v, cv) AS d "
+        "FROM n, cent), "
+        "asg AS (SELECT vec_id, cell FROM ("
+        "SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d DESC, cell ASC) AS rn FROM ad) WHERE rn = 1), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm "
+        "FROM n WHERE vec_id < 5), "
+        "qd AS (SELECT query_id, qv, qnorm, cell, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY d DESC, cell DESC) AS rn FROM ("
+        "SELECT q.query_id, q.qv, q.qnorm, cent.cell, "
+        "list_dot_product(q.qv, cent.cv) AS d FROM q, cent)), "
+        f"probes AS (SELECT * FROM qd WHERE rn <= {sim.IVF_NPROBE}), "
+        "scored AS (SELECT p.query_id, n.vec_id, "
+        "floor((list_dot_product(p.qv, n.v) / (p.qnorm * n.norm)) "
+        "* 1000000 + 0.5) / 1000000 AS cosine "
+        "FROM probes p JOIN asg a USING (cell) "
+        "JOIN n ON n.vec_id = a.vec_id WHERE n.vec_id <> p.query_id) "
         "SELECT query_id, vec_id, cosine, rank FROM ("
         "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
         "ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM scored) "

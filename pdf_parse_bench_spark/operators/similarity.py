@@ -281,3 +281,81 @@ def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
         .withColumn("cosine", _cosine("qv", "v", F.col("qnorm"), F.col("norm")))
     )
     return _per_query_topk(scored, k)
+
+
+IVF_CELLS = 16    # coarse cells at fixture scale; ~sqrt(N) in production
+IVF_NPROBE = 4    # cells probed per query -> scan fraction ~ nprobe/cells
+
+
+def ivf_centroids(cells: int = IVF_CELLS, dim: int = EMB_DIM,
+                  seed: int = LSH_SEED) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids (seeded Gaussian, rounded
+    to 6 dp so the identical literals embed in the DuckDB oracle). In
+    production the centroids come from a k-means run over a sample —
+    training is offline and out of band either way; everything this
+    operator proves (cell assignment, multi-cell probing, exact rerank
+    within probed cells) is quantizer-agnostic."""
+    rng = np.random.default_rng([seed, 7, cells, dim])
+    return [[round(float(x), 6) for x in rng.standard_normal(dim)]
+            for _ in range(cells)]
+
+
+def _dot_lit(vcol, plane: list[float]):
+    return F.aggregate(
+        F.zip_with(vcol, F.array(*[F.lit(x) for x in plane]),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x)
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
+             cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-partitioned ANN (the inverted-file shape the brief names as
+    the scale path): every corpus vector is assigned to its best coarse
+    cell; a query probes its `nprobe` nearest cells and reranks with
+    exact cosine only inside them.
+
+    Scale shape: cell assignment is a ZERO-shuffle greatest-of-structs
+    fold over the broadcast centroid literals (one narrow projection —
+    at rest the cell is the Iceberg partition key, so each probe is a
+    partition-pruned scan of ~nprobe/cells of the corpus). The tiny
+    query side explodes its probe list and broadcasts; ranking is the
+    same two-phase partial top-k as every other ANN here. Measured on
+    the isotropic 64-d corpus: recall@10 ~0.38 at 12/128 cells (see
+    lsh_recall docstring) — between bucket-LSH radius-1 and the
+    committed sketch default, with the best at-rest pruning story."""
+    cents = ivf_centroids(cells)
+    corpus = _with_norm(emb)
+    # greatest on (dot, -cell) structs == argmax dot, ties -> SMALLEST
+    # cell id (matches the oracle's ORDER BY d DESC, cell ASC)
+    best = F.greatest(*[
+        F.struct(_dot_lit(F.col("v"), cv).alias("d"),
+                 F.lit(-ci).alias("negc"))
+        for ci, cv in enumerate(cents)
+    ])
+    assigned = corpus.withColumn("cell", (-best.getField("negc")).cast("int"))
+    qside = corpus.where(F.col("vec_id") < n_queries)
+    probe_arr = F.array(*[
+        F.struct(_dot_lit(F.col("v"), cv).alias("d"),
+                 F.lit(ci).alias("cell"))
+        for ci, cv in enumerate(cents)
+    ])
+    # top-nprobe cells per query: sort the C-entry struct array descending
+    # (ties -> larger cell id; oracle mirrors with ORDER BY d DESC, cell
+    # DESC) — all array-local, the query side is tiny by contract
+    probes = (
+        qside.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode(F.slice(F.reverse(F.array_sort(probe_arr)),
+                              1, nprobe)).alias("p"))
+        .select("query_id", "qv", "qnorm",
+                F.col("p.cell").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", _cosine("qv", "v", F.col("qnorm"),
+                                      F.col("norm")))
+    )
+    return _per_query_topk(scored, k)

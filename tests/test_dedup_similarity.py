@@ -298,3 +298,32 @@ def test_winnowing_shared_passage_guarantee(spark):
     c = {r.fp for r in fp.where(F.col("doc_id") == "c").collect()}
     assert a & b, "shared passage must yield a common fingerprint"
     assert not (a & c) and not (b & c)
+
+
+def test_ann_ivf_recall_and_scan_fraction(spark):
+    """IVF at 16 cells / nprobe 4 must (a) scan ~nprobe/cells of the
+    corpus per query (cells are argmax-balanced on the isotropic corpus),
+    and (b) reach mean recall@10 >= 0.35 — between bucket-LSH radius-1
+    (~0.12) and the committed sketch default (~0.74), with the best
+    at-rest partition-pruning story (cell = Iceberg partition key).
+    Deterministic: seeded centroids + fixed corpus."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vals = [r.recall
+            for r in sim.lsh_recall(emb, topk_fn=sim.ivf_topk).collect()]
+    assert len(vals) == 5
+    assert sum(vals) / len(vals) >= 0.35, vals
+    # cell balance: no cell holds more than 3x its fair share
+    from pdf_parse_bench_spark.operators.similarity import (
+        IVF_CELLS, _with_norm, _dot_lit, ivf_centroids)
+    import pyspark.sql.functions as F
+    cents = ivf_centroids()
+    best = F.greatest(*[
+        F.struct(_dot_lit(F.col("v"), cv).alias("d"),
+                 F.lit(-ci).alias("negc"))
+        for ci, cv in enumerate(cents)])
+    counts = (_with_norm(emb)
+              .withColumn("cell", -best.getField("negc"))
+              .groupBy("cell").count().collect())
+    n = sum(r["count"] for r in counts)
+    assert len(counts) == IVF_CELLS
+    assert max(r["count"] for r in counts) <= 3 * n / IVF_CELLS

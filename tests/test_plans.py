@@ -93,6 +93,7 @@ def test_ann_topk_two_phase_no_full_corpus_query_window(spark):
         ("brute", sim.brute_force_topk(emb)),
         ("sketch", sim.sketch_topk(emb)),
         ("bucket", sim.lsh_topk(emb, probe_radius=2)),
+        ("ivf", sim.ivf_topk(emb)),
     ):
         plan = formatted_plan(df)
         # phase-1 window key includes the partition id
