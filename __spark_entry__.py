@@ -315,6 +315,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_recall"] = lambda s, d: sim.lsh_recall(_t(s, d, "embeddings"))
     q["ann_ivf"] = lambda s, d: _cast(
         sim.ivf_topk(_t(s, d, "embeddings")), rank="long")
+    q["quantize_embeddings"] = lambda s, d: sim.quantize_embeddings(
+        _t(s, d, "embeddings"))
+    q["domain_stats"] = lambda s, d: ts.domain_stats(
+        _f(s, d, "raw_web_documents"))
 
     # ---- text analysis ----
     q["lang_id"] = lambda s, d: _cast(
@@ -487,7 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     defer_last = [
         # untouched since r03 and triple-green there
         "benchmark_counts", "grouped_mean_scores", "score_cube",
-        "ngram_jaccard_pairs",
+        "ngram_jaccard_pairs", "embedding_near_dups", "lsh_candidate_pairs",
         "token_counts", "fingerprint", "corpus_filter", "lang_id",
         "quality_score", "simhash_signatures", "dedup_exact",
         "judge_scores", "judged_complexity_cube", "boilerplate_lines",
@@ -1009,6 +1013,25 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM scored) "
         "WHERE rank <= 10"
     )
+    o["quantize_embeddings"] = (
+        "WITH v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings), "
+        "m AS (SELECT vec_id, v, "
+        "list_max(list_transform(v, x -> abs(x))) AS maxabs FROM v), "
+        "qq AS (SELECT vec_id, v, maxabs, "
+        "list_transform(v, x -> CASE WHEN maxabs > 0 THEN "
+        "floor(x * 127.0 / maxabs + 0.5) ELSE 0 END) AS q, "
+        "CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 0 END AS scale "
+        "FROM m) "
+        "SELECT vec_id, "
+        "floor(scale * 1000000 + 0.5) / 1000000 AS scale, "
+        "array_to_string(list_transform(q, "
+        "x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS q_csv, "
+        "floor((list_max(list_transform(range(1, len(v) + 1), "
+        "i -> abs(v[i] - q[i] * scale)))) * 1000000 + 0.5) / 1000000 "
+        "AS max_abs_err FROM qq"
+    )
     # sketch + rerank (the committed default): Hamming-top-frac candidates
     # on the 2x32-bit sign sketch, exact cosine rerank
     sk0, sk1 = _sketch_words_sql(sim.SKETCH_BITS)
@@ -1271,6 +1294,14 @@ def oracle_sql() -> dict[str, str]:
         f"{feats_cte} SELECT source, {_pct_cols} FROM feats GROUP BY source"
     )
 
+    o["domain_stats"] = (
+        "WITH h AS (SELECT doc_id, lower(unnest(regexp_extract_all("
+        r"text, 'https?://([^/\s]+)', 1))) AS domain "
+        f"FROM '{ORACLE_FX}/raw_web_documents.parquet') "
+        "SELECT domain, CAST(count(*) AS BIGINT) AS n_refs, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        "FROM h GROUP BY domain"
+    )
     o["pii_scrub"] = (
         f"SELECT doc_id, {_scrub} AS clean_text, {', '.join(_cnt_cols)} "
         f"FROM '{ORACLE_FX}/raw_web_documents.parquet'"

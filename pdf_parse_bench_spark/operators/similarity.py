@@ -359,3 +359,41 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
                                       F.col("norm")))
     )
     return _per_query_topk(scored, k)
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage
+    transform for a 100 TB vector corpus (4x smaller at rest, int8-SIMD
+    dot products downstream). Per-vector max-abs scaling:
+    q_i = floor(v_i * 127 / maxabs + 0.5), scale = maxabs / 127; the
+    measured max reconstruction error ships in the output so the bound
+    is data, not a claim. Pure higher-order functions in one narrow
+    projection — zero shuffles at any scale. Codes are emitted as a CSV
+    string (engine-portable value hashing)."""
+    df = emb.select("vec_id", _as_double().alias("v"))
+    maxabs = F.aggregate(F.transform("v", lambda x: F.abs(x)),
+                         F.lit(0.0), lambda a, x: F.greatest(a, x))
+    df = df.withColumn("maxabs", maxabs)
+    df = df.withColumn("q", F.transform(
+        "v", lambda x: F.when(
+            F.col("maxabs") > 0,
+            F.floor(x * 127.0 / F.col("maxabs") + 0.5)
+        ).otherwise(F.lit(0.0)).cast("long")))
+    # NB: named _scale_raw, NOT scale — the output select aliases the
+    # ROUNDED value as "scale", and Spark's lateral-column-alias
+    # resolution would otherwise rebind the err lambda's reference to
+    # that rounded alias (observed: err off by ~2e-5)
+    df = df.withColumn("_scale_raw", F.when(
+        F.col("maxabs") > 0, F.col("maxabs") / 127.0).otherwise(F.lit(0.0)))
+    err = F.aggregate(
+        F.zip_with("v", "q",
+                   lambda x, qq: F.abs(x - qq.cast("double")
+                                       * F.col("_scale_raw"))),
+        F.lit(0.0), lambda a, x: F.greatest(a, x))
+    return df.select(
+        "vec_id",
+        round_half_up(F.col("_scale_raw")).alias("scale"),
+        F.concat_ws(",", F.transform("q", lambda x: x.cast("string"))
+                    ).alias("q_csv"),
+        round_half_up(err).alias("max_abs_err"),
+    )

@@ -430,3 +430,18 @@ def decontaminate(docs: DataFrame) -> DataFrame:
             .join(F.broadcast(ev), "sh")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_eval_grams")))
+
+
+def domain_stats(docs: DataFrame) -> DataFrame:
+    """Per-domain crawl statistics — the input to C4/RefinedWeb-style
+    per-domain filtering and URL dedup: every URL host in the raw web
+    text, one row per domain with reference and distinct-document
+    counts. One explode + one partial-agg groupBy on the domain key; at
+    100 TB the host cardinality is millions, far below corpus rows, so
+    the final exchange is small."""
+    hosts = F.expr(r"regexp_extract_all(text, 'https?://([^/\\s]+)', 1)")
+    d = docs.select("doc_id", F.explode(hosts).alias("domain"))
+    return (d.select("doc_id", F.lower("domain").alias("domain"))
+            .groupBy("domain")
+            .agg(F.count("*").cast("long").alias("n_refs"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs")))
