@@ -479,7 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r03-driver-green queries deferred past the cutoff, so every query
     # whose code/oracle changed THIS round (the ANN two-phase family, the
     # minhash double-hash family, the pdf chrome/media_ref path, JPEG
-    # decode, unicode long tail) sits inside the gate. All 65 stay covered
+    # decode, unicode long tail) sits inside the gate. ALL queries stay covered
     # locally by tools/check_parity.py + tests/test_oracle_parity.py.
     rotate_first = [
         "pii_scrub", "doc_stats_rollup", "quality_percentiles",

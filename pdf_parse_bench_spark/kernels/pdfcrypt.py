@@ -370,10 +370,20 @@ class StandardDecrypter:
             ue = _as_bytes(enc.get("UE"))
             if len(u) < 48 or len(ue) < 32:
                 return
-            # validate the empty user password (Algorithm 2.A hash check)
-            if _hash_2b(b"", u[32:40], b"") != u[:32]:
-                return
             self.key = _file_key_r6(u, ue)
+            perms = _as_bytes(enc.get("Perms"))
+            if len(perms) == 16:
+                # Algorithm 13 integrity check: /Perms decrypted with the
+                # file key must read 'adb' at bytes 9-11 — one AES block,
+                # vs a second ~64-round Algorithm-2.B hash for the /U
+                # validation (which a 100 TB extract pass pays per doc)
+                blk = np.frombuffer(perms, dtype=np.uint8).reshape(1, 16)
+                dec = _ecb_decrypt_blocks(blk, _expand_key(self.key))
+                if dec.tobytes()[9:12] != b"adb":
+                    return  # wrong password (or corrupt) -> fail closed
+            # no /Perms -> full Algorithm 2.A validation hash
+            elif _hash_2b(b"", u[32:40], b"") != u[:32]:
+                return
         else:
             return
         self.ok = True

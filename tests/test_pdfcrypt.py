@@ -100,16 +100,38 @@ def test_encrypted_streams_are_opaque():
 
 
 def test_wrong_password_validation_fails_closed():
-    """A V5 file whose /U hash does not match the empty password must
-    fall to the damaged-file path (handler.ok False), not crash."""
+    """A V5 file whose unwrapped file key fails the /Perms integrity
+    check (Algorithm 13) must fall to the damaged-file path
+    (handler.ok False), not crash and not emit garbage."""
     pdf = _fixture_pdf(5)
     epdf = bytearray(pc.encrypt_pdf(pdf, "aes-256", seed=5))
-    # corrupt the /U validation hash (first hex digits after '/U <')
-    at = epdf.find(b"/U <")
-    epdf[at + 4:at + 8] = b"0000" if epdf[at + 4:at + 8] != b"0000" \
+    # corrupt /UE -> the unwrapped file key is wrong -> Perms check fails
+    at = epdf.find(b"/UE <")
+    assert at > 0
+    epdf[at + 5:at + 9] = b"0000" if epdf[at + 5:at + 9] != b"0000" \
         else b"1111"
     out = extract_pdf_text(bytes(epdf))
     assert out == ""  # no garbage text, no exception
+
+
+def test_wrong_password_u_hash_fallback_without_perms():
+    """Without /Perms the handler falls back to the full Algorithm-2.A
+    /U validation hash — a corrupt validation hash must fail closed."""
+    pdf = _fixture_pdf(5)
+    epdf = pc.encrypt_pdf(pdf, "aes-256", seed=5)
+    at = epdf.find(b" /Perms <")
+    end = epdf.find(b">", at) + 1
+    stripped = bytearray(epdf[:at] + epdf[end:])
+    # offsets after the Encrypt dict shift; the dict precedes the xref,
+    # and the trailer's startxref is now stale — rebuild it
+    sx = stripped.rfind(b"startxref")
+    xr = stripped.rfind(b"\nxref\n")
+    stripped[sx:] = b"startxref\n%d\n%%%%EOF\n" % (xr + 1)
+    assert extract_pdf_text(bytes(stripped)) != ""  # still valid sans Perms
+    at = stripped.find(b"/U <")
+    stripped[at + 4:at + 8] = b"0000" \
+        if stripped[at + 4:at + 8] != b"0000" else b"1111"
+    assert extract_pdf_text(bytes(stripped)) == ""
 
 
 def test_sniff_encryption_labels_every_variant():
