@@ -46,23 +46,26 @@ def encode_png(arr: np.ndarray, filter_mode: str = "mixed") -> bytes:
         raise ValueError(f"unsupported shape {arr.shape}")
     h, w, ch = data.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = bytearray()
-    prev = np.zeros((w, ch), np.int16)
-    for y in range(h):
-        row = data[y].astype(np.int16)
-        ft = (y % 3) if filter_mode == "mixed" else 0
-        if ft == 0:
-            out = row
-        elif ft == 1:  # Sub
-            left = np.vstack([np.zeros((1, ch), np.int16), row[:-1]])
-            out = (row - left) % 256
-        else:  # Up
-            out = (row - prev) % 256
-        raw.append(ft)
-        raw += out.astype(np.uint8).tobytes()
-        prev = row
+    # whole-image vectorized filtering (uint8 wrap-around == mod 256);
+    # byte-identical to the old per-row loop, ~6 array ops per image
+    ft = (np.arange(h) % 3) if filter_mode == "mixed" else np.zeros(h, np.int64)
+    flat = data.reshape(h, w * ch)
+    body = flat.copy()
+    sub_rows = ft == 1
+    if sub_rows.any():
+        sub = data.copy()
+        sub[:, 1:] -= data[:, :-1]
+        body[sub_rows] = sub.reshape(h, w * ch)[sub_rows]
+    up_rows = ft == 2
+    if up_rows.any():
+        up = data.copy()
+        up[1:] -= data[:-1]
+        body[up_rows] = up.reshape(h, w * ch)[up_rows]
+    out = np.empty((h, 1 + w * ch), np.uint8)
+    out[:, 0] = ft
+    out[:, 1:] = body
     return (_SIG + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IDAT", zlib.compress(out.tobytes()))
             + _chunk(b"IEND", b""))
 
 
