@@ -229,13 +229,17 @@ def shrink_pixels(img: np.ndarray, max_side: int = THUMB_SIDE) -> np.ndarray:
         return img
     th, tw = -(-h // k), -(-w // k)
     chans = img if img.ndim == 3 else img[:, :, None]
-    out = np.zeros((th, tw, chans.shape[2]), dtype=np.uint8)
-    f = chans.astype(np.float64)
-    for y in range(th):
-        for x in range(tw):
-            cell = f[y * k:(y + 1) * k, x * k:(x + 1) * k, :]
-            out[y, x, :] = np.floor(
-                cell.mean(axis=(0, 1)) + 0.5).astype(np.uint8)
+    # vectorized: integer cell sums via add.reduceat on both axes, then
+    # divide by the true cell area (edge cells are smaller). Sums of
+    # uint8 are exact in both int64 and float64, so this equals the
+    # per-cell float64 .mean() bit-for-bit — the golden spec.
+    ysum = np.add.reduceat(chans.astype(np.int64), np.arange(0, h, k),
+                           axis=0)
+    cell = np.add.reduceat(ysum, np.arange(0, w, k), axis=1)
+    ny = np.minimum(np.arange(th) * k + k, h) - np.arange(th) * k
+    nx = np.minimum(np.arange(tw) * k + k, w) - np.arange(tw) * k
+    area = (ny[:, None] * nx[None, :])[:, :, None]
+    out = np.floor(cell / area + 0.5).astype(np.uint8)
     return out if img.ndim == 3 else out[:, :, 0]
 
 
