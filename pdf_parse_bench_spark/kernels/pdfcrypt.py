@@ -29,6 +29,7 @@ against the unencrypted golden.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import struct
 
@@ -298,8 +299,15 @@ def _file_key_std(o: bytes, p: int, id0: bytes, r: int, nbytes: int,
     return key[:nbytes]
 
 
+@functools.lru_cache(maxsize=4096)
 def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
-    """ISO 32000-2 Algorithm 2.B hardened hash (R6)."""
+    """ISO 32000-2 Algorithm 2.B hardened hash (R6).
+
+    lru_cache: the hash is pure and deliberately slow (~64 AES-CBC
+    rounds); a corpus pass touches the same document once per query, so
+    caching by (password, salt, udata) makes every re-read after the
+    first free within a python worker. 4096 entries x 32-byte keys is
+    KBs of state."""
     k = hashlib.sha256(password + salt + udata).digest()
     i = 0
     while True:
