@@ -307,8 +307,34 @@ def _dot_lit(vcol, plane: list[float]):
         F.lit(0.0), lambda a, x: a + x)
 
 
+def train_ivf_centroids(sample: "np.ndarray", cells: int = IVF_CELLS,
+                        iters: int = 5,
+                        seed: int = LSH_SEED) -> list[list[float]]:
+    """Offline spherical k-means for the IVF coarse quantizer (Lloyd
+    iterations with max-dot assignment and re-normalized means — the
+    SAME argmax-dot rule ivf_topk uses for cell assignment, so trained
+    centroids drop straight in). Driver-side over a small sample: at
+    100 TB you train on a ~0.1% sample the same way and broadcast the
+    result; the operator is quantizer-agnostic (see
+    test_ivf_trained_centroids_beat_random). Deterministic: seeded
+    init from sample rows, fixed iteration count, empty cells re-seeded
+    from the sample."""
+    rng = np.random.default_rng([seed, 11, cells])
+    x = np.asarray(sample, dtype=np.float64)
+    c = x[rng.choice(len(x), size=cells, replace=False)].copy()
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(cells):
+            pts = x[assign == j]
+            c[j] = pts.mean(axis=0) if len(pts) else x[rng.integers(len(x))]
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return [[round(float(v), 6) for v in row] for row in c]
+
+
 def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
-             cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
+             cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF-partitioned ANN (the inverted-file shape the brief names as
     the scale path): every corpus vector is assigned to its best coarse
     cell; a query probes its `nprobe` nearest cells and reranks with
@@ -323,7 +349,7 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
     the isotropic 64-d corpus: recall@10 ~0.38 at 12/128 cells (see
     lsh_recall docstring) — between bucket-LSH radius-1 and the
     committed sketch default, with the best at-rest pruning story."""
-    cents = ivf_centroids(cells)
+    cents = centroids if centroids is not None else ivf_centroids(cells)
     corpus = _with_norm(emb)
     # greatest on (dot, -cell) structs == argmax dot, ties -> SMALLEST
     # cell id (matches the oracle's ORDER BY d DESC, cell ASC)

@@ -405,29 +405,40 @@ DECON_EVAL_REM = 3
 DECON_N = 8             # same shingle width as duplicate_ngram_pairs
 
 
-def decontaminate(docs: DataFrame) -> DataFrame:
+def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, sh): distinct word-n-gram md5 shingles per document."""
+    ws = F.filter(F.split(F.trim(F.col("text")), " +"), lambda x: x != "")
+    w = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") >= n)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - n),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i + 1, n))))
+    return w.select("doc_id",
+                    F.explode(F.array_distinct(shingles)).alias("sh"))
+
+
+def decontaminate(docs: DataFrame,
+                  eval_docs: DataFrame | None = None) -> DataFrame:
     """Benchmark decontamination (GPT-3 appx C / Lee et al.): flag every
-    training document that shares a word-8-gram with the held-out eval
-    slice (here: doc_id % 20 == 3 stands in for the benchmark table; in
-    production it is a separate tiny table).
+    training document that shares a word-8-gram with the held-out
+    benchmark set. `eval_docs` is the benchmark table (doc_id, text); if
+    None, the slice doc_id % 20 == 3 of `docs` stands in (the
+    oracle-checked fixture configuration — production passes the real
+    eval table).
 
     Scale shape: real eval sets are a few MB against a 100 TB corpus, so
     the eval side's distinct shingle hashes are BROADCAST — the training
     scan joins map-side with no shuffle of corpus data, then one
     partial-agg count per flagged doc. Output: (doc_id, n_eval_grams),
     only contaminated docs."""
-    n = DECON_N
-    ws = F.filter(F.split(F.trim(F.col("text")), " +"), lambda x: x != "")
-    w = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") >= n)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size("ws") - n),
-        lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i + 1, n))))
-    g = w.select("doc_id",
-                 F.explode(F.array_distinct(shingles)).alias("sh"))
-    is_eval = (F.col("doc_id") % DECON_EVAL_MOD) == DECON_EVAL_REM
-    ev = g.where(is_eval).select("sh").distinct()
-    return (g.where(~is_eval)
-            .join(F.broadcast(ev), "sh")
+    if eval_docs is None:
+        g = _doc_shingles(docs, DECON_N)
+        is_eval = (F.col("doc_id") % DECON_EVAL_MOD) == DECON_EVAL_REM
+        ev = g.where(is_eval).select("sh").distinct()
+        tr = g.where(~is_eval)
+    else:
+        ev = _doc_shingles(eval_docs, DECON_N).select("sh").distinct()
+        tr = _doc_shingles(docs, DECON_N)
+    return (tr.join(F.broadcast(ev), "sh")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_eval_grams")))
 

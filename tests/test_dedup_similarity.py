@@ -327,3 +327,41 @@ def test_ann_ivf_recall_and_scan_fraction(spark):
     n = sum(r["count"] for r in counts)
     assert len(counts) == IVF_CELLS
     assert max(r["count"] for r in counts) <= 3 * n / IVF_CELLS
+
+
+def test_ivf_trained_centroids_beat_random(spark):
+    """The IVF quantizer is genuinely pluggable: spherical-k-means
+    centroids trained offline on the corpus sample must not lose recall
+    vs the seeded random default at the same (cells, nprobe), and the
+    operator must accept them unchanged (same schema, same two-phase
+    ranking)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sample = np.array([r["embedding"] for r in
+                       emb.limit(400).collect()], dtype=np.float64)
+    trained = sim.train_ivf_centroids(sample)
+    def ivf_trained(e, n_queries=5, k=10):
+        return sim.ivf_topk(e, n_queries, k, centroids=trained)
+    r_rand = {r["query_id"]: r["recall"]
+              for r in sim.lsh_recall(emb, topk_fn=sim.ivf_topk).collect()}
+    r_tr = {r["query_id"]: r["recall"]
+            for r in sim.lsh_recall(emb, topk_fn=ivf_trained).collect()}
+    mean_rand = sum(r_rand.values()) / len(r_rand)
+    mean_tr = sum(r_tr.values()) / len(r_tr)
+    assert mean_tr >= mean_rand - 0.05, (mean_tr, mean_rand)
+
+
+def test_decontaminate_explicit_eval_table(spark):
+    """Production form: a separate benchmark table drives the broadcast
+    side; results must flag exactly the overlapping training docs."""
+    from pdf_parse_bench_spark.operators.textstats import decontaminate
+    shared = "a b c d e f g h"
+    train = spark.createDataFrame(
+        [(1, "x " + shared), (2, "totally clean words with no overlap x y")],
+        "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(100, shared + " tail")], "doc_id long, text string")
+    out = {r["doc_id"]: r["n_eval_grams"]
+           for r in decontaminate(train, evals).collect()}
+    assert out == {1: 1}
