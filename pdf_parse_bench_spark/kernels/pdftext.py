@@ -1266,6 +1266,8 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0,
     cur_math = False
     cur_adv = None
     cur_size = 12.0
+    char_sp = word_sp = 0.0  # Tc / Tw spacing (pt, text space)
+    hscale = 1.0             # Tz horizontal scaling (fraction)
     tm_a = tm_d = 1.0  # Tm axis scale (text space -> user space)
     buf: list[str] = []
     buf_pos = (0.0, 0.0)
@@ -1292,9 +1294,14 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0,
         s = cur_font(raw)
         buf.append(s)
         if cur_adv is not None:
-            adv = cur_adv(raw) * cur_size * tm_a
+            adv = cur_adv(raw) * cur_size
         else:
-            adv = 0.5 * cur_size * tm_a * len(s)
+            adv = 0.5 * cur_size * len(s)
+        # Tc adds per glyph, Tw per space (byte 32, 1-byte encodings),
+        # Tz scales horizontally (§9.3) — all identity at defaults
+        if char_sp or word_sp:
+            adv += char_sp * len(s) + word_sp * raw.count(b" ")
+        adv *= hscale * tm_a
         buf_w += adv
         pen += adv
         buf_h = max(buf_h, cur_size * tm_d)
@@ -1376,6 +1383,12 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0,
                 move(0.0, -leading)
             elif op == b"TL" and stack:
                 leading = float(stack[-1])
+            elif op == b"Tc" and stack:
+                char_sp = float(stack[-1])
+            elif op == b"Tw" and stack:
+                word_sp = float(stack[-1])
+            elif op == b"Tz" and stack:
+                hscale = (abs(float(stack[-1])) or 100.0) / 100.0
             elif op == b"Tf" and len(stack) >= 2 and isinstance(stack[-2], _Name):
                 entry = fonts.get(
                     str(stack[-2]), (_DEFAULT_DECODER, False, None))
@@ -1406,13 +1419,13 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0,
                         # (LaTeX emits inter-word glue as TJ kerns);
                         # average model keeps the 0.5 em space
                         k = (-el / 1000.0 if cur_adv is not None else 0.5
-                             ) * cur_size * tm_a
+                             ) * cur_size * hscale * tm_a
                         buf_w += k
                         pen += k
                     elif isinstance(el, float) and cur_adv is not None:
                         # sub-threshold kern: shifts the pen without
                         # implying a space (exact-metrics mode only)
-                        k = -el / 1000.0 * cur_size * tm_a
+                        k = -el / 1000.0 * cur_size * hscale * tm_a
                         buf_w += k
                         pen += k
             elif op == b"q":

@@ -736,3 +736,26 @@ def test_asciihex_ascii85_runlength_filters():
     chain = _z.compress(content).hex().encode() + b">"
     assert extract_pdf_text(
         page(chain, b"[/ASCIIHexDecode /FlateDecode]")) == "filter test"
+
+
+def test_tc_tw_tz_affect_advance_geometry():
+    """§9.3 text-state params: char/word spacing widen runs, horizontal
+    scaling narrows them — run WIDTH must reflect all three (geometry
+    feeds the XY-cut), while extracted text is unchanged."""
+    from pdf_parse_bench_spark.kernels.pdftext import _PdfDoc, _page_runs
+
+    def runs_for(prefix: bytes):
+        pdf = _one_page(b"BT /F1 12 Tf " + prefix
+                        + b" 1 0 0 1 72 700 Tm (aa bb) Tj ET")
+        doc = _PdfDoc(pdf)
+        (content, fonts, xobj, w, h), = list(doc.pages())
+        return _page_runs(content, fonts, xobj)
+
+    base = runs_for(b"")
+    wide_tc = runs_for(b"5 Tc")
+    wide_tw = runs_for(b"20 Tw")
+    narrow = runs_for(b"50 Tz")
+    assert base[0][4] == wide_tc[0][4] == narrow[0][4]  # same text
+    assert wide_tc[0][2] > base[0][2]   # +5pt per glyph
+    assert wide_tw[0][2] > base[0][2]   # +20pt for the space
+    assert abs(narrow[0][2] - base[0][2] / 2) < 1e-6  # Tz 50 halves width
