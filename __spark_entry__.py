@@ -337,6 +337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ts.decontaminate(_t(s, d, "documents"))
         .select("doc_id",
                 F.col("n_eval_grams").cast("long").alias("n_eval_grams")))
+    q["chunk_documents"] = lambda s, d: ts.chunk_documents(
+        _t(s, d, "documents"))
     q["pii_scrub"] = lambda s, d: ts.pii_scrub(_f(s, d, "raw_web_documents"))
     q["doc_stats_rollup"] = lambda s, d: ts.doc_stats_rollup(
         _t(s, d, "documents"))
@@ -492,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched since r03 and triple-green there
         "benchmark_counts", "grouped_mean_scores", "score_cube",
         "ngram_jaccard_pairs", "embedding_near_dups", "lsh_candidate_pairs",
+        "extracted_complexity_cube",
         "token_counts", "fingerprint", "corpus_filter", "lang_id",
         "quality_score", "simhash_signatures", "dedup_exact",
         "judge_scores", "judged_complexity_cube", "boilerplate_lines",
@@ -1294,6 +1297,16 @@ def oracle_sql() -> dict[str, str]:
         f"{feats_cte} SELECT source, {_pct_cols} FROM feats GROUP BY source"
     )
 
+    o["chunk_documents"] = (
+        "WITH w AS (SELECT doc_id, "
+        "list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') "
+        "AS ws FROM documents), "
+        "s AS (SELECT doc_id, ws, unnest(range(0, len(ws), 56)) AS st "
+        "FROM w WHERE len(ws) > 0) "
+        "SELECT doc_id, CAST(st / 56 AS BIGINT) AS chunk_id, "
+        "CAST(len(ws[st + 1:st + 64]) AS BIGINT) AS n_words, "
+        "array_to_string(ws[st + 1:st + 64], ' ') AS chunk_text FROM s"
+    )
     o["domain_stats"] = (
         "WITH h AS (SELECT doc_id, lower(unnest(regexp_extract_all("
         r"text, 'https?://([^/\s]+)', 1))) AS domain "

@@ -456,3 +456,30 @@ def domain_stats(docs: DataFrame) -> DataFrame:
             .groupBy("domain")
             .agg(F.count("*").cast("long").alias("n_refs"),
                  F.countDistinct("doc_id").cast("long").alias("n_docs")))
+
+
+CHUNK_SIZE = 64      # words per training chunk
+CHUNK_OVERLAP = 8    # words shared between consecutive chunks
+
+
+def chunk_documents(docs: DataFrame, size: int = CHUNK_SIZE,
+                    overlap: int = CHUNK_OVERLAP) -> DataFrame:
+    """Fixed-size word-window chunking with overlap — the pre-tokenizer
+    splitting pass a training pipeline runs before sequence packing.
+    Chunk i covers words [i*step, i*step + size) with step = size -
+    overlap; the tail chunk is shorter. ZERO shuffles: start offsets via
+    sequence(), windows via slice(), one posexplode — all inside the
+    scan projection at any scale."""
+    step = size - overlap
+    ws = _words()
+    w = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") > 0)
+    starts = F.sequence(F.lit(0), F.size("ws") - 1, F.lit(step))
+    ex = w.select("doc_id", "ws",
+                  F.posexplode(starts).alias("chunk_id", "st"))
+    chunk = F.slice("ws", F.col("st") + 1, size)
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_words"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

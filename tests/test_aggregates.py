@@ -73,3 +73,21 @@ def test_decontaminate_flags_only_train_docs(spark):
            for r in decontaminate(docs).collect()}
     assert 4 in out and out[4] >= 1
     assert 3 not in out and 5 not in out
+
+
+def test_chunk_documents_windows(spark):
+    from pdf_parse_bench_spark.operators.textstats import chunk_documents
+    words = " ".join(f"w{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "")],
+        "doc_id long, text string")
+    rows = chunk_documents(docs, size=64, overlap=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,56,112 -> 64,64,8 words; overlap of 8 between chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_words"] for r in c1] == [64, 64, 8]
+    assert c1[0]["chunk_text"].split()[56:] == c1[1]["chunk_text"].split()[:8]
+    assert by_doc[2][0]["n_words"] == 2       # single short chunk
+    assert 3 not in by_doc                    # empty doc -> no chunks

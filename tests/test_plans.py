@@ -295,3 +295,10 @@ def test_decontaminate_broadcasts_eval_side_only(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert_no_cartesian(out)
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    out = ts.chunk_documents(_docs(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert_read_schema_only(out, {"doc_id", "text"})
