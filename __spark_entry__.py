@@ -339,6 +339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("n_eval_grams").cast("long").alias("n_eval_grams")))
     q["chunk_documents"] = lambda s, d: ts.chunk_documents(
         _t(s, d, "documents"))
+    q["url_dedup"] = lambda s, d: ts.url_dedup(
+        _f(s, d, "raw_web_documents"))
     q["pii_scrub"] = lambda s, d: ts.pii_scrub(_f(s, d, "raw_web_documents"))
     q["doc_stats_rollup"] = lambda s, d: ts.doc_stats_rollup(
         _t(s, d, "documents"))
@@ -494,7 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched since r03 and triple-green there
         "benchmark_counts", "grouped_mean_scores", "score_cube",
         "ngram_jaccard_pairs", "embedding_near_dups", "lsh_candidate_pairs",
-        "extracted_complexity_cube",
+        "extracted_complexity_cube", "leaderboard",
         "token_counts", "fingerprint", "corpus_filter", "lang_id",
         "quality_score", "simhash_signatures", "dedup_exact",
         "judge_scores", "judged_complexity_cube", "boilerplate_lines",
@@ -1306,6 +1308,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(st / 56 AS BIGINT) AS chunk_id, "
         "CAST(len(ws[st + 1:st + 64]) AS BIGINT) AS n_words, "
         "array_to_string(ws[st + 1:st + 64], ' ') AS chunk_text FROM s"
+    )
+    o["url_dedup"] = (
+        "WITH d AS (SELECT doc_id, "
+        r"CASE WHEN regexp_extract(text, 'https?://([^/\s?#]+)', 1) <> '' "
+        r"THEN lower(regexp_extract(text, 'https?://([^/\s?#]+)', 1)) "
+        r"|| regexp_extract(text, 'https?://[^/\s?#]+(/[^\s?#]*)', 1) "
+        f"END AS canon_url FROM '{ORACLE_FX}/raw_web_documents.parquet'), "
+        "k AS (SELECT doc_id, canon_url, row_number() OVER ("
+        "PARTITION BY coalesce(canon_url, chr(0) || 'doc:' || doc_id) "
+        "ORDER BY doc_id) AS rn FROM d) "
+        "SELECT doc_id, canon_url, rn = 1 AS keep FROM k"
     )
     o["domain_stats"] = (
         "WITH h AS (SELECT doc_id, lower(unnest(regexp_extract_all("

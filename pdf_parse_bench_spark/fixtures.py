@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v36"  # bump to force regeneration
+FIXTURE_VERSION = "v37"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -491,7 +491,11 @@ def _mk_web_text(doc_id: int, text: str) -> str:
     if doc_id % 2 == 0:
         bits.append(f"contact user{doc_id}@example{doc_id % 7}.org now")
     if doc_id % 3 == 0:
-        bits.append(f"see https://site{doc_id % 13}.example.com/p/{doc_id}?q=1 there")
+        # path repeats mod 7 (so distinct docs share a canonical URL —
+        # the url_dedup surface); the query string keeps the full id,
+        # which canonicalization must strip
+        bits.append(f"see https://site{doc_id % 13}.example.com"
+                    f"/p/{doc_id % 7}?q={doc_id} there")
     if doc_id % 5 == 0:
         bits.append(f"host 10.{doc_id % 256}.{(doc_id * 7) % 256}.{doc_id % 250} up")
     if doc_id % 4 == 0:

@@ -483,3 +483,26 @@ def chunk_documents(docs: DataFrame, size: int = CHUNK_SIZE,
         F.size(chunk).cast("long").alias("n_words"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+def url_dedup(docs: DataFrame) -> DataFrame:
+    """URL-canonical dedup over the crawl layer (runs BEFORE content
+    dedup): each document's first URL, canonicalized (lowercased host +
+    path, query/fragment stripped), is its source identity; documents
+    sharing a canonical URL keep the smallest doc_id. One window over
+    the canonical-URL key — key cardinality is near the doc count, so
+    the exchange spreads; no full-row shuffle (only doc_id + url move).
+    Docs with no URL pass through as keepers with a NULL canon_url
+    (windowed under a per-doc synthetic key — a shared NULL partition
+    would funnel every URL-less doc through one task)."""
+    host = F.lower(F.regexp_extract("text", r"https?://([^/\s?#]+)", 1))
+    path = F.regexp_extract("text", r"https?://[^/\s?#]+(/[^\s?#]*)", 1)
+    canon = F.when(host != "", F.concat(host, path))
+    from pyspark.sql import Window
+    d = docs.select("doc_id", canon.alias("canon_url"))
+    wkey = F.coalesce(
+        F.col("canon_url"),
+        F.concat(F.lit("\x00doc:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy(wkey).orderBy("doc_id")
+    return (d.withColumn("keep", F.row_number().over(w) == 1)
+            .select("doc_id", "canon_url", "keep"))

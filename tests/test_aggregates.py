@@ -91,3 +91,19 @@ def test_chunk_documents_windows(spark):
     assert c1[0]["chunk_text"].split()[56:] == c1[1]["chunk_text"].split()[:8]
     assert by_doc[2][0]["n_words"] == 2       # single short chunk
     assert 3 not in by_doc                    # empty doc -> no chunks
+
+
+def test_url_dedup_canonicalization(spark):
+    from pdf_parse_bench_spark.operators.textstats import url_dedup
+    docs = spark.createDataFrame(
+        [("a", "see https://Site.EXAMPLE.com/p/1?q=9 x"),
+         ("b", "see https://site.example.com/p/1?q=42#frag y"),
+         ("c", "see https://site.example.com/p/2 z"),
+         ("d", "no url here")],
+        "doc_id string, text string")
+    rows = {r["doc_id"]: r for r in url_dedup(docs).collect()}
+    assert rows["a"]["keep"] and not rows["b"]["keep"]  # same canon, a first
+    assert rows["a"]["canon_url"] == rows["b"]["canon_url"] \
+        == "site.example.com/p/1"
+    assert rows["c"]["keep"] and rows["d"]["keep"]
+    assert rows["d"]["canon_url"] is None
