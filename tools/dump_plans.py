@@ -88,6 +88,17 @@ PICKS = {
                              "expression depth.",
     "pdf_encrypt_audit": "header/KDF-only mapInPandas pass over "
                          "size-rebalanced PDF bytes; no page parsing.",
+    "layout_spans": "collect_list packs each doc's blocks JVM-side, then "
+                    "ONE batched mapInPandas — no per-group pandas "
+                    "overhead (was applyInPandas: 5.9s -> 2.4s).",
+    "align_extractions": "golden side packs to one sorted array row per "
+                         "doc, joins back to the markdown row, batched "
+                         "mapInPandas — same one-exchange-per-side "
+                         "shuffle as the old cogroup.",
+    "chunk_documents": "overlapping word windows via sequence/slice/"
+                       "posexplode — zero Exchanges.",
+    "url_dedup": "window on canonical URL; URL-less docs get per-doc "
+                 "synthetic keys (no NULL-partition funnel).",
 }
 
 
