@@ -341,6 +341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"))
     q["url_dedup"] = lambda s, d: ts.url_dedup(
         _f(s, d, "raw_web_documents"))
+    q["stratified_sample"] = lambda s, d: ts.stratified_sample(
+        _t(s, d, "documents"))
     q["pii_scrub"] = lambda s, d: ts.pii_scrub(_f(s, d, "raw_web_documents"))
     q["doc_stats_rollup"] = lambda s, d: ts.doc_stats_rollup(
         _t(s, d, "documents"))
@@ -496,7 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched since r03 and triple-green there
         "benchmark_counts", "grouped_mean_scores", "score_cube",
         "ngram_jaccard_pairs", "embedding_near_dups", "lsh_candidate_pairs",
-        "extracted_complexity_cube", "leaderboard",
+        "extracted_complexity_cube", "leaderboard", "pending_scores",
         "token_counts", "fingerprint", "corpus_filter", "lang_id",
         "quality_score", "simhash_signatures", "dedup_exact",
         "judge_scores", "judged_complexity_cube", "boilerplate_lines",
@@ -1308,6 +1310,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(st / 56 AS BIGINT) AS chunk_id, "
         "CAST(len(ws[st + 1:st + 64]) AS BIGINT) AS n_words, "
         "array_to_string(ws[st + 1:st + 64], ' ') AS chunk_text FROM s"
+    )
+    o["stratified_sample"] = (
+        "SELECT doc_id, source, "
+        "(('0x' || substr(md5(source || ':' || doc_id), 1, 8))::BIGINT "
+        "% 1000) AS bucket, "
+        r"CAST(((CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4) + 1) "
+        "* 250 AS BIGINT) AS quota_permille, "
+        "(('0x' || substr(md5(source || ':' || doc_id), 1, 8))::BIGINT "
+        r"% 1000) < ((CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4) "
+        "+ 1) * 250 AS keep FROM documents"
     )
     o["url_dedup"] = (
         "WITH d AS (SELECT doc_id, "

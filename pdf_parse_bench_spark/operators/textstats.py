@@ -506,3 +506,24 @@ def url_dedup(docs: DataFrame) -> DataFrame:
     w = Window.partitionBy(wkey).orderBy("doc_id")
     return (d.withColumn("keep", F.row_number().over(w) == 1)
             .select("doc_id", "canon_url", "keep"))
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic hash-gated stratified sampling — the data-mixing
+    pass that enforces per-source quotas before training. Keep a doc
+    iff the first 32 md5 bits of 'source:doc_id' mod 1000 fall under
+    the source's quota (here: ((source index % 4)+1)/4 as the fixture
+    mixing table — production broadcasts a real weights map; the gate
+    is the same). Pure codegen, zero shuffles, and reproducible across
+    engines and runs — unlike Bernoulli/reservoir sampling, which is
+    not hash-checkable and resamples on retry (a lineage hazard)."""
+    idx = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    thresh = ((idx % 4) + 1) * 250  # rate * 1000
+    h = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", "source", F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 1000)
+    return docs.select(
+        "doc_id", "source",
+        h.alias("bucket"),
+        thresh.cast("long").alias("quota_permille"),
+        (h < thresh).alias("keep"))

@@ -107,3 +107,26 @@ def test_url_dedup_canonicalization(spark):
         == "site.example.com/p/1"
     assert rows["c"]["keep"] and rows["d"]["keep"]
     assert rows["d"]["canon_url"] is None
+
+
+def test_stratified_sample_quota_rates(spark):
+    """The hash gate must land near each source's quota (deterministic —
+    exact counts pinned, not a distribution test)."""
+    from pdf_parse_bench_spark.operators.textstats import stratified_sample
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = stratified_sample(docs).collect()
+    by_src = {}
+    for r in rows:
+        k, kept = by_src.get(r["source"], (0, 0))
+        by_src[r["source"]] = (k + 1, kept + int(r["keep"]))
+    for src, (n, kept) in by_src.items():
+        quota = ((int(src[3:]) % 4) + 1) * 0.25
+        assert abs(kept / n - quota) < 0.35, (src, kept, n, quota)
+    # rates differ across quota classes (the mixing actually mixes)
+    r1 = sum(kept for s, (n, kept) in by_src.items()
+             if int(s[3:]) % 4 == 0) / sum(
+        n for s, (n, kept) in by_src.items() if int(s[3:]) % 4 == 0)
+    r4 = sum(kept for s, (n, kept) in by_src.items()
+             if int(s[3:]) % 4 == 3) / sum(
+        n for s, (n, kept) in by_src.items() if int(s[3:]) % 4 == 3)
+    assert r4 > r1
