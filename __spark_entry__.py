@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _f(s, d, "raw_web_documents"))
     q["stratified_sample"] = lambda s, d: ts.stratified_sample(
         _t(s, d, "documents"))
+    q["lm_score"] = lambda s, d: ts.lm_score(_t(s, d, "documents"))
     q["pii_scrub"] = lambda s, d: ts.pii_scrub(_f(s, d, "raw_web_documents"))
     q["doc_stats_rollup"] = lambda s, d: ts.doc_stats_rollup(
         _t(s, d, "documents"))
@@ -499,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_counts", "grouped_mean_scores", "score_cube",
         "ngram_jaccard_pairs", "embedding_near_dups", "lsh_candidate_pairs",
         "extracted_complexity_cube", "leaderboard", "pending_scores",
+        "extraction_quality",
         "token_counts", "fingerprint", "corpus_filter", "lang_id",
         "quality_score", "simhash_signatures", "dedup_exact",
         "judge_scores", "judged_complexity_cube", "boilerplate_lines",
@@ -1310,6 +1312,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(st / 56 AS BIGINT) AS chunk_id, "
         "CAST(len(ws[st + 1:st + 64]) AS BIGINT) AS n_words, "
         "array_to_string(ws[st + 1:st + 64], ' ') AS chunk_text FROM s"
+    )
+    o["lm_score"] = (
+        "WITH t AS (SELECT doc_id, text FROM documents "
+        "WHERE length(text) >= 3), "
+        "g AS (SELECT doc_id, unnest(list_transform("
+        "range(1, length(text) - 1), i -> substr(text, i, 3))) AS tri "
+        "FROM t), "
+        "model AS (SELECT tri, count(*) AS c FROM g GROUP BY tri), "
+        "tot AS (SELECT sum(c) AS total FROM model) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri, "
+        "floor((avg(ln(CAST(total AS DOUBLE) / c))) * 1000000 + 0.5) "
+        "/ 1000000 AS lm_nll "
+        "FROM g JOIN model USING (tri) CROSS JOIN tot GROUP BY doc_id"
     )
     o["stratified_sample"] = (
         "SELECT doc_id, source, "

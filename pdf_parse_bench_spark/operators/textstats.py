@@ -527,3 +527,36 @@ def stratified_sample(docs: DataFrame) -> DataFrame:
         h.alias("bucket"),
         thresh.cast("long").alias("quota_permille"),
         (h < thresh).alias("keep"))
+
+
+def lm_score(docs: DataFrame) -> DataFrame:
+    """Char-trigram LM quality proxy — the CCNet/KenLM-style perplexity
+    filter, deterministic stand-in: the model is the corpus's own
+    trigram distribution (production swaps in a reference-corpus model
+    table; the join shape is identical). Per doc: mean negative
+    log-likelihood of its char trigrams under the model — lower = more
+    typical text, the signal CCNet buckets on.
+
+    Shapes like tfidf_top_terms: trigrams are built O(n) per doc by
+    zipping three shifted char arrays (never substring-per-offset,
+    which is O(n^2) on long docs), exploded once; the model is one
+    count aggregation joined back on the trigram key (cost-based
+    broadcast at small scale, shuffle join at 10^9 distinct keys — not
+    force-broadcast); only the 1-row corpus total is hint-broadcast."""
+    cs = F.split(F.col("text"), "")
+    n = F.size(cs)
+    t1 = F.slice(cs, 1, F.greatest(n - 2, F.lit(0)))
+    t2 = F.slice(cs, 2, F.greatest(n - 2, F.lit(0)))
+    t3 = F.slice(cs, 3, F.greatest(n - 2, F.lit(0)))
+    tris = F.zip_with(F.zip_with(t1, t2, lambda a, b: F.concat(a, b)),
+                      t3, lambda a, b: F.concat(a, b))
+    g = (docs.where(F.length("text") >= 3)
+         .select("doc_id", F.explode(tris).alias("tri")))
+    model = g.groupBy("tri").agg(F.count("*").alias("c"))
+    total = model.agg(F.sum("c").alias("total"))
+    scored = (g.join(model, "tri")
+              .join(F.broadcast(total))
+              .withColumn("nll", F.log(F.col("total") / F.col("c"))))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tri"),
+                 round_half_up(F.avg("nll")).alias("lm_nll")))

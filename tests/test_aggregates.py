@@ -130,3 +130,15 @@ def test_stratified_sample_quota_rates(spark):
              if int(s[3:]) % 4 == 3) / sum(
         n for s, (n, kept) in by_src.items() if int(s[3:]) % 4 == 3)
     assert r4 > r1
+
+
+def test_lm_score_prefers_typical_text(spark):
+    """A doc made of corpus-typical trigrams must score lower NLL than
+    a doc of rare trigrams under the self-trained model."""
+    from pdf_parse_bench_spark.operators.textstats import lm_score
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the cat sat") for i in range(9)]
+        + [(99, "zq xv jw qk zx vq wj kq")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["lm_nll"] for r in lm_score(docs).collect()}
+    assert rows[0] < rows[99]

@@ -302,3 +302,20 @@ def test_chunk_documents_zero_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert_read_schema_only(out, {"doc_id", "text"})
+
+
+def test_lm_score_model_join_not_forced_broadcast(spark):
+    """Like tfidf: the trigram model table (10^9 distinct keys at
+    100 TB) must not be force-broadcast; only the 1-row total is."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = ts.lm_score(_docs(spark))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the model joins on `tri` via shuffle; only the 1-row total is
+        # broadcast (as a nested-loop build side, not a hash relation)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        assert plan.count("BroadcastExchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
