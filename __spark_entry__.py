@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sim.ivf_topk(_t(s, d, "embeddings")), rank="long")
     q["quantize_embeddings"] = lambda s, d: sim.quantize_embeddings(
         _t(s, d, "embeddings"))
+    q["semantic_dedup"] = lambda s, d: sim.semantic_dedup(
+        _t(s, d, "embeddings"))
     q["domain_stats"] = lambda s, d: ts.domain_stats(
         _f(s, d, "raw_web_documents"))
 
@@ -500,7 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_counts", "grouped_mean_scores", "score_cube",
         "ngram_jaccard_pairs", "embedding_near_dups", "lsh_candidate_pairs",
         "extracted_complexity_cube", "leaderboard", "pending_scores",
-        "extraction_quality",
+        "extraction_quality", "page_assembly_refs",
         "token_counts", "fingerprint", "corpus_filter", "lang_id",
         "quality_score", "simhash_signatures", "dedup_exact",
         "judge_scores", "judged_complexity_cube", "boilerplate_lines",
@@ -1021,6 +1023,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
         "ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM scored) "
         "WHERE rank <= 10"
+    )
+    o["semantic_dedup"] = (
+        f"WITH {_EMB_NORM_CTE.format(bucket='0')}, "
+        f"cent(cell, cv) AS (VALUES {_cent_rows}), "
+        "ad AS (SELECT vec_id, cell, list_dot_product(v, cv) AS d "
+        "FROM n, cent), "
+        "asg AS (SELECT n.vec_id, n.v, n.norm, r.cell FROM n JOIN ("
+        "SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() "
+        "OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn "
+        "FROM ad) WHERE rn = 1) r USING (vec_id)), "
+        "pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb, "
+        "floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) "
+        "* 1000000 + 0.5) / 1000000 AS cosine "
+        "FROM asg a JOIN asg b ON a.cell = b.cell "
+        "AND a.vec_id < b.vec_id) "
+        f"SELECT idb AS vec_id, min(ida) AS dup_of, "
+        "max(cosine) AS max_cosine FROM pairs "
+        f"WHERE cosine >= {sim.SEMDEDUP_T} GROUP BY idb"
     )
     o["quantize_embeddings"] = (
         "WITH v AS (SELECT vec_id, "

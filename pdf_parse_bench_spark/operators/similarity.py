@@ -423,3 +423,44 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
                     ).alias("q_csv"),
         round_half_up(err).alias("max_abs_err"),
     )
+
+
+SEMDEDUP_T = 0.4  # within-cell cosine at/above which vectors are near-dups
+
+
+def semantic_dedup(emb: DataFrame, cells: int = IVF_CELLS,
+                   threshold: float = SEMDEDUP_T,
+                   centroids: list[list[float]] | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal by
+    comparing vectors ONLY within their coarse cluster — the quadratic
+    pair space is bounded by the largest cell instead of the corpus
+    (pairs that straddle a cell boundary are missed; that is the
+    method's documented approximation). Reuses the IVF quantizer: the
+    same zero-shuffle argmax-dot cell assignment, then a cell-local
+    self-join, exact cosine on within-cell pairs, and a drop rule that
+    keeps the smallest vec_id of each near-dup group.
+
+    Output: one row per DROPPED vector — (vec_id, dup_of = its smallest
+    near-dup partner, max_cosine). At 100 TB the cell is the partition
+    key, so the self-join is a per-partition (storage-partitioned)
+    join with no corpus-wide shuffle."""
+    cents = centroids if centroids is not None else ivf_centroids(cells)
+    corpus = _with_norm(emb)
+    best = F.greatest(*[
+        F.struct(_dot_lit(F.col("v"), cv).alias("d"),
+                 F.lit(-ci).alias("negc"))
+        for ci, cv in enumerate(cents)
+    ])
+    assigned = corpus.withColumn("cell", (-best.getField("negc")).cast("int"))
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cosine", _cosine(F.col("a.v"), F.col("b.v"),
+                                      F.col("a.norm"), F.col("b.norm")))
+        .where(F.col("cosine") >= threshold)
+    )
+    return (pairs.groupBy(F.col("b.vec_id").alias("vec_id"))
+            .agg(F.min(F.col("a.vec_id")).alias("dup_of"),
+                 F.max("cosine").alias("max_cosine")))

@@ -365,3 +365,20 @@ def test_decontaminate_explicit_eval_table(spark):
     out = {r["doc_id"]: r["n_eval_grams"]
            for r in decontaminate(train, evals).collect()}
     assert out == {1: 1}
+
+
+def test_semantic_dedup_cell_scoped(spark):
+    """SemDeDup: the pair join must be cell-equi (never cartesian), a
+    dropped vector's partner must be a smaller id in the SAME cell with
+    cosine >= T, and keepers are never dropped."""
+    from pdf_parse_bench_spark.plans import assert_no_cartesian
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = sim.semantic_dedup(emb)
+    assert_no_cartesian(out)
+    rows = out.collect()
+    dropped = {r["vec_id"] for r in rows}
+    for r in rows:
+        assert r["dup_of"] < r["vec_id"]
+        assert r["max_cosine"] >= sim.SEMDEDUP_T
+    assert not dropped & {r["dup_of"] for r in rows
+                          if r["dup_of"] not in dropped} - dropped
