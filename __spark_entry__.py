@@ -1350,10 +1350,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, source, "
         "(('0x' || substr(md5(source || ':' || doc_id), 1, 8))::BIGINT "
         "% 1000) AS bucket, "
-        r"CAST(((CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4) + 1) "
+        r"CAST(((coalesce(TRY_CAST(regexp_extract(source, '(\d+)', 1) AS INT), 0) % 4) + 1) "
         "* 250 AS BIGINT) AS quota_permille, "
         "(('0x' || substr(md5(source || ':' || doc_id), 1, 8))::BIGINT "
-        r"% 1000) < ((CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4) "
+        r"% 1000) < ((coalesce(TRY_CAST(regexp_extract(source, '(\d+)', 1) AS INT), 0) % 4) "
         "+ 1) * 250 AS keep FROM documents"
     )
     o["url_dedup"] = (

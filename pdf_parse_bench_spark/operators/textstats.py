@@ -517,7 +517,11 @@ def stratified_sample(docs: DataFrame) -> DataFrame:
     is the same). Pure codegen, zero shuffles, and reproducible across
     engines and runs — unlike Bernoulli/reservoir sampling, which is
     not hash-checkable and resamples on retry (a lineage hazard)."""
-    idx = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    # digit-less source names fall to index 0 (quota 0.25) instead of a
+    # NULL gate — and the oracle mirrors with TRY_CAST, where a plain
+    # CAST('' AS INT) would error
+    idx = F.coalesce(
+        F.regexp_extract("source", r"(\d+)", 1).cast("int"), F.lit(0))
     thresh = ((idx % 4) + 1) * 250  # rate * 1000
     h = (F.conv(F.substring(
         F.md5(F.concat_ws(":", "source", F.col("doc_id").cast("string"))),
