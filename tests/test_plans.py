@@ -319,3 +319,33 @@ def test_lm_score_model_join_not_forced_broadcast(spark):
         assert plan.count("BroadcastExchange") == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ivf_cell_partition_layout_prunes_probes(spark, tmp_path):
+    """The ANN/SemDeDup at-rest story made concrete: embeddings written
+    partitioned by their IVF cell, a probe filter on nprobe cells must
+    plan with PartitionFilters (directory pruning) and read only the
+    probed fraction of rows."""
+    from pdf_parse_bench_spark.sources.bucketed import write_partitioned
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = sim.ivf_centroids()
+    best = F.greatest(*[
+        F.struct(sim._dot_lit(F.col("v"), cv).alias("d"),
+                 F.lit(-ci).alias("negc"))
+        for ci, cv in enumerate(cents)])
+    assigned = (sim._with_norm(emb)
+                .withColumn("cell", (-best.getField("negc")).cast("int"))
+                .select("vec_id", "cell"))
+    out = str(tmp_path / "emb_by_cell")
+    write_partitioned(assigned, out, partition_col="cell")
+    probes = [0, 3, 7, 11]
+    pruned = spark.read.parquet(out).where(F.col("cell").isin(probes))
+    plan = formatted_plan(pruned)
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "cell" in m[0], plan
+    total = spark.read.parquet(out).count()
+    probed = pruned.count()
+    assert 0 < probed < total
+    # probed fraction tracks nprobe/cells on the balanced assignment
+    assert probed / total < 2 * len(probes) / sim.IVF_CELLS
