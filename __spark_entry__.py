@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stratified_sample"] = lambda s, d: ts.stratified_sample(
         _t(s, d, "documents"))
     q["lm_score"] = lambda s, d: ts.lm_score(_t(s, d, "documents"))
+    q["pack_sequences"] = lambda s, d: ts.pack_sequences(
+        _t(s, d, "documents"))
     q["pii_scrub"] = lambda s, d: ts.pii_scrub(_f(s, d, "raw_web_documents"))
     q["doc_stats_rollup"] = lambda s, d: ts.doc_stats_rollup(
         _t(s, d, "documents"))
@@ -502,7 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_counts", "grouped_mean_scores", "score_cube",
         "ngram_jaccard_pairs", "embedding_near_dups", "lsh_candidate_pairs",
         "extracted_complexity_cube", "leaderboard", "pending_scores",
-        "extraction_quality", "page_assembly_refs",
+        "extraction_quality", "page_assembly_refs", "html_spans",
         "token_counts", "fingerprint", "corpus_filter", "lang_id",
         "quality_score", "simhash_signatures", "dedup_exact",
         "judge_scores", "judged_complexity_cube", "boilerplate_lines",
@@ -1332,6 +1334,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(st / 56 AS BIGINT) AS chunk_id, "
         "CAST(len(ws[st + 1:st + 64]) AS BIGINT) AS n_words, "
         "array_to_string(ws[st + 1:st + 64], ' ') AS chunk_text FROM s"
+    )
+    o["pack_sequences"] = (
+        "WITH w AS (SELECT doc_id, len(list_filter(string_split_regex("
+        "trim(text), ' +'), x -> x <> '')) AS n FROM documents), "
+        "ok AS (SELECT * FROM w WHERE n > 0), "
+        "c AS (SELECT doc_id, n, coalesce(sum(n) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start "
+        "FROM ok), "
+        "ex AS (SELECT doc_id, n, start, unnest(range("
+        "CAST(floor(start / 128.0) AS BIGINT), "
+        "CAST(floor((start + n - 1) / 128.0) AS BIGINT) + 1)) AS seq_id "
+        "FROM c) "
+        "SELECT seq_id, doc_id, "
+        "greatest(seq_id * 128 - start, 0) + 1 AS word_from, "
+        "least((seq_id + 1) * 128 - start, n) AS word_to FROM ex"
     )
     o["lm_score"] = (
         "WITH t AS (SELECT doc_id, text FROM documents "

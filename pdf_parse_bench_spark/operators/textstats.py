@@ -564,3 +564,55 @@ def lm_score(docs: DataFrame) -> DataFrame:
     return (scored.groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_tri"),
                  round_half_up(F.avg("nll")).alias("lm_nll")))
+
+
+SEQ_LEN = 128  # words per packed training sequence
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """Concat-and-split sequence packing — the GPT-style packing step:
+    conceptually concatenate every document's words in doc_id order and
+    cut fixed-length training sequences; emit the pack MANIFEST
+    (seq_id, doc_id, word_from, word_to) that tells every sequence
+    which word span of which document it carries.
+
+    The global word offset of each doc is a prefix sum over the whole
+    corpus — computed as the classic TWO-PHASE DISTRIBUTED SCAN, never
+    a single-partition window over all docs: repartitionByRange(doc_id)
+    keeps ranges contiguous, a per-partition window (keyed on the
+    partition id) produces local cumsums, and only the P partition
+    totals (metadata-scale) go through the tiny global-order window
+    before broadcasting back. Output rows are then a per-doc explode of
+    the sequences the doc's span overlaps — no further shuffle."""
+    from pyspark.sql import Window
+
+    n = (docs.select("doc_id", F.size(_words()).alias("n"))
+         .where(F.col("n") > 0)
+         .repartitionByRange(F.col("doc_id"))
+         .withColumn("_pid", F.spark_partition_id()))
+    wloc = Window.partitionBy("_pid").orderBy("doc_id")
+    local = n.withColumn(
+        "local_start", F.sum("n").over(wloc) - F.col("n"))
+    totals = n.groupBy("_pid").agg(F.sum("n").alias("ptotal"),
+                                   F.min("doc_id").alias("pmin"))
+    wglob = Window.orderBy("pmin")  # P rows only — metadata scale
+    offsets = totals.withColumn(
+        "poffset", F.coalesce(
+            F.sum("ptotal").over(wglob) - F.col("ptotal"), F.lit(0)))
+    placed = (local.join(F.broadcast(offsets.select("_pid", "poffset")),
+                         "_pid")
+              .withColumn("start", F.col("poffset") + F.col("local_start")))
+    first = F.floor(F.col("start") / seq_len)
+    last = F.floor((F.col("start") + F.col("n") - 1) / seq_len)
+    ex = placed.select(
+        "doc_id", "n", "start",
+        F.explode(F.sequence(first, last)).alias("seq_id"))
+    word_from = F.greatest(
+        F.col("seq_id") * seq_len - F.col("start"), F.lit(0)) + 1
+    word_to = F.least(
+        (F.col("seq_id") + 1) * seq_len - F.col("start"), F.col("n"))
+    return ex.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        word_from.cast("long").alias("word_from"),
+        word_to.cast("long").alias("word_to"))

@@ -142,3 +142,35 @@ def test_lm_score_prefers_typical_text(spark):
         "doc_id long, text string")
     rows = {r["doc_id"]: r["lm_nll"] for r in lm_score(docs).collect()}
     assert rows[0] < rows[99]
+
+
+def test_pack_sequences_exact_cover(spark):
+    """The pack manifest must cover every word of every doc exactly
+    once, in order: per-doc spans tile [1, n]; per-sequence totals are
+    seq_len except the final partial sequence."""
+    from pdf_parse_bench_spark.operators.textstats import (
+        SEQ_LEN, pack_sequences, _words)
+    import pyspark.sql.functions as F
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    man = pack_sequences(docs).collect()
+    n_by_doc = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", F.size(_words()).alias("n")).collect() if r["n"] > 0}
+    spans = {}
+    for r in man:
+        spans.setdefault(r["doc_id"], []).append(
+            (r["word_from"], r["word_to"]))
+    assert set(spans) == set(n_by_doc)
+    for d, ss in spans.items():
+        ss.sort()
+        assert ss[0][0] == 1 and ss[-1][1] == n_by_doc[d]
+        for (a1, b1), (a2, b2) in zip(ss, ss[1:]):
+            assert a2 == b1 + 1  # contiguous, no overlap, no gap
+    per_seq = {}
+    for r in man:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) \
+            + r["word_to"] - r["word_from"] + 1
+    last = max(per_seq)
+    for sid, tot in per_seq.items():
+        assert tot == (SEQ_LEN if sid != last else tot)
+        assert tot <= SEQ_LEN
+    assert sum(per_seq.values()) == sum(n_by_doc.values())

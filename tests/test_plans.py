@@ -349,3 +349,18 @@ def test_ivf_cell_partition_layout_prunes_probes(spark, tmp_path):
     assert 0 < probed < total
     # probed fraction tracks nprobe/cells on the balanced assignment
     assert probed / total < 2 * len(probes) / sim.IVF_CELLS
+
+
+def test_pack_sequences_two_phase_prefix_sum(spark):
+    """The corpus-wide prefix sum must be the two-phase distributed
+    scan: the per-doc window is keyed on the partition id (spreads),
+    and the only global-order window runs over the P partition-total
+    rows (metadata scale)."""
+    out = ts.pack_sequences(_docs(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_pid" in plan
+    # exactly one unpartitioned window (the P-row offsets scan)
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    unpartitioned = [s for s in specs if "_pid" not in s]
+    assert len(set(unpartitioned)) <= 1, unpartitioned
