@@ -126,3 +126,32 @@ def test_stateful_user_totals_across_microbatches(spark, tmp_path):
     assert final.exceptAll(want).isEmpty()
     # state really carried: users appear in MORE than one emission
     assert got.count() > want.count()
+
+
+def test_quality_operators_run_unchanged_on_streams(spark, tmp_path):
+    """The stateless pipeline operators (repetition_stats, quality
+    features via pii_scrub's projection shape, chunk_documents,
+    stratified_sample) are pure projections — the SAME functions must
+    run on a readStream DataFrame with identical results to batch.
+    This is the composition contract: a streaming ingest can quality-
+    gate, chunk and sample with zero operator changes."""
+    from pdf_parse_bench_spark.operators.textstats import (
+        chunk_documents, repetition_stats, stratified_sample)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = tmp_path / "docs_in"
+    docs.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    for i, (name, fn) in enumerate([
+            ("rep", repetition_stats),
+            ("chk", chunk_documents),
+            ("smp", stratified_sample)]):
+        q = (fn(stream).writeStream.format("memory")
+             .queryName(f"t_q_{name}")
+             .option("checkpointLocation", str(tmp_path / f"ck_{i}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.table(f"t_q_{name}")
+        want = fn(docs)
+        assert got.count() == want.count(), name
+        assert got.exceptAll(want).isEmpty(), name
