@@ -130,7 +130,9 @@ def lsh_recall(emb: DataFrame, n_queries: int = 5, k: int = 10,
     Measured on the synthetic 64-d corpus (isotropic — 10th-NN cosine 0.26
     vs bulk 0.0, the HARD case for bucketed LSH): bucket multi-probe
     P=8/radius-1 ≈ 0.12 recall at 3.5% scan; radius-2 ≈ 0.38 at 14.5%;
-    IVF C=128/nprobe=12 ≈ 0.38 at 9.4%. The committed default —
+    the committed ivf_topk (16 cells / nprobe 4, seeded centroids)
+    measures 0.52 at a ~25% scan (an exploratory 128-cell/nprobe-12
+    config measured 0.38 at 9.4%). The committed default —
     64-bit sign-sketch + ham<=27 threshold rerank (sketch_topk) —
     measures 0.70-0.82 recall@10 at a 15-20% full-vector scan fraction
     (asserted in pytest). The banded construction (dedup.embedding_near_dups)

@@ -99,6 +99,12 @@ PICKS = {
                        "posexplode — zero Exchanges.",
     "url_dedup": "window on canonical URL; URL-less docs get per-doc "
                  "synthetic keys (no NULL-partition funnel).",
+    "semantic_dedup": "SemDeDup: cell-equi self-join bounded per IVF "
+                      "cell; exact cosine on within-cell pairs only.",
+    "pack_sequences": "two-phase distributed prefix sum (per-partition "
+                      "cumsum + P-row offset window) + local explode.",
+    "lm_score": "O(n) trigram build via zipped shifted arrays; model "
+                "shuffle-joined on tri, 1-row total broadcast.",
 }
 
 
