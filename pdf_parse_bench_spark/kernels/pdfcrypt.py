@@ -481,6 +481,12 @@ class _Encrypter:
                 self.key, struct.pack("<i", self.p) + b"\xff\xff\xff\xff"
                 + b"Tadb" + bytes(4))
         else:
+            # 'aes-128-nm' = V4/AESV2 with /EncryptMetadata false (the
+            # 0xFFFFFFFF key-derivation suffix branch)
+            self.em = variant != "aes-128-nm"
+            if variant == "aes-128-nm":
+                variant = "aes-128"
+                self.variant = "aes-128"
             self.r = {"rc4-40": 2, "rc4-128": 3, "aes-128": 4}[variant]
             self.nbytes = 5 if variant == "rc4-40" else 16
             # Algorithm 3: /O from the (empty) owner == user password
@@ -495,7 +501,7 @@ class _Encrypter:
                     o = rc4(bytes(b ^ i for b in okey), o)
             self.o = o
             self.key = _file_key_std(o, self.p, self.id0, self.r,
-                                     self.nbytes, True)
+                                     self.nbytes, self.em)
             if self.r == 2:  # Algorithm 4
                 self.u = rc4(self.key, _PAD)
             else:  # Algorithm 5
@@ -529,10 +535,11 @@ class _Encrypter:
                     + b" /Perms " + hx(self.perms)
                     + b" /P %d >>" % self.p)
         if self.variant == "aes-128":
+            em = b"" if self.em else b" /EncryptMetadata false"
             return (b"<< /Filter /Standard /V 4 /R 4 /Length 128"
                     b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
-                    b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
-                    b" /O " + hx(self.o) + b" /U " + hx(self.u)
+                    b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF" + em
+                    + b" /O " + hx(self.o) + b" /U " + hx(self.u)
                     + b" /P %d >>" % self.p)
         v, r, ln = (1, 2, 40) if self.variant == "rc4-40" else (2, 3, 128)
         return (b"<< /Filter /Standard /V %d /R %d /Length %d /O " % (v, r, ln)

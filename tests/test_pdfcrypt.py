@@ -146,3 +146,13 @@ def test_decrypter_rejects_unknown_handler():
     assert not h.ok
     # Identity pass-through when not ok
     assert h.decrypt_stream(b"abc", 1, 0) == b"abc"
+
+
+def test_encrypt_metadata_false_key_derivation_branch():
+    """/EncryptMetadata false appends 0xFFFFFFFF to the Algorithm-2 MD5
+    input (R>=4) — a file written that way must round-trip, proving the
+    decrypt side takes the same branch."""
+    pdf = _fixture_pdf(13)
+    epdf = pc.encrypt_pdf(pdf, "aes-128-nm", seed=13)
+    assert b"/EncryptMetadata false" in epdf
+    assert extract_pdf_text(epdf) == extract_pdf_text(pdf)
