@@ -569,7 +569,31 @@ def lm_score(docs: DataFrame) -> DataFrame:
 SEQ_LEN = 128  # words per packed training sequence
 
 
-def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+def _range_split_points(n: DataFrame, buckets: int) -> list:
+    """Driver-side interior split points over ``doc_id`` for a
+    deterministic range bucketing: a content-keyed sample (rows where
+    crc32(doc_id) % mod == 0 — a pure function of the data, independent
+    of partition layout), sorted, thinned to ``buckets - 1`` points.
+    Costs one extra column-pruned pass at metadata scale; the pass is
+    over the same 2-column projection the packing scan reads anyway."""
+    total = n.count()
+    buckets = max(1, min(buckets, total or 1))
+    if buckets == 1:
+        return []
+    mod = max(1, total // (buckets * 64))
+    sample = sorted(
+        r[0] for r in n.where(
+            F.pmod(F.crc32(F.col("doc_id").cast("string")
+                           .cast("binary")), F.lit(mod)) == 0)
+        .select("doc_id").collect())
+    if not sample:
+        return []
+    step = max(1, len(sample) // buckets)
+    return sample[step::step][:buckets - 1]
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN,
+                   buckets: int = None) -> DataFrame:
     """Concat-and-split sequence packing — the GPT-style packing step:
     conceptually concatenate every document's words in doc_id order and
     cut fixed-length training sequences; emit the pack MANIFEST
@@ -578,30 +602,49 @@ def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
 
     The global word offset of each doc is a prefix sum over the whole
     corpus — computed as the classic TWO-PHASE DISTRIBUTED SCAN, never
-    a single-partition window over all docs: repartitionByRange(doc_id)
-    keeps ranges contiguous, a per-partition window (keyed on the
-    partition id) produces local cumsums, and only the P partition
-    totals (metadata-scale) go through the tiny global-order window
-    before broadcasting back. Output rows are then a per-doc explode of
-    the sequences the doc's span overlaps — no further shuffle."""
+    a single-partition window over all docs. The scan is keyed on a
+    DETERMINISTIC range bucket (``_bucket``): split points over doc_id
+    are computed once driver-side from a content-keyed sample
+    (`_range_split_points`), and every row's bucket is a pure function
+    of its doc_id — so the per-bucket window subtree and the
+    bucket-totals subtree always agree, under any AQE replan, shuffle
+    partition count, or stage recomputation (the round-4
+    ``spark_partition_id()`` key was not such a contract). The output
+    is the exact global prefix sum for ANY choice of split points, so
+    sample quality affects only balance, never values. Only the B
+    bucket totals (metadata scale) go through the tiny global-order
+    window before broadcasting back. Output rows are then a per-doc
+    explode of the sequences the doc's span overlaps — no further
+    shuffle."""
     from pyspark.sql import Window
 
+    spark = docs.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions",
+                                     "200"))
     n = (docs.select("doc_id", F.size(_words()).alias("n"))
-         .where(F.col("n") > 0)
-         .repartitionByRange(F.col("doc_id"))
-         .withColumn("_pid", F.spark_partition_id()))
-    wloc = Window.partitionBy("_pid").orderBy("doc_id")
+         .where(F.col("n") > 0))
+    splits = _range_split_points(n, buckets)
+    if splits:
+        bucket = F.aggregate(
+            F.lit(splits), F.lit(0),
+            lambda acc, s: acc
+            + F.when(F.col("doc_id") >= s, 1).otherwise(0))
+    else:
+        bucket = F.lit(0)
+    n = n.withColumn("_bucket", bucket).repartition(
+        max(1, len(splits) + 1), F.col("_bucket"))
+    wloc = Window.partitionBy("_bucket").orderBy("doc_id")
     local = n.withColumn(
         "local_start", F.sum("n").over(wloc) - F.col("n"))
-    totals = n.groupBy("_pid").agg(F.sum("n").alias("ptotal"),
-                                   F.min("doc_id").alias("pmin"))
-    wglob = Window.orderBy("pmin")  # P rows only — metadata scale
+    totals = n.groupBy("_bucket").agg(F.sum("n").alias("ptotal"))
+    wglob = Window.orderBy("_bucket")  # B rows only — metadata scale
     offsets = totals.withColumn(
         "poffset", F.coalesce(
             F.sum("ptotal").over(wglob) - F.col("ptotal"), F.lit(0)))
-    placed = (local.join(F.broadcast(offsets.select("_pid", "poffset")),
-                         "_pid")
-              .withColumn("start", F.col("poffset") + F.col("local_start")))
+    placed = (local.join(
+        F.broadcast(offsets.select("_bucket", "poffset")), "_bucket")
+        .withColumn("start", F.col("poffset") + F.col("local_start")))
     first = F.floor(F.col("start") / seq_len)
     last = F.floor((F.col("start") + F.col("n") - 1) / seq_len)
     ex = placed.select(

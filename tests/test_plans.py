@@ -353,14 +353,38 @@ def test_ivf_cell_partition_layout_prunes_probes(spark, tmp_path):
 
 def test_pack_sequences_two_phase_prefix_sum(spark):
     """The corpus-wide prefix sum must be the two-phase distributed
-    scan: the per-doc window is keyed on the partition id (spreads),
-    and the only global-order window runs over the P partition-total
-    rows (metadata scale)."""
+    scan keyed on the DETERMINISTIC range bucket (never the physical
+    spark_partition_id): the per-doc window is keyed on _bucket
+    (spreads), and the only global-order window runs over the B
+    bucket-total rows (metadata scale)."""
     out = ts.pack_sequences(_docs(spark))
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "_pid" in plan
-    # exactly one unpartitioned window (the P-row offsets scan)
+    assert "_bucket" in plan
+    assert "spark_partition_id" not in plan.lower()
+    # exactly one unpartitioned window (the B-row offsets scan)
     import re
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    unpartitioned = [s for s in specs if "_pid" not in s]
+    unpartitioned = [s for s in specs if "_bucket" not in s]
     assert len(set(unpartitioned)) <= 1, unpartitioned
+
+
+def test_pack_sequences_deterministic_across_configs(spark):
+    """Bit-identical manifest regardless of bucketing or shuffle
+    partition count — the round-4 driver flake was a
+    spark_partition_id() key diverging between two consumers of one
+    exchange; the deterministic _bucket column must make the output a
+    pure function of the data."""
+    docs = _docs(spark)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = sorted(map(tuple, ts.pack_sequences(docs, buckets=3)
+                       .collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        b = sorted(map(tuple, ts.pack_sequences(docs, buckets=17)
+                       .collect()))
+        c = sorted(map(tuple, ts.pack_sequences(docs, buckets=1)
+                       .collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b == c and len(a) > 0
