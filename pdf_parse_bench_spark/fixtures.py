@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v37"  # bump to force regeneration
+FIXTURE_VERSION = "v38"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -216,20 +216,32 @@ class _JpegBitWriter:
                 self.acc = 0
                 self.n = 0
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
         while self.n:
             self.write(1, 1)
+
+    def marker(self, m: int) -> None:
+        """Byte-align and emit a bare marker (RSTn) into the stream."""
+        self.align()
+        self.out += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
-def _mk_gray_jpeg(blocks: "np.ndarray", w: int, h: int) -> bytes:
+def _mk_gray_jpeg(blocks: "np.ndarray", w: int, h: int,
+                  restart_interval: int = 0) -> bytes:
     """Real baseline-DCT grayscale JPEG (SOF0, single scan) whose pixel
     content is flat 8x8 blocks. With an all-ones quant table a flat block
     is EXACTLY representable (DC = 8*(v-128), integer; all AC zero), so the
     decode is bit-exact to the pre-encode array — the golden mean in
     golden_media_stats is computed from that array, holding the kernel
     decoder (kernels/jpeg.py:jpeg_decode_gray) to real pixel output.
-    `w`/`h` may be non-multiples of 8 to exercise decoder edge cropping."""
+    `w`/`h` may be non-multiples of 8 to exercise decoder edge cropping.
+    `restart_interval` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (predictor reset, 0-7 cycling) — the web-crawl
+    resync profile."""
     bh, bw = blocks.shape
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
@@ -240,9 +252,15 @@ def _mk_gray_jpeg(blocks: "np.ndarray", w: int, h: int) -> bytes:
             + b"\x00" + _JDC_COUNTS + _JDC_SYMS)
     out += (b"\xff\xc4" + (19 + len(_JAC_SYMS)).to_bytes(2, "big")
             + b"\x10" + _JAC_COUNTS + _JAC_SYMS)
+    if restart_interval:
+        out += (b"\xff\xdd" + (4).to_bytes(2, "big")
+                + restart_interval.to_bytes(2, "big"))
     out += b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 0x01, 0x00, 0, 63, 0])
     bwr = _JpegBitWriter()
     pred = 0
+    rst = 0
+    done = 0
+    total = bh * bw
     for by in range(bh):
         for bx in range(bw):
             dc = 8 * (int(blocks[by, bx]) - 128)
@@ -253,8 +271,226 @@ def _mk_gray_jpeg(blocks: "np.ndarray", w: int, h: int) -> bytes:
             if t:
                 bwr.write(d if d >= 0 else d + (1 << t) - 1, t)
             bwr.write(0b00, 2)  # EOB
+            done += 1
+            if (restart_interval and done < total
+                    and done % restart_interval == 0):
+                bwr.marker(0xD0 + rst)
+                rst = (rst + 1) & 0x07
+                pred = 0
     out += bwr.flush() + b"\xff\xd9"
     return bytes(out)
+
+
+# AC Huffman table for the progressive fixture encoder: EOBn symbols
+# (r<<4 | 0, r = 0..14) plus the low AC categories / refinement
+# new-significant symbols 0x01..0x03, all at code length 5 (canonical
+# code == symbol index)
+_JPAC_SYMS = bytes([r << 4 for r in range(15)] + [0x01, 0x02, 0x03])
+_JPAC_COUNTS = bytes([0, 0, 0, 0, len(_JPAC_SYMS)] + [0] * 11)
+
+
+def _jpac_write(bwr: "_JpegBitWriter", sym: int) -> None:
+    idx = (sym >> 4) if (sym & 0x0F) == 0 else 14 + (sym & 0x0F)
+    bwr.write(idx, 5)
+
+
+def _mk_progressive_gray_jpeg(blocks: "np.ndarray", ac1: "np.ndarray",
+                              w: int, h: int,
+                              restart_interval: int = 0) -> bytes:
+    """Progressive (SOF2) grayscale JPEG: flat 8x8 blocks plus one AC
+    coefficient per block (zigzag position 1 — raster (0,1)), delivered
+    over five scans exercising every progressive decode path of
+    kernels/jpeg.py:
+
+      1. DC initial        Ss=0 Se=0  Ah=0 Al=1 (successive approx)
+      2. AC initial band   Ss=1 Se=5  Ah=0 Al=1 (EOB runs)
+      3. DC refinement     Ss=0 Se=0  Ah=1 Al=0 (one bit per block)
+      4. AC refinement     Ss=1 Se=5  Ah=1 Al=0 (correction bits,
+         newly-significant +-1 coefficients, EOB runs with corrections)
+      5. AC initial band   Ss=6 Se=63 Ah=0 Al=0 (pure EOB-run tail)
+
+    With the all-ones quant table every coefficient is exactly
+    representable, so the decode equals the documented IDCT arithmetic
+    applied to (8*(v-128), ac) — the golden stats derive from that
+    closed form, never from the decoder. `restart_interval` > 0 adds
+    DRI/RSTn resync inside every scan."""
+    bh, bw = blocks.shape
+    total = bh * bw
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    out += (b"\xff\xc2" + (11).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + bytes([1, 0x01, 0x11, 0x00]))
+    out += (b"\xff\xc4" + (19 + len(_JDC_SYMS)).to_bytes(2, "big")
+            + b"\x00" + _JDC_COUNTS + _JDC_SYMS)
+    out += (b"\xff\xc4" + (19 + len(_JPAC_SYMS)).to_bytes(2, "big")
+            + b"\x10" + _JPAC_COUNTS + _JPAC_SYMS)
+    if restart_interval:
+        out += (b"\xff\xdd" + (4).to_bytes(2, "big")
+                + restart_interval.to_bytes(2, "big"))
+
+    def sos_header(ss, se, ah, al):
+        return (b"\xff\xda" + (8).to_bytes(2, "big")
+                + bytes([1, 0x01, 0x00, ss, se, (ah << 4) | al]))
+
+    dcs = [8 * (int(blocks[by, bx]) - 128)
+           for by in range(bh) for bx in range(bw)]
+    acs = [int(ac1[by, bx]) for by in range(bh) for bx in range(bw)]
+
+    def scan(body):
+        """Run `body(bwr, emit_restart)` per block index with restart
+        bookkeeping; returns the entropy bytes."""
+        bwr = _JpegBitWriter()
+        rst = [0]
+
+        def boundary(done):
+            if (restart_interval and done < total
+                    and done % restart_interval == 0):
+                bwr.marker(0xD0 + rst[0])
+                rst[0] = (rst[0] + 1) & 0x07
+                return True
+            return False
+
+        body(bwr, boundary)
+        return bwr.flush()
+
+    def flush_eob(bwr, eob):
+        while eob:
+            run = min(eob, 32767)
+            r = run.bit_length() - 1
+            _jpac_write(bwr, r << 4)
+            if r:
+                bwr.write(run - (1 << r), r)
+            eob -= run
+        return 0
+
+    # scan 1: DC initial, Al=1 (point transform = arithmetic shift)
+    def dc_first(bwr, boundary):
+        pred = 0
+        for i, dc in enumerate(dcs):
+            dct = dc >> 1
+            d = dct - pred
+            pred = dct
+            t = abs(d).bit_length()
+            bwr.write(t, 4)
+            if t:
+                bwr.write(d if d >= 0 else d + (1 << t) - 1, t)
+            if boundary(i + 1):
+                pred = 0
+    out += sos_header(0, 0, 0, 1) + scan(dc_first)
+
+    # scan 2: AC initial, band 1..5, Al=1
+    def ac_first(bwr, boundary):
+        eob = 0
+        for i, v in enumerate(acs):
+            v1 = (abs(v) >> 1) * (1 if v >= 0 else -1)
+            if v1:
+                eob = flush_eob(bwr, eob)
+                t = abs(v1).bit_length()
+                _jpac_write(bwr, t)  # run 0, category t
+                bwr.write(v1 if v1 >= 0 else v1 + (1 << t) - 1, t)
+            eob += 1  # band positions 2..5 are zero -> block ends in EOB
+            if i + 1 < total and (restart_interval
+                                  and (i + 1) % restart_interval == 0):
+                eob = flush_eob(bwr, eob)
+                boundary(i + 1)
+        flush_eob(bwr, eob)
+    out += sos_header(1, 5, 0, 1) + scan(ac_first)
+
+    # scan 3: DC refinement, one bit per block
+    def dc_refine(bwr, boundary):
+        for i, dc in enumerate(dcs):
+            bwr.write(dc & 1, 1)
+            boundary(i + 1)
+    out += sos_header(0, 0, 1, 0) + scan(dc_refine)
+
+    # scan 4: AC refinement, band 1..5, Ah=1 Al=0
+    def ac_refine(bwr, boundary):
+        eob = 0
+        pend = []  # correction bits owed after the next EOBn symbol
+
+        def flush():
+            nonlocal eob, pend
+            eob = flush_eob(bwr, eob)
+            for b in pend:
+                bwr.write(b, 1)
+            pend = []
+
+        for i, v in enumerate(acs):
+            hist = abs(v) >> 1
+            if hist:  # already-nonzero: one correction bit, in EOB run
+                eob += 1
+                pend.append(abs(v) & 1)
+            elif abs(v) == 1:  # newly significant at this precision
+                flush()
+                _jpac_write(bwr, 0x01)
+                bwr.write(1 if v > 0 else 0, 1)  # sign
+                eob += 1  # band 2..5 zero -> EOB
+            else:
+                eob += 1
+            if i + 1 < total and (restart_interval
+                                  and (i + 1) % restart_interval == 0):
+                flush()
+                boundary(i + 1)
+        flush()
+    out += sos_header(1, 5, 1, 0) + scan(ac_refine)
+
+    # scan 5: AC initial, band 6..63, Al=0 — all zero, pure EOB runs
+    def ac_tail(bwr, boundary):
+        eob = 0
+        for i in range(total):
+            eob += 1
+            if i + 1 < total and (restart_interval
+                                  and (i + 1) % restart_interval == 0):
+                eob = flush_eob(bwr, eob)
+                boundary(i + 1)
+        flush_eob(bwr, eob)
+    out += sos_header(6, 63, 0, 0) + scan(ac_tail)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# column profile added by a unit AC coefficient at zigzag position 1:
+# A.T @ C @ A with only C[0,1] set gives sqrt(1/8)*0.5*cos((2j+1)pi/16)
+# per column j, constant down rows (orthonormal IDCT closed form)
+def _ac1_column_profile() -> "np.ndarray":
+    j = np.arange(8)
+    return np.sqrt(0.125) * 0.5 * np.cos((2 * j + 1) * np.pi / 16)
+
+
+def _mk_progressive_gray_jpeg_with_stats(
+        did: int) -> tuple[bytes, dict, "np.ndarray"]:
+    """Deterministic progressive grayscale JPEG + golden decode stats.
+    Expected pixels come from the closed-form IDCT of the exact
+    coefficients (flat DC + one AC at zigzag 1): px[i,j] =
+    clip(round(v + ac * colprofile[j])). AC values cycle through
+    positive/negative, odd/even, +-1 and 0 so every refinement path
+    (correction bit 0/1, newly-significant sign, EOB runs with and
+    without pending bits) appears in the stream."""
+    bh, bw = 2 + did % 3, 2 + (did // 3) % 4
+    yy, xx = np.mgrid[0:bh, 0:bw]
+    blocks = ((did * 19 + xx * 9 + yy * 5) % 200 + 20).astype(np.int64)
+    ac_vals = np.array([0, 5, -3, 1, -1, 7, 0, -6], dtype=np.int64)
+    ac1 = ac_vals[(did + yy * bw + xx) % 8]
+    w, h = bw * 8 - did % 8, bh * 8 - (did * 5) % 8
+    ri = (did // 2) % 3  # 0 / 1 / 2-MCU restart interval
+    data = _mk_progressive_gray_jpeg(blocks, ac1, w, h,
+                                     restart_interval=ri)
+    col = _ac1_column_profile()
+    # per-block: v + ac * col (constant down rows)
+    px = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    for by in range(bh):
+        for bx in range(bw):
+            px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                float(blocks[by, bx]) + float(ac1[by, bx]) * col[None, :])
+    px = np.clip(np.round(px[:h, :w]), 0, 255)
+    mean = float(px.mean()) / 255.0
+    return data, {
+        "width": w, "height": h, "channels": 1, "n_bytes": len(data),
+        "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
+        "status": "ok",
+    }, px.astype(np.uint8)
 
 
 def _mk_color_jpeg(y_mcu: "np.ndarray", cb_mcu: "np.ndarray",
@@ -1667,6 +1903,43 @@ def ensure_fixtures(sf_dir: str) -> Path:
                                      "media_ref": ref, **jstats})
             thumb_rows.append({"doc_id": doc_id, "offset": 1003,
                                "media_ref": ref, **_thumb_stats(jpx)})
+        if did % 9 == 0:
+            # PROGRESSIVE (SOF2) grayscale JPEGs — the dominant web-crawl
+            # profile: successive-approximation DC/AC scans, EOB runs,
+            # refinement correction bits, optional in-scan restart
+            # markers. Must decode to true pixel stats ('ok').
+            jpg, jstats, jpx = _mk_progressive_gray_jpeg_with_stats(did)
+            ref = f"prog_{did}.jpg"
+            media_rows.append({"doc_id": doc_id, "offset": 1004,
+                               "media_ref": ref, "media_bytes": jpg})
+            media_stats_rows.append({"doc_id": doc_id, "offset": 1004,
+                                     "media_ref": ref, **jstats})
+            thumb_rows.append({"doc_id": doc_id, "offset": 1004,
+                               "media_ref": ref, **_thumb_stats(jpx)})
+        if did % 10 == 0:
+            # baseline grayscale with DRI/RSTn restart markers (the
+            # resync profile): decoder must resync and reset predictors
+            jbh, jbw = 2 + did % 4, 3 + did % 3
+            jyy, jxx = np.mgrid[0:jbh, 0:jbw]
+            jblocks = ((did * 23 + jxx * 3 + jyy * 13) % 256).astype(
+                np.int64)
+            jw, jh = jbw * 8 - did % 8, jbh * 8 - (did * 7) % 8
+            jri = 1 + did % 4
+            jpg = _mk_gray_jpeg(jblocks, jw, jh, restart_interval=jri)
+            jpx = np.repeat(np.repeat(jblocks, 8, 0), 8, 1)[:jh, :jw]
+            jmean = float(jpx.mean()) / 255.0
+            ref = f"rst_{did}.jpg"
+            media_rows.append({"doc_id": doc_id, "offset": 1005,
+                               "media_ref": ref, "media_bytes": jpg})
+            media_stats_rows.append({
+                "doc_id": doc_id, "offset": 1005, "media_ref": ref,
+                "width": jw, "height": jh, "channels": 1,
+                "n_bytes": len(jpg),
+                "mean_intensity": float(np.floor(jmean * 1e6 + 0.5)) / 1e6,
+                "status": "ok"})
+            thumb_rows.append({"doc_id": doc_id, "offset": 1005,
+                               "media_ref": ref,
+                               **_thumb_stats(jpx.astype(np.uint8))})
         if did % 7 == 0:
             junk = bytes((did * 31 + k * 17) % 256 for k in range(40))
             ref = f"corrupt_{did}.bin"

@@ -1,16 +1,24 @@
 """Dependency-free JPEG support: header metadata for every JPEG, plus a
-full baseline-DCT pixel decoder for the grayscale single-scan profile
-(ISO/IEC 10918-1: SOF0, one component, no restart markers).
+full DCT pixel decoder for the baseline (SOF0) AND progressive (SOF2)
+Huffman profiles of ISO/IEC 10918-1, including restart intervals
+(DRI/RSTn).
 
-A 100 TB multimodal corpus is mostly JPEG. `jpeg_dims` reads only the SOFn
+A 100 TB multimodal corpus is mostly JPEG — and the web-crawl slice is
+heavily PROGRESSIVE, so a baseline-only decoder silently degrades the
+dominant profile to metadata-only rows. `jpeg_dims` reads only the SOFn
 header — the metadata surface the reference touches through fitz pixmap
-metadata (parsers/dots_ocr/__main__.py:111-118). `jpeg_decode_gray` goes
-further for the dominant archival-scan profile: DQT/DHT/SOF0/SOS parse,
-canonical Huffman decode of the entropy stream (DC categories + AC
-run-length with ZRL/EOB), dequantize, inverse zigzag, separable float
-IDCT, level shift, clamp. Profiles outside that scope (color, progressive,
-restart-interval streams) raise — callers degrade to the header-only
-metadata contract rather than failing the task (X4 isolation).
+metadata (parsers/dots_ocr/__main__.py:111-118). `jpeg_decode` goes
+further: DQT/DHT/SOF/SOS parse, canonical Huffman decode of every scan
+into a per-component coefficient store (sequential scans per F.2.2;
+progressive DC-first/DC-refine/AC-first/AC-refine with EOB runs and
+successive-approximation correction bits per G.2), restart-marker resync
+with predictor/EOB-run reset, then one vectorized dequantize + inverse
+zigzag + separable float IDCT + level shift + clamp over all blocks.
+Sampling layouts: grayscale, YCbCr 4:4:4 and 4:2:0 (the layouts that
+cover virtually all real streams). Profiles outside that scope
+(arithmetic coding, 12-bit, hierarchical, exotic sampling) raise —
+callers degrade to the header-only metadata contract rather than
+failing the task (X4 isolation).
 """
 
 from __future__ import annotations
@@ -96,7 +104,8 @@ for _k in range(8):
 class _BitReader:
     """MSB-first bit reader over the entropy-coded segment with 0xFF00
     byte-unstuffing; raises at any marker (EOI ends a well-formed scan —
-    trailing pad bits before it are legal and simply never requested)."""
+    trailing pad bits before it are legal and simply never requested).
+    `restart` consumes an expected RSTn marker at a byte boundary."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -128,6 +137,21 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def restart(self, expected: int) -> None:
+        """Byte-align (discarding pad bits) and consume RSTn, verifying
+        the 0..7 cycling counter against `expected` to catch desync."""
+        self.nbits = 0
+        p = self.pos
+        d = self.data
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1  # fill bytes
+        if (p + 1 >= len(d) or d[p] != 0xFF
+                or not 0xD0 <= d[p + 1] <= 0xD7):
+            raise ValueError("missing restart marker")
+        if (d[p + 1] & 0x07) != (expected & 0x07):
+            raise ValueError("restart marker out of sequence")
+        self.pos = p + 2
 
 
 def _build_huffman(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
@@ -161,24 +185,123 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _read_seq_block(br, cof, dct, act, pred):
+    """Sequential (baseline) block decode per F.2.2: DC diff + AC
+    run-length with ZRL/EOB, into the 64-int coefficient view."""
+    t = _huff_decode(br, dct)
+    pred += _extend(br.read_bits(t), t)
+    cof[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(br, act)
+        r, s_ = rs >> 4, rs & 0x0F
+        if s_ == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC index overflow")
+        cof[_ZIGZAG[k]] = _extend(br.read_bits(s_), s_)
+        k += 1
+    return pred
+
+
+def _read_ac_first(br, cof, act, ss, se, al, eobrun):
+    """Progressive AC initial scan (G.2.2): spectral band [ss, se] at
+    successive-approximation low bit `al`, with EOB-run batching."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, act)
+        r, s_ = rs >> 4, rs & 0x0F
+        if s_ == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC band overflow")
+        cof[_ZIGZAG[k]] = _extend(br.read_bits(s_), s_) << al
+        k += 1
+    return eobrun
+
+
+def _read_ac_refine(br, cof, act, ss, se, al, eobrun):
+    """Progressive AC refinement scan (G.1.2.3): one correction bit per
+    already-nonzero coefficient, newly-significant coefficients arrive
+    as +-1 at bit position `al`, EOB runs still carry correction bits."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, act)
+            r, s_ = rs >> 4, rs & 0x0F
+            newval = 0
+            if s_:
+                if s_ != 1:
+                    raise ValueError("bad AC refinement symbol")
+                newval = p1 if br.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read_bits(r)
+                break  # remaining positions handled by the EOB block
+            # advance over r zero-history positions, correcting nonzero
+            while k <= se:
+                z = _ZIGZAG[k]
+                if cof[z]:
+                    if br.read_bit() and not (cof[z] & p1):
+                        cof[z] += p1 if cof[z] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                cof[_ZIGZAG[k]] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = _ZIGZAG[k]
+            if cof[z] and br.read_bit() and not (cof[z] & p1):
+                cof[z] += p1 if cof[z] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def jpeg_decode(data: bytes) -> "np.ndarray":
-    """Decode a baseline JPEG (SOF0, single interleaved scan, no restart
-    interval) to uint8 pixels: (h, w) for grayscale, (h, w, 3) RGB for
-    YCbCr color with 4:4:4 or 4:2:0 sampling (the two layouts that cover
-    virtually all archival scans). Raises ValueError for any stream
-    outside that profile or malformed within it."""
+    """Decode a Huffman-coded JPEG — baseline (SOF0) or progressive
+    (SOF2), with or without restart intervals — to uint8 pixels:
+    (h, w) for grayscale, (h, w, 3) RGB for YCbCr color with 4:4:4 or
+    4:2:0 sampling (the layouts that cover virtually all real streams).
+    Every scan decodes into a per-component coefficient store; pixels
+    materialize once at the end via a single vectorized
+    dequantize + IDCT pass. Raises ValueError for any stream outside
+    that profile or malformed within it."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (missing SOI)")
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     width = height = 0
+    progressive = False
+    ri = 0  # restart interval in MCUs/blocks (0 = none)
     comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
-    scan_sel: list[tuple[int, int, int]] = []    # (comp_idx, dc_id, ac_id)
+    coefs: list[np.ndarray] = []                 # (BH, BW, 64) int32
+    bdims: list[tuple[int, int]] = []            # non-interleaved dims
+    hmax = vmax = mcux = mcuy = 0
+    nscans = 0
     i = 2
     n = len(data)
-    scan_pos = -1
-    while i + 4 <= n:
+    while i + 2 <= n:
         if data[i] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = data[i + 1]
@@ -190,6 +313,8 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
             if marker == 0xD9:
                 break
             continue
+        if i + 2 > n:
+            raise ValueError("truncated JPEG segment")
         seglen = int.from_bytes(data[i:i + 2], "big")
         if seglen < 2 or i + seglen > n:
             raise ValueError("bad JPEG segment length")
@@ -219,13 +344,16 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
                     counts, syms)
                 p += 17 + total
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+            if comps:
+                raise ValueError("multiple SOF markers")
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 raise ValueError("non-8-bit precision")
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
-            if nc not in (1, 3):
+            if nc not in (1, 3) or not width or not height:
                 raise ValueError("unsupported component count")
             for c in range(nc):
                 cid = seg[6 + 3 * c]
@@ -238,77 +366,63 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
                 if samp not in ([(1, 1)] * 3,
                                 [(2, 2), (1, 1), (1, 1)]):
                     raise ValueError("only 4:4:4 / 4:2:0 sampling")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            for _, hs, vs, _ in comps:
+                coefs.append(np.zeros((mcuy * vs, mcux * hs, 64),
+                                      dtype=np.int32))
+                cw = (width * hs + hmax - 1) // hmax
+                ch = (height * vs + vmax - 1) // vmax
+                bdims.append(((ch + 7) // 8, (cw + 7) // 8))
         elif marker in _SOF_MARKERS:
-            raise ValueError("non-baseline SOF")
+            raise ValueError("unsupported SOF profile")
         elif marker == 0xDD:  # DRI
-            if int.from_bytes(seg[0:2], "big") != 0:
-                raise ValueError("restart intervals unsupported")
+            ri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
-            if seg[0] != len(comps) or not comps:
-                raise ValueError("scan/frame component mismatch")
+            if not comps:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            if not 1 <= ns <= len(comps) or len(seg) < 4 + 2 * ns:
+                raise ValueError("bad scan header")
             by_id = {c[0]: k for k, c in enumerate(comps)}
-            for c in range(seg[0]):
+            scan_sel = []
+            for c in range(ns):
                 cid = seg[1 + 2 * c]
                 tt = seg[2 + 2 * c]
                 if cid not in by_id:
                     raise ValueError("unknown scan component")
                 scan_sel.append((by_id[cid], tt >> 4, tt & 0x0F))
-            scan_pos = i + seglen
-            break
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("spectral selection in sequential scan")
+            if progressive and ss > 0 and ns != 1:
+                raise ValueError("interleaved progressive AC scan")
+            if not 0 <= ss <= se <= 63:
+                raise ValueError("bad spectral band")
+            i = _decode_scan(data, i + seglen, scan_sel, ss, se, ah, al,
+                             comps, coefs, bdims, mcux, mcuy, ri,
+                             huff_dc, huff_ac, progressive)
+            nscans += 1
+            continue
         i += seglen
-    if scan_pos < 0 or not width or not height:
+    if not nscans:
         raise ValueError("no scan data")
     for _, _, _, tq in comps:
         if tq not in quant:
             raise ValueError("missing quant table")
-    for _, dc_id, ac_id in scan_sel:
-        if dc_id not in huff_dc or ac_id not in huff_ac:
-            raise ValueError("missing Huffman table")
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # one vectorized dequantize + inverse DCT over every block
     planes = []
-    for _, hs, vs, _ in comps:
-        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8),
-                               dtype=np.float64))
-    br = _BitReader(data, scan_pos)
-    preds = [0] * len(comps)
-
-    def read_block(dct_t, act_t, q, pred):
-        coef = np.zeros(64, dtype=np.float64)
-        t = _huff_decode(br, dct_t)
-        pred += _extend(br.read_bits(t), t)
-        coef[0] = pred
-        k = 1
-        while k < 64:
-            rs = _huff_decode(br, act_t)
-            r, s_ = rs >> 4, rs & 0x0F
-            if s_ == 0:
-                if r == 15:  # ZRL
-                    k += 16
-                    continue
-                break  # EOB
-            k += r
-            if k > 63:
-                raise ValueError("AC index overflow")
-            coef[_ZIGZAG[k]] = _extend(br.read_bits(s_), s_)
-            k += 1
-        return _A.T @ (coef.reshape(8, 8) * q) @ _A, pred
-
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for si, (ci, dc_id, ac_id) in enumerate(scan_sel):
-                _, hs, vs, tq = comps[ci]
-                q = quant[tq].astype(np.float64)
-                for by in range(vs):
-                    for bx in range(hs):
-                        block, preds[ci] = read_block(
-                            huff_dc[dc_id], huff_ac[ac_id], q, preds[ci])
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+    for ci, (_, hs, vs, tq) in enumerate(comps):
+        bh, bw = coefs[ci].shape[:2]
+        c = (coefs[ci].astype(np.float64).reshape(bh, bw, 8, 8)
+             * quant[tq].astype(np.float64))
+        blocks = np.einsum("ki,yxkl,lj->yxij", _A, c, _A, optimize=True)
+        planes.append(blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
 
     if len(comps) == 1:
         img = np.clip(np.round(planes[0][:height, :width] + 128), 0, 255)
@@ -327,6 +441,100 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(data, pos, scan_sel, ss, se, ah, al, comps, coefs,
+                 bdims, mcux, mcuy, ri, huff_dc, huff_ac, progressive):
+    """Decode one scan's entropy-coded data into the coefficient store;
+    returns the byte offset of the next marker. Handles interleaved
+    (MCU-ordered) and single-component (block-raster) scans, restart
+    markers (predictor + EOB-run reset every `ri` units), and all four
+    progressive scan kinds."""
+    for ci, dc_id, ac_id in scan_sel:
+        need_dc = ss == 0 and ah == 0 or not progressive
+        need_ac = se > 0 or not progressive
+        if need_dc and dc_id not in huff_dc:
+            raise ValueError("missing DC Huffman table")
+        if need_ac and ac_id not in huff_ac:
+            raise ValueError("missing AC Huffman table")
+    br = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    eobrun = 0
+    rst_n = 0
+    units_to_go = ri
+
+    def maybe_restart():
+        nonlocal eobrun, rst_n, units_to_go, preds
+        if ri == 0:
+            return
+        units_to_go -= 1
+        if units_to_go == 0:
+            br.restart(rst_n)
+            rst_n = (rst_n + 1) & 0x07
+            preds[:] = [0] * len(comps)
+            eobrun = 0
+            units_to_go = ri
+
+    def decode_unit_block(ci, dc_id, ac_id, by, bx):
+        nonlocal eobrun
+        cof = coefs[ci][by, bx]
+        if not progressive:
+            preds[ci] = _read_seq_block(
+                br, cof, huff_dc[dc_id], huff_ac[ac_id], preds[ci])
+        elif ss == 0 and ah == 0:  # DC initial
+            t = _huff_decode(br, huff_dc[dc_id])
+            preds[ci] += _extend(br.read_bits(t), t)
+            cof[0] = preds[ci] << al
+        elif ss == 0:  # DC refinement: one bit per block
+            if br.read_bit():
+                cof[0] |= 1 << al
+        elif ah == 0:  # AC initial
+            eobrun = _read_ac_first(
+                br, cof, huff_ac[ac_id], ss, se, al, eobrun)
+        else:  # AC refinement
+            eobrun = _read_ac_refine(
+                br, cof, huff_ac[ac_id], ss, se, al, eobrun)
+
+    if len(scan_sel) > 1:  # interleaved: MCU order
+        last_unit = mcuy * mcux
+        done = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, dc_id, ac_id in scan_sel:
+                    _, hs, vs, _ = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            decode_unit_block(ci, dc_id, ac_id,
+                                              my * vs + by, mx * hs + bx)
+                done += 1
+                if done < last_unit:
+                    maybe_restart()
+    else:  # single-component scan: component block raster order
+        ci, dc_id, ac_id = scan_sel[0]
+        bh, bw = bdims[ci]
+        done = 0
+        for by in range(bh):
+            for bx in range(bw):
+                decode_unit_block(ci, dc_id, ac_id, by, bx)
+                done += 1
+                if done < bh * bw:
+                    maybe_restart()
+
+    # byte-align and locate the next marker (skipping stuffed bytes and
+    # any trailing restart marker of the final interval)
+    p = br.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if data[p + 1] == 0xFF:
+                p += 1
+                continue
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("no marker after scan")
 
 
 def jpeg_decode_gray(data: bytes) -> "np.ndarray":

@@ -128,7 +128,8 @@ def decode_media(media_df: DataFrame, rebalance: bool = True) -> DataFrame:
                                 float(np.floor(mean * 1e6 + 0.5)) / 1e6)
                             out["status"].append("ok")
                         except ValueError:
-                            # outside the baseline-grayscale decode profile:
+                            # outside the decodable profile (header-only
+                            # stream, arithmetic coding, exotic sampling):
                             # honest metadata from the SOFn header
                             w, h, ch = jpeg_dims(raw)
                             out["width"].append(w)

@@ -383,3 +383,64 @@ def test_y4m_parse_and_video_frames(spark, fx_smoke):
     got = video_frames(files)
     assert got.exceptAll(golden).isEmpty()
     assert golden.exceptAll(got).isEmpty()
+
+
+def test_jpeg_progressive_roundtrip():
+    """Progressive (SOF2) profile: five-scan successive-approximation
+    streams (DC first/refine, AC first/refine with EOB runs and
+    correction bits, EOB tail band) must decode bit-exactly to the
+    closed-form IDCT golden, across block grids, edge crops, AC value
+    mixes and in-scan restart intervals."""
+    import numpy as np
+
+    from pdf_parse_bench_spark.fixtures import (
+        _mk_progressive_gray_jpeg_with_stats)
+    from pdf_parse_bench_spark.kernels.jpeg import jpeg_decode, jpeg_dims
+
+    for did in range(24):
+        data, stats, px = _mk_progressive_gray_jpeg_with_stats(did)
+        img = jpeg_decode(data)
+        assert img.shape == px.shape
+        assert (img == px).all(), f"did={did}"
+        assert jpeg_dims(data) == (stats["width"], stats["height"], 1)
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """Baseline DRI/RSTn: the decoder must byte-align at each restart
+    marker, verify the 0-7 cycle, and reset DC predictors — wrong
+    predictor handling shifts every block after the first marker."""
+    import numpy as np
+
+    from pdf_parse_bench_spark.fixtures import _mk_gray_jpeg
+    from pdf_parse_bench_spark.kernels.jpeg import jpeg_decode_gray
+
+    rng = np.random.default_rng(20260817)
+    for _ in range(8):
+        bh, bw = int(rng.integers(2, 5)), int(rng.integers(2, 6))
+        blocks = rng.integers(0, 256, (bh, bw))
+        w = bw * 8 - int(rng.integers(0, 8))
+        h = bh * 8 - int(rng.integers(0, 8))
+        ri = int(rng.integers(1, bh * bw + 1))
+        data = _mk_gray_jpeg(blocks, w, h, restart_interval=ri)
+        img = jpeg_decode_gray(data)
+        expect = np.repeat(np.repeat(blocks, 8, 0), 8, 1)[:h, :w]
+        assert (img == expect).all()
+
+
+def test_jpeg_restart_desync_rejected():
+    """A restart marker with the wrong 0-7 sequence number must raise
+    (silent desync corrupts all later blocks)."""
+    import numpy as np
+    import pytest
+
+    from pdf_parse_bench_spark.fixtures import _mk_gray_jpeg
+    from pdf_parse_bench_spark.kernels.jpeg import jpeg_decode_gray
+
+    blocks = np.arange(6).reshape(2, 3) * 40
+    data = bytearray(_mk_gray_jpeg(blocks, 24, 16, restart_interval=1))
+    # corrupt the first RSTn (0xFFD0) into RST3 (0xFFD3)
+    i = data.find(b"\xff\xd0")
+    assert i > 0
+    data[i + 1] = 0xD3
+    with pytest.raises(ValueError):
+        jpeg_decode_gray(bytes(data))
