@@ -54,6 +54,7 @@ from pdf_parse_bench_spark.operators.extract import (  # noqa: E402
 )
 from pdf_parse_bench_spark.operators.extract import (  # noqa: E402
     pdf_encrypt_audit as pdf_encrypt_audit_op,
+    pdf_image_stats_op,
     pdf_spans as pdf_spans_op,
 )
 from pdf_parse_bench_spark.kernels import textnorm as tn  # noqa: E402
@@ -120,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rasterize_pages(_f(s, d, "pdf_docs"))
         .select("doc_id", "page_no", "width", "height", "ink_ratio")
     )
+    q["pdf_image_stats"] = lambda s, d: pdf_image_stats_op(
+        _f(s, d, "pdf_docs"))
 
     def nested_pipeline(s, d):
         """Full circle on the input_hint nested table: spans array ->
@@ -771,6 +774,11 @@ def oracle_sql() -> dict[str, str]:
     o["page_raster_stats"] = (
         "SELECT doc_id, page_no, width, height, ink_ratio "
         f"FROM '{ORACLE_FX}/golden_raster_stats.parquet'"
+    )
+    o["pdf_image_stats"] = (
+        "SELECT doc_id, page_no, seq, media_ref, px_w, px_h, "
+        "mean_intensity, decoded "
+        f"FROM '{ORACLE_FX}/golden_pdf_images.parquet'"
     )
     o["pdf_encrypt_audit"] = (
         "SELECT doc_id, scheme, decrypt_ok "

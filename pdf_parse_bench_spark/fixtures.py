@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v38"  # bump to force regeneration
+FIXTURE_VERSION = "v39"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -1457,6 +1457,29 @@ def generate_pdf(doc_id: int, spans: list[dict]
     lines = [s["text"] for s in spans if s["kind"] == "text"]
     pages: list[dict] = []  # {streams: [bytes], letter: bool}
     golden_entries: list[tuple[int, str, str]] = []  # (page, kind, text)
+    # embedded image payloads, fixed per doc (placed per page below):
+    # /Im1 — raw 4x4 DeviceGray raster; /Im2 — a REAL JPEG behind
+    # /DCTDecode (baseline for even docs, five-scan PROGRESSIVE for odd
+    # docs, restart intervals mixed in) so the in-PDF image decode path
+    # (pdftext._image_pixels -> kernels/jpeg) is proven on both profiles
+    im1_px = bytes((doc_id * 7 + k) % 256 for k in range(16))
+    im1_mean = float(np.frombuffer(im1_px, dtype=np.uint8).mean()) / 255.0
+    if doc_id % 2:
+        im2_jpg, im2_stats, im2_arr = \
+            _mk_progressive_gray_jpeg_with_stats(doc_id)
+    else:
+        im2_jpg, im2_stats, im2_arr = _mk_gray_jpeg_with_stats(doc_id)
+    im2_w, im2_h = im2_stats["width"], im2_stats["height"]
+    im2_mean = float(im2_arr.astype(np.float64).mean()) / 255.0
+    image_rows: list[dict] = []  # golden per painted image (M11 pixels)
+
+    def _image_row(pg, x, ytop, w, h, pw, ph, mean):
+        image_rows.append({
+            "page_no": pg, "seq": len(image_rows),
+            "media_ref": f"page_{x}_{ytop}_{w}_{h}.png",
+            "px_w": pw, "px_h": ph,
+            "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
+            "decoded": True})
     pos = 0
     while pos < len(lines) or not pages:
         two_col = bool(rng.random() < 0.4)
@@ -1538,7 +1561,21 @@ def generate_pdf(doc_id: int, spans: list[dict]
             golden_entries.append(
                 (pg, "image", "",
                  f"page_72_{round(page_h - y0)}_{iw}_{ih}.png"))
+            _image_row(pg, 72, round(page_h - y0), iw, ih, 4, 4, im1_mean)
             y0 -= ih + 12.0
+        if rng.random() < 0.25:
+            # embedded JPEG figure via /DCTDecode (/Im2): painted through
+            # its own CTM; the rasterizer must ink the DECODED pixels and
+            # pdf_image_stats must report its true mean
+            iw2, ih2 = 120 + 8 * (doc_id % 4), 56 + 8 * (pg % 3)
+            iy2 = y0 - ih2
+            ops.append(f"q {iw2} 0 0 {ih2} 300.0 {iy2:.1f} cm /Im2 Do Q")
+            golden_entries.append(
+                (pg, "image", "",
+                 f"page_300_{round(page_h - y0)}_{iw2}_{ih2}.png"))
+            _image_row(pg, 300, round(page_h - y0), iw2, ih2,
+                       im2_w, im2_h, im2_mean)
+            y0 -= ih2 + 12.0
         for x, col_lines, max_w in cols:
             col_ops, emitted = _emit_column(x, y0, col_lines, rng,
                                             size=size, max_w=max_w)
@@ -1585,7 +1622,8 @@ def generate_pdf(doc_id: int, spans: list[dict]
         page["streams"] = streams
 
     # objects: 1=Catalog 2=Pages 3=F1 4=F2 5=F3 6=CMap 7=F4 8=CIDCMap
-    # 9=FormA4 10=FormLetter 11=F5 (math face) 12=Im1 (image XObject),
+    # 9=FormA4 10=FormLetter 11=F5 (math face) 12=Im1 (raw image
+    # XObject) 13=Im2 (DCTDecode JPEG image XObject),
     # then per page:
     # streams, page dict. MediaBox + Resources live on the Pages node
     # (inheritance path); Letter pages override MediaBox locally.
@@ -1618,10 +1656,15 @@ def generate_pdf(doc_id: int, spans: list[dict]
                 b"/BaseFont /SYNTH+LMMathItalic12-Regular >>")
     # Image XObject (M11): pixel dims differ from every placement CTM so
     # the extractor provably reads geometry from the CTM, not the dict
-    img_px = bytes((doc_id * 7 + k) % 256 for k in range(16))
     objs.append(b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
                 b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 16 >>"
-                b"\nstream\n%s\nendstream" % img_px)
+                b"\nstream\n%s\nendstream" % im1_px)
+    # embedded JPEG image XObject (13 = Im2): stream IS the JPEG file,
+    # /Filter /DCTDecode — the dominant real-world embedded-figure layout
+    objs.append(b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                b"/Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream"
+                % (im2_w, im2_h, len(im2_jpg), im2_jpg))
     page_nums: list[int] = []
     for page in pages:
         snums = []
@@ -1640,7 +1683,7 @@ def generate_pdf(doc_id: int, spans: list[dict]
     objs[1] = (b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 595 842] "
                b"/Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 5 0 R "
                b"/F4 7 0 R /F5 11 0 R >> "
-               b"/XObject << /FmA 9 0 R /FmL 10 0 R /Im1 12 0 R >> >> >>"
+               b"/XObject << /FmA 9 0 R /FmL 10 0 R /Im1 12 0 R /Im2 13 0 R >> >> >>"
                % (kids, len(page_nums)))
 
     # ~30% of docs ship in the PDF 1.5 modern layout (xref STREAM +
@@ -1678,7 +1721,7 @@ def generate_pdf(doc_id: int, spans: list[dict]
         pdf = encrypt_pdf(pdf, scheme, seed=int(doc_id))
 
     return (pdf, "\n".join(e[2] for e in golden_entries if len(e) < 4),
-            _merge_pdf_spans(golden_entries), scheme)
+            _merge_pdf_spans(golden_entries), scheme, image_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -1748,6 +1791,7 @@ def ensure_fixtures(sf_dir: str) -> Path:
     web_rows = []
     render_rows = []
     pdf_span_rows = []
+    pdf_image_rows = []
     for rec in base.itertuples(index=False):
         did = int(rec.doc_id)
         doc_id = f"{did:09d}"
@@ -1807,14 +1851,16 @@ def ensure_fixtures(sf_dir: str) -> Path:
                                 "category": cat, "text": txt})
         for g in golden_layout:
             golden_layout_rows.append({"doc_id": doc_id, **g})
-        pdf_bytes, pdf_text, pdf_span_list, enc_scheme = \
-            generate_pdf(did, spans)
+        pdf_bytes, pdf_text, pdf_span_list, enc_scheme, img_stat_rows \
+            = generate_pdf(did, spans)
         pdf_rows.append({"doc_id": doc_id, "pdf_bytes": pdf_bytes})
         pdf_text_rows.append({"doc_id": doc_id, "text": pdf_text})
         pdf_enc_rows.append({"doc_id": doc_id, "scheme": enc_scheme,
                              "decrypt_ok": True})
         for ps in pdf_span_list:
             pdf_span_rows.append({"doc_id": doc_id, **ps})
+        for ir in img_stat_rows:
+            pdf_image_rows.append({"doc_id": doc_id, **ir})
         # raster-stats golden: pinned regression artifact — the deterministic
         # rasterizer is its own spec (the reference's M5 relies on fitz the
         # same way); this locks page count, pixmap geometry and ink ratio
@@ -2049,6 +2095,12 @@ def ensure_fixtures(sf_dir: str) -> Path:
     _write("golden_pdf_enc.parquet", pdf_enc_rows,
            pa.schema([("doc_id", pa.string()), ("scheme", pa.string()),
                       ("decrypt_ok", pa.bool_())]))
+    _write("golden_pdf_images.parquet", pdf_image_rows,
+           pa.schema([("doc_id", pa.string()), ("page_no", pa.int32()),
+                      ("seq", pa.int32()), ("media_ref", pa.string()),
+                      ("px_w", pa.int32()), ("px_h", pa.int32()),
+                      ("mean_intensity", pa.float64()),
+                      ("decoded", pa.bool_())]))
     _write("golden_raster_stats.parquet", raster_rows,
            pa.schema([("doc_id", pa.string()), ("page_no", pa.int32()),
                       ("width", pa.int32()), ("height", pa.int32()),

@@ -376,6 +376,7 @@ class _PdfDoc:
         self._freed: set[int] = set()  # free ('f'/type-0) entries, newest-wins
         self._cache: dict[int, tuple] = {}
         self._objstm_cache: dict[int, list] = {}
+        self._img_cache: dict[int, object] = {}
         self._crypt = None  # must exist before any get_object call
         self._encrypt_num = -1
         try:
@@ -718,13 +719,73 @@ class _PdfDoc:
         yield (body, self._fonts(resources),
                self._xobject_lookup(resources), page_w, page_h)
 
+    def _image_pixels(self, ref, d: dict, w: int, h: int):
+        """Decoded grayscale pixels (uint8 (h, w)) for an Image XObject,
+        or None when the data is outside the decodable profile (the span
+        then stays geometry-only — the M11 contract). DCTDecode streams
+        decode through the from-scratch JPEG kernel (baseline AND
+        progressive; color collapses to Rec.601 luma); filterless or
+        Flate 8-bit DeviceGray/DeviceRGB rasters reshape directly.
+        Cached per object number — one decode per image however many
+        pages paint it."""
+        key = int(ref) if isinstance(ref, _Ref) else None
+        if key is not None and key in self._img_cache:
+            return self._img_cache[key]
+        px = None
+        try:
+            filt = self.resolve(d.get("Filter"))
+            filters = [str(self.resolve(f)) for f in (
+                filt if isinstance(filt, list)
+                else [filt] if filt else [])]
+            _, raw = self.get_object(int(ref)) if isinstance(ref, _Ref) \
+                else (None, None)
+            if raw is not None and w > 0 and h > 0:
+                if filters and filters[-1] in ("DCTDecode", "DCT"):
+                    from pdf_parse_bench_spark.kernels.jpeg import (
+                        jpeg_decode)
+                    body = raw
+                    if len(filters) > 1:  # pre-filters ahead of the JPEG
+                        pre = dict(d)
+                        pre["Filter"] = filters[:-1]
+                        body = self._decode_stream(pre, raw)
+                    img = jpeg_decode(body)
+                    if img.ndim == 3:
+                        img = np.clip(np.round(
+                            0.299 * img[..., 0].astype(np.float64)
+                            + 0.587 * img[..., 1] + 0.114 * img[..., 2]),
+                            0, 255).astype(np.uint8)
+                    px = img
+                else:
+                    body = self._decode_stream(d, raw)
+                    bpc = int(self.resolve(
+                        d.get("BitsPerComponent", 8)) or 8)
+                    cs = str(self.resolve(d.get("ColorSpace", "")))
+                    if bpc == 8 and "Gray" in cs and len(body) >= w * h:
+                        px = np.frombuffer(
+                            body[:w * h], dtype=np.uint8).reshape(h, w)
+                    elif bpc == 8 and "RGB" in cs and len(body) >= 3 * w * h:
+                        arr = np.frombuffer(
+                            body[:3 * w * h],
+                            dtype=np.uint8).reshape(h, w, 3)
+                        px = np.clip(np.round(
+                            0.299 * arr[..., 0].astype(np.float64)
+                            + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]),
+                            0, 255).astype(np.uint8)
+        except Exception:
+            px = None
+        if key is not None:
+            self._img_cache[key] = px
+        return px
+
     def _xobject_lookup(self, resources):
         """Closure resolving a /XObject name for the `Do` operator (§8.10):
         ("form", body, fonts, sub_lookup) for Form XObjects (forms inherit
-        the parent resources when they carry none) or ("image", w_px, h_px)
-        for Image XObjects (M11 — the figure surface dots.ocr reports as
-        Picture blocks, parsers/dots_ocr/__main__.py:125-142; placement
-        comes from the CTM at the Do site, not from these pixel dims)."""
+        the parent resources when they carry none) or
+        ("image", w_px, h_px, pixels_or_None) for Image XObjects (M11 —
+        the figure surface dots.ocr reports as Picture blocks,
+        parsers/dots_ocr/__main__.py:125-142; placement comes from the
+        CTM at the Do site, not from these pixel dims; pixels feed the
+        rasterizer's figure ink, see _image_pixels)."""
         def lookup(name: str):
             res = self.resolve(resources)
             if not isinstance(res, dict):
@@ -739,10 +800,11 @@ class _PdfDoc:
             sub = str(d.get("Subtype", ""))
             if sub == "Image":
                 try:
-                    return ("image", int(self.resolve(d.get("Width", 0))),
-                            int(self.resolve(d.get("Height", 0))))
+                    w = int(self.resolve(d.get("Width", 0)))
+                    h = int(self.resolve(d.get("Height", 0)))
                 except (TypeError, ValueError):
                     return None
+                return ("image", w, h, self._image_pixels(ref, d, w, h))
             if sub != "Form":
                 return None
             body = self.stream_bytes(ref)
@@ -1456,7 +1518,8 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0,
                         xs = (e, a + e, c + e, a + c + e)
                         ys = (f, b + f, d + f, b + d + f)
                         x0, y0 = min(xs), min(ys)
-                        images.append((x0, y0, max(xs) - x0, max(ys) - y0))
+                        images.append((x0, y0, max(xs) - x0,
+                                       max(ys) - y0, sub[3]))
             elif op == b"BI":  # inline image: record rect, skip to EI
                 if images is not None:
                     # an inline image paints the unit square through the
@@ -1465,7 +1528,8 @@ def _page_runs(content: bytes, fonts: dict, xobj_fn=None, depth: int = 0,
                     xs = (e, a + e, c + e, a + c + e)
                     ys = (f, b + f, d + f, b + d + f)
                     x0, y0m = min(xs), min(ys)
-                    images.append((x0, y0m, max(xs) - x0, max(ys) - y0m))
+                    images.append((x0, y0m, max(xs) - x0,
+                                   max(ys) - y0m, None))
                 e = data.find(b"EI", i)
                 i = n if e < 0 else e + 2
         except (TypeError, ValueError):
@@ -1524,7 +1588,7 @@ def _runs_to_spans(runs, page_h: float,
         ("image", "",
          f"page_{round(x)}_{round(page_h - y - h)}_{round(w)}_{round(h)}.png",
          page_h - y - h)
-        for x, y, w, h in (images or [])
+        for x, y, w, h, *_px in (images or [])
     ]
     if not runs:
         return [(k, t, m) for k, t, m, _y in
@@ -1703,16 +1767,37 @@ def _runs_to_spans(runs, page_h: float,
 
 
 def page_pixmap(runs: list[tuple[float, float, str]], page_w: float,
-                page_h: float, dpi: int = 72) -> np.ndarray:
+                page_h: float, dpi: int = 72,
+                images: list | None = None) -> np.ndarray:
     """Deterministic glyph-box rasterization of one page's text runs
     (the M5 analog of fitz ``page.get_pixmap(dpi=...)``,
     parsers/dots_ocr/__main__.py:111-118): white canvas, one dark box per
     run sized by its character count — enough geometry for layout-model
-    inputs without font outlines. Returns a (h, w) uint8 grayscale array."""
+    inputs without font outlines. `images` — the
+    (x, y_pdf, w, h, pixels) rects _page_runs collects — are painted
+    FIRST (text overprints figures, the PDF z-order for a typical page):
+    decoded pixels resample into the CTM rect by exact integer
+    nearest-neighbor; geometry-only images (pixels None) leave the
+    canvas untouched. Returns a (h, w) uint8 grayscale array."""
     scale = dpi / 72.0
     w_px = max(1, int(page_w * scale))
     h_px = max(1, int(page_h * scale))
     img = np.full((h_px, w_px), 255, dtype=np.uint8)
+    for x, y_pdf, im_w, im_h, px in (images or []):
+        if px is None or getattr(px, "size", 0) == 0 \
+                or im_w <= 0 or im_h <= 0:
+            continue
+        x0 = int(x * scale)
+        y0 = int((page_h - y_pdf - im_h) * scale)
+        tw = max(1, int(im_w * scale))
+        th = max(1, int(im_h * scale))
+        ys = np.arange(th) * px.shape[0] // th
+        xs = np.arange(tw) * px.shape[1] // tw
+        cy0, cx0 = max(0, y0), max(0, x0)
+        cy1, cx1 = min(h_px, y0 + th), min(w_px, x0 + tw)
+        if cy1 > cy0 and cx1 > cx0:
+            img[cy0:cy1, cx0:cx1] = px[ys[cy0 - y0:cy1 - y0]][
+                :, xs[cx0 - x0:cx1 - x0]]
     for x, y_pdf, run_w, run_h, _text, _m in runs:
         run_w = run_w or _RUN_W
         run_h = run_h or _LINE_H
@@ -1737,11 +1822,55 @@ def rasterize_pdf(pdf_bytes: bytes, dpi: int = 72):
     except Exception:
         pages = []
     for page_no, (body, fonts, xobj_fn, page_w, page_h) in enumerate(pages):
-        runs = _page_runs(body, fonts, xobj_fn) if body else []
-        img = page_pixmap(runs, page_w or 595.0, page_h or PAGE_H, dpi)
+        images: list = []
+        runs = _page_runs(body, fonts, xobj_fn, images=images) \
+            if body else []
+        img = page_pixmap(runs, page_w or 595.0, page_h or PAGE_H, dpi,
+                          images=images)
         ink = float((img < 128).mean())
         yield (page_no, encode_png(img), img.shape[1], img.shape[0],
                float(np.floor(ink * 1e6 + 0.5)) / 1e6)
+
+
+def pdf_image_stats(pdf_bytes: bytes) -> list[dict]:
+    """Per painted image (every `Do` of an Image XObject / inline image,
+    page order then content-stream op order): the placement ref
+    (page_<x>_<ytop>_<w>_<h>.png, the M11 figure-ref convention), the
+    TRUE pixel dims and mean intensity when the image data decodes
+    (DCTDecode via kernels/jpeg — baseline and progressive — or raw/
+    Flate 8-bit rasters, see _PdfDoc._image_pixels), and
+    decoded=False with null stats otherwise — the pixel surface the
+    reference reaches through fitz pixmaps
+    (parsers/dots_ocr/__main__.py:111-118) for embedded figures."""
+    out: list[dict] = []
+    try:
+        doc = _PdfDoc(pdf_bytes)
+        pages = list(doc.pages())
+    except Exception:
+        return out
+    for page_no, (body, fonts, xobj_fn, _page_w, page_h) in \
+            enumerate(pages):
+        images: list = []
+        if body:
+            _page_runs(body, fonts, xobj_fn, images=images)
+        for x, y, w, h, px in images:
+            ref = (f"page_{round(x)}_{round(page_h - y - h)}"
+                   f"_{round(w)}_{round(h)}.png")
+            if px is not None and getattr(px, "size", 0):
+                mean = float(px.astype(np.float64).mean()) / 255.0
+                out.append({
+                    "page_no": page_no, "seq": len(out),
+                    "media_ref": ref,
+                    "px_w": int(px.shape[1]), "px_h": int(px.shape[0]),
+                    "mean_intensity":
+                        float(np.floor(mean * 1e6 + 0.5)) / 1e6,
+                    "decoded": True})
+            else:
+                out.append({
+                    "page_no": page_no, "seq": len(out),
+                    "media_ref": ref, "px_w": None, "px_h": None,
+                    "mean_intensity": None, "decoded": False})
+    return out
 
 
 # ---------------------------------------------------------------------------

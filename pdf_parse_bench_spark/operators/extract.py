@@ -311,6 +311,40 @@ def rasterize_pages(pdf_df: DataFrame, dpi: int = 72,
     )
 
 
+def pdf_image_stats_op(pdf_df: DataFrame,
+                       rebalance: bool = True) -> DataFrame:
+    """Embedded-figure pixel stats: PDF bytes → one row per painted
+    image (doc_id, page_no, seq, media_ref, px_w, px_h, mean_intensity,
+    decoded) via kernels/pdftext.pdf_image_stats — DCTDecode streams
+    (baseline AND progressive JPEG) and raw/Flate rasters decode to true
+    means; undecodable data degrades to decoded=false rows, never an
+    abort (X4). Same pruned-scan → size-rebalance → mapInPandas shape as
+    the other PDF fan-outs."""
+    from pdf_parse_bench_spark.kernels.pdftext import pdf_image_stats
+
+    if rebalance:
+        pdf_df = rebalance_by_size(pdf_df, size_col=F.length("pdf_bytes"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "page_no", "seq", "media_ref", "px_w", "px_h",
+                "mean_intensity", "decoded"]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, b in zip(pdf["doc_id"], pdf["pdf_bytes"]):
+                for row in pdf_image_stats(bytes(b)):
+                    out["doc_id"].append(doc_id)
+                    for c in cols[1:]:
+                        out[c].append(row[c])
+            yield pd.DataFrame(out)
+
+    return pdf_df.mapInPandas(
+        run,
+        schema=("doc_id string, page_no int, seq int, media_ref string, "
+                "px_w int, px_h int, mean_intensity double, "
+                "decoded boolean"),
+    )
+
+
 def align_extractions(md_df: DataFrame, golden_df: DataFrame,
                       boilerplate: frozenset[str] | None = None) -> DataFrame:
     """GT-guided alignment (reference extract stage): cogroup markdown with

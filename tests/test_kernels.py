@@ -266,7 +266,7 @@ def test_pdf_escapes():
     from pdf_parse_bench_spark.fixtures import generate_pdf
     spans = [{"kind": "text", "text": "parens (and) back\\slash", "media_ref": "",
               "offset": 0, "complexity": None}]
-    pdf, golden, _spans, _scheme = generate_pdf(3, spans)
+    pdf, golden, _spans, _scheme, _imgs = generate_pdf(3, spans)
     # the generator may prepend a decoration line; the content line must
     # round-trip exactly
     assert extract_pdf_text(pdf) == golden
@@ -417,7 +417,7 @@ def test_pdf_roundtrip_property(doc_id, texts):
     from pdf_parse_bench_spark.fixtures import generate_pdf
     spans = [{"kind": "text", "text": t, "media_ref": "", "offset": i,
               "complexity": None} for i, t in enumerate(texts)]
-    pdf, golden, golden_spans, _scheme = generate_pdf(doc_id, spans)
+    pdf, golden, golden_spans, _scheme, _imgs = generate_pdf(doc_id, spans)
     assert extract_pdf_text(pdf) == golden
     # the span golden agrees with the text golden line-for-line (image
     # spans carry no text and are absent from the text golden)

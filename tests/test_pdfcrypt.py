@@ -71,7 +71,7 @@ def _fixture_pdf(did: int):
     spans = fx.generate_doc_spans(
         did, fx._mk_text(["alpha", "beta", "gamma", "delta"],
                          fx._doc_rng(did)))
-    pdf, _txt, _entries, _scheme = fx.generate_pdf(did, spans)
+    pdf, _txt, _entries, _scheme, _imgs = fx.generate_pdf(did, spans)
     return pdf
 
 

@@ -759,3 +759,80 @@ def test_tc_tw_tz_affect_advance_geometry():
     assert wide_tc[0][2] > base[0][2]   # +5pt per glyph
     assert wide_tw[0][2] > base[0][2]   # +20pt for the space
     assert abs(narrow[0][2] - base[0][2] / 2) < 1e-6  # Tz 50 halves width
+
+
+def _mini_pdf(objs):
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, b in enumerate(objs, start=1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + b + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for o in offs:
+        out += b"%010d 00000 n \n" % o
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref))
+    return bytes(out)
+
+
+def test_embedded_jpeg_inks_raster_and_reports_stats():
+    """A DCTDecode Image XObject must DECODE inside the PDF (baseline and
+    progressive JPEG alike): pdf_image_stats reports its true pixel dims
+    and mean, and rasterize_pdf inks the figure rect — the ink ratio is
+    checked against a closed-form expectation (dark image area /
+    page area), not against the rasterizer itself."""
+    import numpy as np
+
+    from pdf_parse_bench_spark.fixtures import (
+        _mk_gray_jpeg, _mk_progressive_gray_jpeg_with_stats)
+    from pdf_parse_bench_spark.kernels.pdftext import (
+        pdf_image_stats, rasterize_pdf)
+
+    # all-dark baseline JPEG: 2x2 blocks of value 10 (< 128 everywhere)
+    blocks = np.full((2, 2), 10, dtype=np.int64)
+    jpg = _mk_gray_jpeg(blocks, 16, 16)
+    # paint it over a 200x100 rect at (50, 600) on an A4 page
+    body = b"q 200 0 0 100 50 600 cm /ImJ Do Q"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 595 842] /Resources << "
+        b"/XObject << /ImJ 4 0 R >> >> >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        b"<< /Type /XObject /Subtype /Image /Width 16 /Height 16 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+        b"/Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream"
+        % (len(jpg), jpg),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body),
+    ]
+    pdf = _mini_pdf(objs)
+
+    rows = pdf_image_stats(pdf)
+    assert rows == [{
+        "page_no": 0, "seq": 0, "media_ref": "page_50_142_200_100.png",
+        "px_w": 16, "px_h": 16,
+        "mean_intensity": float(np.floor(10 / 255.0 * 1e6 + 0.5)) / 1e6,
+        "decoded": True}]
+
+    pages = list(rasterize_pdf(pdf))
+    assert len(pages) == 1
+    _no, _png, w, h, ink = pages[0]
+    # dark pixels = the painted rect only: 200x100 pt at 72 dpi
+    expect = (200 * 100) / (595 * 842)
+    assert abs(ink - expect) < 0.002
+
+    # progressive JPEG embeds decode too
+    pjpg, pstats, ppx = _mk_progressive_gray_jpeg_with_stats(7)
+    body = b"q 120 0 0 60 100 500 cm /ImP Do Q"
+    objs[1] = objs[1].replace(b"/ImJ", b"/ImP")
+    objs[3] = (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+               b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+               b"/Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream"
+               % (pstats["width"], pstats["height"], len(pjpg), pjpg))
+    objs[4] = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body)
+    rows = pdf_image_stats(_mini_pdf(objs))
+    assert len(rows) == 1 and rows[0]["decoded"]
+    assert rows[0]["px_w"] == pstats["width"]
+    assert rows[0]["px_h"] == pstats["height"]
+    assert rows[0]["mean_intensity"] == pstats["mean_intensity"]
