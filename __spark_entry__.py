@@ -1043,10 +1043,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() "
         "OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn "
         "FROM ad) WHERE rn = 1) r USING (vec_id)), "
+        "cs AS (SELECT cell, count(*) AS c FROM asg GROUP BY cell), "
+        "asg2 AS (SELECT asg.*, asg.vec_id % CAST(ceil(cs.c / "
+        f"{sim.SEMDEDUP_CELL_CAP}.0) AS BIGINT) AS sub "
+        "FROM asg JOIN cs USING (cell)), "
         "pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb, "
         "floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) "
         "* 1000000 + 0.5) / 1000000 AS cosine "
-        "FROM asg a JOIN asg b ON a.cell = b.cell "
+        "FROM asg2 a JOIN asg2 b ON a.cell = b.cell AND a.sub = b.sub "
         "AND a.vec_id < b.vec_id) "
         f"SELECT idb AS vec_id, min(ida) AS dup_of, "
         "max(cosine) AS max_cosine FROM pairs "

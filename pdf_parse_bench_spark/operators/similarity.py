@@ -428,11 +428,13 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
 
 
 SEMDEDUP_T = 0.4  # within-cell cosine at/above which vectors are near-dups
+SEMDEDUP_CELL_CAP = 4096  # max rows compared as ONE group (hot-cell split)
 
 
 def semantic_dedup(emb: DataFrame, cells: int = IVF_CELLS,
                    threshold: float = SEMDEDUP_T,
-                   centroids: list[list[float]] | None = None) -> DataFrame:
+                   centroids: list[list[float]] | None = None,
+                   cell_cap: int = SEMDEDUP_CELL_CAP) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal by
     comparing vectors ONLY within their coarse cluster — the quadratic
     pair space is bounded by the largest cell instead of the corpus
@@ -442,10 +444,20 @@ def semantic_dedup(emb: DataFrame, cells: int = IVF_CELLS,
     self-join, exact cosine on within-cell pairs, and a drop rule that
     keeps the smallest vec_id of each near-dup group.
 
+    HOT-CELL BOUND: a degenerate quantizer can concentrate the corpus
+    into one cell and re-create the quadratic blow-up, so any cell
+    larger than `cell_cap` rows splits into ceil(size / cap) subcells
+    by a deterministic id key (vec_id mod nsplit) and pairs compare
+    within (cell, subcell). That caps every compared group at ~cap rows
+    (largest task cost ~cap^2, independent of skew) at the documented
+    recall cost of missing pairs that straddle subcells of the same hot
+    cell — the same approximation the cell boundary already makes. The
+    cell sizes are a metadata-scale aggregate broadcast back.
+
     Output: one row per DROPPED vector — (vec_id, dup_of = its smallest
-    near-dup partner, max_cosine). At 100 TB the cell is the partition
-    key, so the self-join is a per-partition (storage-partitioned)
-    join with no corpus-wide shuffle."""
+    near-dup partner, max_cosine). At 100 TB (cell, subcell) is the
+    partition key, so the self-join is a per-partition
+    (storage-partitioned) join with no corpus-wide shuffle."""
     cents = centroids if centroids is not None else ivf_centroids(cells)
     corpus = _with_norm(emb)
     best = F.greatest(*[
@@ -454,10 +466,18 @@ def semantic_dedup(emb: DataFrame, cells: int = IVF_CELLS,
         for ci, cv in enumerate(cents)
     ])
     assigned = corpus.withColumn("cell", (-best.getField("negc")).cast("int"))
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("_csize"))
+    assigned = (
+        assigned.join(F.broadcast(sizes), "cell")
+        .withColumn("_sub", F.pmod(
+            F.col("vec_id"),
+            F.ceil(F.col("_csize") / F.lit(cell_cap))))
+        .drop("_csize"))
     a = assigned.alias("a")
     b = assigned.alias("b")
     pairs = (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a._sub") == F.col("b._sub"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .withColumn("cosine", _cosine(F.col("a.v"), F.col("b.v"),
                                       F.col("a.norm"), F.col("b.norm")))

@@ -382,3 +382,41 @@ def test_semantic_dedup_cell_scoped(spark):
         assert r["max_cosine"] >= sim.SEMDEDUP_T
     assert not dropped & {r["dup_of"] for r in rows
                           if r["dup_of"] not in dropped} - dropped
+
+
+def test_semantic_dedup_hot_cell_split_bounds_group_size(spark):
+    """A degenerate quantizer concentrating ~all vectors into ONE cell
+    must not re-create the corpus-quadratic join: with cell_cap=25 and
+    200 same-cell vectors, every compared group is a (cell, subcell)
+    slice of at most cap rows, and every reported dup still shares the
+    subcell (vec_id % nsplit) with its partner."""
+    import numpy as np
+
+    n, cap = 200, 25
+    rng = np.random.default_rng(20260817)
+    # all vectors cluster around +e0 -> everything lands in one cell
+    base = np.zeros(sim.EMB_DIM)
+    base[0] = 1.0
+    rows = [(i, [float(x) for x in base + 0.01 * rng.standard_normal(
+        sim.EMB_DIM)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.semantic_dedup(emb, cell_cap=cap)
+    # the internal grouping: replicate the assignment to count group sizes
+    cents = sim.ivf_centroids()
+    asg = np.argmax(np.array(cents) @ np.array(
+        [r[1] for r in rows]).T, axis=0)
+    cell_sizes = np.bincount(asg)
+    hot = int(cell_sizes.max())
+    assert hot >= n * 0.9  # the fixture really is degenerate
+    nsplit = -(-hot // cap)
+    assert nsplit >= 8
+    # group bound: per (cell, sub) at most ceil(hot/nsplit) ~ cap rows
+    subs = np.array([i % nsplit for i in range(n)])
+    assert max(np.bincount(subs[asg == cell_sizes.argmax()])) <= cap + 1
+    # every reported pair respects the subcell split (and the drop rule)
+    for r in out.collect():
+        assert r["dup_of"] < r["vec_id"]
+        assert r["dup_of"] % nsplit == r["vec_id"] % nsplit
+        assert r["max_cosine"] >= sim.SEMDEDUP_T
+    # the split must still find dups (vectors are near-identical)
+    assert out.count() > 0
