@@ -248,6 +248,12 @@ def main() -> None:
     # fixtures are generated once (deterministic) before timing starts
     entry.fx.ensure_fixtures(SF_DIR)
 
+    # co-tenancy probe (VERDICT r4 item 7): one-process kernel burn
+    # before and after the query pass. On a quiet box the two numbers
+    # agree; a big drop flags that the per-query seconds were taken on a
+    # loaded box and should not be read as regressions.
+    burn_before = round(_burn_level(1), 1)
+
     spark = get_spark("bench", cores=CPUS)
     qs = entry.queries()
     # every registered query is timed (VERDICT r3 item 7: the committed
@@ -271,6 +277,33 @@ def main() -> None:
     ext_sec, n_docs = _extract_seconds(spark, SF_DIR)
     docs_per_sec = n_docs / ext_sec
     spark.stop()
+    burn_after = round(_burn_level(1), 1)
+
+    # the query-pass artifact is written to disk BEFORE the scaling sweep
+    # starts (VERDICT r4 item 7): the per-query numbers on disk can never
+    # be numbers taken while the sweep's burn loops load the box
+    result = {
+        "metric": "end-to-end extraction throughput (markdown->ordered spans),"
+                  " exact span-sequence match vs golden",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "sf": float(Path(SF_DIR).name.replace("sf", "")),
+        "n_docs": n_docs,
+        "extract_sec_steady": round(ext_sec, 3),
+        "docs_per_sec": round(docs_per_sec, 2),
+        # co-tenancy stamp: 1-proc kernel docs/sec before vs after the
+        # pass; ratio far below 1.0 = the box got loaded mid-pass
+        "box_probe": {"burn_before": burn_before, "burn_after": burn_after,
+                      "quiet": round(min(burn_before, burn_after)
+                                     / max(burn_before, burn_after), 3)},
+        "scaling": None,
+        "queries": times,
+    }
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        str(Path(__file__).parent / "BENCH_full_last.json"))
+    with open(out, "w") as fh:
+        json.dump(result, fh, indent=1)
 
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
@@ -286,29 +319,18 @@ def main() -> None:
             pairs = [tuple(int(x) for x in p.split(":"))
                      for p in env_pairs.split(",")]
         scaling = run_scaling(pairs)
+        # the sweep gets its OWN artifact; the query-pass file on disk
+        # stays untouched by anything measured under sweep load
+        with open(str(Path(out).with_name(
+                Path(out).stem + "_scaling.json")), "w") as fh:
+            json.dump({"sf": result["sf"], "scaling": scaling}, fh, indent=1)
 
-    # `queries` deliberately LAST: the driver records only a bounded TAIL
-    # of stdout, so tail-anchored ordering keeps the per-query data even
-    # when the head of the line is cut (r3's artifact lost exactly the
-    # head). The complete artifact is also written to disk below — that
-    # file, not stdout, is the durable record.
-    result = {
-        "metric": "end-to-end extraction throughput (markdown->ordered spans),"
-                  " exact span-sequence match vs golden",
-        "value": round(sum(times.values()), 3),
-        "unit": "sec",
-        "sf": float(Path(SF_DIR).name.replace("sf", "")),
-        "n_docs": n_docs,
-        "extract_sec_steady": round(ext_sec, 3),
-        "docs_per_sec": round(docs_per_sec, 2),
-        "scaling": scaling,
-        "queries": times,
-    }
-    out = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        str(Path(__file__).parent / "BENCH_full_last.json"))
-    with open(out, "w") as fh:
-        json.dump(result, fh, indent=1)
+    # `queries` deliberately LAST in the printed line: the driver records
+    # only a bounded TAIL of stdout, so tail-anchored ordering keeps the
+    # per-query data even when the head of the line is cut (r3's artifact
+    # lost exactly the head). The on-disk files are the durable record.
+    result["scaling"] = scaling
+    result["queries"] = result.pop("queries")  # keep queries tail-anchored
     print(json.dumps(result))
 
 
