@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v39"  # bump to force regeneration
+FIXTURE_VERSION = "v40"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -1714,11 +1714,21 @@ def generate_pdf(doc_id: int, spans: list[dict]
     enc_draw = float(rng.random())
     scheme = "none"
     if enc_draw < 0.08:
-        from pdf_parse_bench_spark.kernels.pdfcrypt import encrypt_pdf
-        scheme = ("rc4-128" if enc_draw < 0.030
-                  else "aes-128" if enc_draw < 0.055
-                  else "rc4-40" if enc_draw < 0.070 else "aes-256")
-        pdf = encrypt_pdf(pdf, scheme, seed=int(doc_id))
+        from pdf_parse_bench_spark.kernels.pdfcrypt import (
+            encrypt_pdf, sniff_label)
+        # tail slices cover the crypt-filter asymmetries (strings plain /
+        # streams plain) and the R6 owner-password route (user password
+        # set, owner password empty — the decrypter authenticates via /O
+        # and unwraps /OE); audit golden records the SNIFF label
+        variant = ("rc4-128" if enc_draw < 0.028
+                   else "aes-128" if enc_draw < 0.052
+                   else "rc4-40" if enc_draw < 0.066
+                   else "aes-256" if enc_draw < 0.072
+                   else "aes-128-stmf-only" if enc_draw < 0.0755
+                   else "aes-128-strf-only" if enc_draw < 0.079
+                   else "aes-256-owner")
+        pdf = encrypt_pdf(pdf, variant, seed=int(doc_id))
+        scheme = sniff_label(variant)
 
     return (pdf, "\n".join(e[2] for e in golden_entries if len(e) < 4),
             _merge_pdf_spans(golden_entries), scheme, image_rows)

@@ -61,9 +61,25 @@ def reading_order(bboxes: np.ndarray) -> list[int]:
         ygap, ycut = _largest_gap(bb[:, 1], bb[:, 3])
         xgap, xcut = _largest_gap(bb[:, 0], bb[:, 2])
         if max(xgap, ygap) <= _GAP_EPS:
-            # no cut: stable geometric sort (top-to-bottom, left-to-right)
-            order = np.lexsort((bb[:, 0], bb[:, 1]))
-            out.extend(int(i) for i in idx[order])
+            # (a sub-eps "narrow gutter" x-cut was tried here in round 5
+            # and reverted: it fixed wrap-table column interleave on the
+            # tables corpus (+3 segments) but mis-cut justified
+            # paragraphs whose inline math aligned a pseudo-gutter
+            # (-15 segments on 2025-q4) — full-region narrow gaps are
+            # NOT reliable column evidence at < _GAP_EPS)
+            # no cut: baseline-banded geometric sort — boxes whose top
+            # edges chain within _GAP_EPS of each other form one visual
+            # line (sub-point baseline jitter from kerning/Tm rounding
+            # and sub/superscript boxes must not split a justified line
+            # into x-interleaved fragments), bands top-to-bottom, boxes
+            # left-to-right within a band
+            order = np.argsort(bb[:, 1], kind="stable")
+            ys = bb[order, 1]
+            band = np.zeros(len(order), dtype=np.int64)
+            if len(ys) > 1:
+                band[1:] = np.cumsum(np.diff(ys) > _GAP_EPS)
+            sub = np.lexsort((bb[order, 0], band))
+            out.extend(int(i) for i in idx[order[sub]])
             return
         if xgap > ygap:  # widest gap wins: vertical gutter → column-major
             left = idx[bb[:, 0] < xcut]

@@ -375,26 +375,45 @@ class StandardDecrypter:
             self.key = _file_key_std(o, p, id0, self.r, n, em)
         elif self.v == 5 and self.r in (5, 6):
             self.stm_cfm = self.str_cfm = "AESV3"
-            ue = _as_bytes(enc.get("UE"))
-            if len(u) < 48 or len(ue) < 32:
-                return
-            self.key = _file_key_r6(u, ue)
+            ue, oe = _as_bytes(enc.get("UE")), _as_bytes(enc.get("OE"))
             perms = _as_bytes(enc.get("Perms"))
-            if len(perms) == 16:
-                # Algorithm 13 integrity check: /Perms decrypted with the
-                # file key must read 'adb' at bytes 9-11 — one AES block,
-                # vs a second ~64-round Algorithm-2.B hash for the /U
-                # validation (which a 100 TB extract pass pays per doc)
-                blk = np.frombuffer(perms, dtype=np.uint8).reshape(1, 16)
-                dec = _ecb_decrypt_blocks(blk, _expand_key(self.key))
-                if dec.tobytes()[9:12] != b"adb":
-                    return  # wrong password (or corrupt) -> fail closed
-            # no /Perms -> full Algorithm 2.A validation hash
-            elif _hash_2b(b"", u[32:40], b"") != u[:32]:
+            if len(u) < 48:
                 return
+            key = None
+            if len(ue) >= 32:
+                # USER route (Algorithm 2.A): /Perms integrity (one AES
+                # block) validates the derived key cheaply when present,
+                # else the ~64-round /U validation hash
+                cand = _file_key_r6(u, ue)
+                if (self._perms_ok(cand, perms) if len(perms) == 16
+                        else _hash_2b(b"", u[32:40], b"") == u[:32]):
+                    key = cand
+            if (key is None and len(o) >= 48 and len(oe) >= 32
+                    and _hash_2b(b"", o[32:40], u[:48]) == o[:32]):
+                # OWNER route (Algorithm 2.A): the owner password is
+                # empty even though the user password is not — /O
+                # validates against hash(pw + validation salt + U48),
+                # and the file key unwraps from /OE with the key-salt
+                # intermediate (udata = the full 48-byte /U)
+                ikey = _hash_2b(b"", o[40:48], u[:48])
+                cand = aes_cbc_decrypt(ikey, oe, iv=b"\x00" * 16,
+                                       unpad=False)[:32]
+                if len(perms) != 16 or self._perms_ok(cand, perms):
+                    key = cand
+            if key is None:
+                return  # wrong password (or corrupt) -> fail closed
+            self.key = key
         else:
             return
         self.ok = True
+
+    @staticmethod
+    def _perms_ok(key: bytes, perms: bytes) -> bool:
+        """Algorithm 13: /Perms decrypted with the file key reads 'adb'
+        at bytes 9-11."""
+        blk = np.frombuffer(perms, dtype=np.uint8).reshape(1, 16)
+        dec = _ecb_decrypt_blocks(blk, _expand_key(key))
+        return dec.tobytes()[9:12] == b"adb"
 
     def _objkey(self, num: int, gen: int, aes: bool) -> bytes:
         ext = b"\x73\x41\x6c\x54" if aes else b""  # "sAlT"
@@ -439,9 +458,16 @@ def sniff_encryption(pdf: bytes) -> tuple[str, bool]:
         scheme = "aes-256"
     elif v == 4:
         cf = enc.get("CF") if isinstance(enc.get("CF"), dict) else {}
-        ent = cf.get(str(enc.get("StmF", "Identity")))
-        cfm = str(ent.get("CFM", "V2")) if isinstance(ent, dict) \
-            else "Identity"
+
+        def _cfm(which):
+            ent = cf.get(str(enc.get(which, "Identity")))
+            return str(ent.get("CFM", "V2")) if isinstance(ent, dict) \
+                else "Identity"
+        # asymmetric /StmF vs /StrF: report the non-Identity side (a file
+        # with plain strings but AES streams is still an AES file)
+        cfm = _cfm("StmF")
+        if cfm == "Identity":
+            cfm = _cfm("StrF")
         scheme = {"AESV2": "aes-128", "V2": "rc4-128"}.get(cfm, "other")
     elif v in (1, 2):
         scheme = "rc4-128" if (v == 2 and length >= 128) else "rc4-40"
@@ -455,7 +481,15 @@ def sniff_encryption(pdf: bytes) -> tuple[str, bool]:
 # file (fixtures/tests only — proves decryption by round-trip)
 # ---------------------------------------------------------------------------
 
-VARIANTS = ("rc4-40", "rc4-128", "aes-128", "aes-256")
+VARIANTS = ("rc4-40", "rc4-128", "aes-128", "aes-256",
+            "aes-128-stmf-only", "aes-128-strf-only", "aes-256-owner")
+
+
+def sniff_label(variant: str) -> str:
+    """The scheme label sniff_encryption reports for a generator variant
+    (the suffix variants are wire-indistinguishable refinements)."""
+    base = variant.replace("-nm", "").replace("-stmf-only", "")         .replace("-strf-only", "").replace("-owner", "")
+    return base
 
 
 class _Encrypter:
@@ -464,12 +498,22 @@ class _Encrypter:
         self.variant = variant
         self.id0 = rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
         self.p = -4
-        if variant == "aes-256":
+        # asymmetric crypt filters (V4): '-stmf-only' leaves strings
+        # PLAIN (/StrF /Identity), '-strf-only' leaves streams plain
+        self.enc_streams = not variant.endswith("-strf-only")
+        self.enc_strings = not variant.endswith("-stmf-only")
+        if variant.startswith("aes-256"):
+            # 'aes-256-owner': the USER password is non-empty (the file
+            # is password-locked for readers) while the OWNER password
+            # is empty — the decrypter must authenticate via the /O
+            # validation hash and unwrap the key from /OE
+            upw = (b"reader-%d" % seed) if variant == "aes-256-owner" \
+                else b""
             self.key = rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
             vs = rng.integers(0, 256, 8, dtype=np.uint8).tobytes()
             ks = rng.integers(0, 256, 8, dtype=np.uint8).tobytes()
-            self.u = _hash_2b(b"", vs, b"") + vs + ks
-            ikey = _hash_2b(b"", ks, b"")
+            self.u = _hash_2b(upw, vs, b"") + vs + ks
+            ikey = _hash_2b(upw, ks, b"")
             self.ue = aes_cbc_encrypt(ikey, self.key, iv=b"\x00" * 16,
                                       pad=False)
             vso = rng.integers(0, 256, 8, dtype=np.uint8).tobytes()
@@ -484,7 +528,7 @@ class _Encrypter:
             # 'aes-128-nm' = V4/AESV2 with /EncryptMetadata false (the
             # 0xFFFFFFFF key-derivation suffix branch)
             self.em = variant != "aes-128-nm"
-            if variant == "aes-128-nm":
+            if variant.startswith("aes-128") and variant != "aes-128":
                 variant = "aes-128"
                 self.variant = "aes-128"
             self.r = {"rc4-40": 2, "rc4-128": 3, "aes-128": 4}[variant]
@@ -512,7 +556,7 @@ class _Encrypter:
         self._rng = rng
 
     def encrypt(self, data: bytes, num: int, gen: int) -> bytes:
-        if self.variant == "aes-256":
+        if self.variant.startswith("aes-256"):
             iv = self._rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
             return iv + aes_cbc_encrypt(self.key, data, iv=iv)
         d = hashlib.md5(self.key + num.to_bytes(3, "little")
@@ -526,7 +570,7 @@ class _Encrypter:
 
     def encrypt_dict(self) -> bytes:
         hx = lambda b: b"<" + b.hex().encode() + b">"  # noqa: E731
-        if self.variant == "aes-256":
+        if self.variant.startswith("aes-256"):
             return (b"<< /Filter /Standard /V 5 /R 6 /Length 256"
                     b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
                     b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
@@ -536,9 +580,12 @@ class _Encrypter:
                     + b" /P %d >>" % self.p)
         if self.variant == "aes-128":
             em = b"" if self.em else b" /EncryptMetadata false"
+            stmf = b"/StdCF" if self.enc_streams else b"/Identity"
+            strf = b"/StdCF" if self.enc_strings else b"/Identity"
             return (b"<< /Filter /Standard /V 4 /R 4 /Length 128"
                     b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
-                    b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF" + em
+                    b" /Length 16 >> >> /StmF " + stmf
+                    + b" /StrF " + strf + em
                     + b" /O " + hx(self.o) + b" /U " + hx(self.u)
                     + b" /P %d >>" % self.p)
         v, r, ln = (1, 2, 40) if self.variant == "rc4-40" else (2, 3, 128)
@@ -597,9 +644,10 @@ def encrypt_pdf(pdf: bytes, variant: str = "rc4-128", seed: int = 0) -> bytes:
         if isinstance(val, dict) and str(val.get("Type", "")) in (
                 "ObjStm", "XRef"):
             continue  # containers of the old layout; not re-emitted
-        crypt_str = lambda b, _n=num: enc.encrypt(b, _n, 0)  # noqa: E731
+        crypt_str = (lambda b, _n=num: enc.encrypt(b, _n, 0)) \
+            if enc.enc_strings else (lambda b: b)  # noqa: E731
         if raw is not None:
-            body = enc.encrypt(raw, num, 0)
+            body = enc.encrypt(raw, num, 0) if enc.enc_streams else raw
             d2 = dict(val)
             d2["Length"] = len(body)
             piece = (_ser(d2, crypt_str) + b"\nstream\n" + body

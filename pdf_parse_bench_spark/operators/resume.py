@@ -95,10 +95,13 @@ def extract_with_lineage(
 def lineage_of(result: DataFrame, stage: str = "extract") -> DataFrame:
     """Collapse a lineage-annotated result to one row per doc (the
     checkpoint/metrics table, X5/X7)."""
+    # severity as an explicit int (error=0 < ok=1), not an accident of
+    # string collation: a doc with ANY error row checkpoints as error
     return result.groupBy("doc_id").agg(
         F.lit(stage).alias("stage"),
         F.max("partition_id").alias("partition_id"),
-        F.min("status").alias("status"),  # 'error' < 'ok'
+        F.when(F.min(F.when(F.col("status") == "error", 0).otherwise(1))
+               == 0, "error").otherwise("ok").alias("status"),
         F.max("error").alias("error"),
         F.sum(F.when((F.col("status") == "ok") & (F.col("offset") >= 0), 1)
               .otherwise(0)).alias("n_spans"),  # sentinels don't count

@@ -105,8 +105,15 @@ def test_wrong_password_validation_fails_closed():
     (handler.ok False), not crash and not emit garbage."""
     pdf = _fixture_pdf(5)
     epdf = bytearray(pc.encrypt_pdf(pdf, "aes-256", seed=5))
-    # corrupt /UE -> the unwrapped file key is wrong -> Perms check fails
+    # corrupt /UE -> wrong user-route key -> Perms check fails; the
+    # OWNER route (empty owner password, intact /OE) still recovers it
     at = epdf.find(b"/UE <")
+    assert at > 0
+    epdf[at + 5:at + 9] = b"0000" if epdf[at + 5:at + 9] != b"0000" \
+        else b"1111"
+    assert extract_pdf_text(bytes(epdf)) != ""  # owner-route recovery
+    # corrupt /OE too -> both routes dead -> fail closed
+    at = epdf.find(b"/OE <")
     assert at > 0
     epdf[at + 5:at + 9] = b"0000" if epdf[at + 5:at + 9] != b"0000" \
         else b"1111"
@@ -138,7 +145,7 @@ def test_sniff_encryption_labels_every_variant():
     pdf = _fixture_pdf(31)
     for variant in pc.VARIANTS:
         s, ok = pc.sniff_encryption(pc.encrypt_pdf(pdf, variant, seed=31))
-        assert (s, ok) == (variant, True)
+        assert (s, ok) == (pc.sniff_label(variant), True)
 
 
 def test_decrypter_rejects_unknown_handler():
