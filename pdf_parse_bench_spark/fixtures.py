@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v40"  # bump to force regeneration
+FIXTURE_VERSION = "v41"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -1471,6 +1471,18 @@ def generate_pdf(doc_id: int, spans: list[dict]
         im2_jpg, im2_stats, im2_arr = _mk_gray_jpeg_with_stats(doc_id)
     im2_w, im2_h = im2_stats["width"], im2_stats["height"]
     im2_mean = float(im2_arr.astype(np.float64).mean()) / 255.0
+    # /Im3 — a bilevel scan page behind /CCITTFaxDecode (Group 4 for
+    # even docs, Group 3 1-D for odd; EncodedByteAlign alternating):
+    # the dominant scanned-PDF profile, decoded by kernels/ccitt
+    from pdf_parse_bench_spark.kernels.ccitt import ccittfax_encode
+    im3_h, im3_w = 16 + 8 * (doc_id % 3), 40 + 8 * (doc_id % 4)
+    _yy3, _xx3 = np.mgrid[0:im3_h, 0:im3_w]
+    im3_arr = (((_xx3 // (3 + doc_id % 5) + _yy3 // 4 + doc_id) % 2)
+               * 255).astype(np.uint8)
+    im3_k = -1 if doc_id % 2 == 0 else 0
+    im3_ba = doc_id % 3 == 0
+    im3_data = ccittfax_encode(im3_arr, k=im3_k, byte_align=im3_ba)
+    im3_mean = float(im3_arr.astype(np.float64).mean()) / 255.0
     image_rows: list[dict] = []  # golden per painted image (M11 pixels)
 
     def _image_row(pg, x, ytop, w, h, pw, ph, mean):
@@ -1576,6 +1588,18 @@ def generate_pdf(doc_id: int, spans: list[dict]
             _image_row(pg, 300, round(page_h - y0), iw2, ih2,
                        im2_w, im2_h, im2_mean)
             y0 -= ih2 + 12.0
+        if rng.random() < 0.2:
+            # scanned figure via /CCITTFaxDecode (/Im3): raster inks the
+            # decoded bilevel pixels; pdf_image_stats reports true mean
+            iw3, ih3 = 100 + 8 * (doc_id % 3), 48 + 8 * (pg % 2)
+            iy3 = y0 - ih3
+            ops.append(f"q {iw3} 0 0 {ih3} 150.0 {iy3:.1f} cm /Im3 Do Q")
+            golden_entries.append(
+                (pg, "image", "",
+                 f"page_150_{round(page_h - y0)}_{iw3}_{ih3}.png"))
+            _image_row(pg, 150, round(page_h - y0), iw3, ih3,
+                       im3_w, im3_h, im3_mean)
+            y0 -= ih3 + 12.0
         for x, col_lines, max_w in cols:
             col_ops, emitted = _emit_column(x, y0, col_lines, rng,
                                             size=size, max_w=max_w)
@@ -1623,7 +1647,7 @@ def generate_pdf(doc_id: int, spans: list[dict]
 
     # objects: 1=Catalog 2=Pages 3=F1 4=F2 5=F3 6=CMap 7=F4 8=CIDCMap
     # 9=FormA4 10=FormLetter 11=F5 (math face) 12=Im1 (raw image
-    # XObject) 13=Im2 (DCTDecode JPEG image XObject),
+    # XObject) 13=Im2 (DCTDecode JPEG) 14=Im3 (CCITTFaxDecode),
     # then per page:
     # streams, page dict. MediaBox + Resources live on the Pages node
     # (inheritance path); Letter pages override MediaBox locally.
@@ -1665,6 +1689,15 @@ def generate_pdf(doc_id: int, spans: list[dict]
                 b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
                 b"/Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream"
                 % (im2_w, im2_h, len(im2_jpg), im2_jpg))
+    # CCITT fax image XObject (14 = Im3): the scanned-page profile
+    ba3 = b" /EncodedByteAlign true" if im3_ba else b""
+    objs.append(b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/Filter /CCITTFaxDecode /DecodeParms << /K %d "
+                b"/Columns %d /Rows %d%s >> /Length %d >>"
+                b"\nstream\n%s\nendstream"
+                % (im3_w, im3_h, im3_k, im3_w, im3_h, ba3,
+                   len(im3_data), im3_data))
     page_nums: list[int] = []
     for page in pages:
         snums = []
@@ -1683,7 +1716,7 @@ def generate_pdf(doc_id: int, spans: list[dict]
     objs[1] = (b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 595 842] "
                b"/Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 5 0 R "
                b"/F4 7 0 R /F5 11 0 R >> "
-               b"/XObject << /FmA 9 0 R /FmL 10 0 R /Im1 12 0 R /Im2 13 0 R >> >> >>"
+               b"/XObject << /FmA 9 0 R /FmL 10 0 R /Im1 12 0 R /Im2 13 0 R /Im3 14 0 R >> >> >>"
                % (kids, len(page_nums)))
 
     # ~30% of docs ship in the PDF 1.5 modern layout (xref STREAM +

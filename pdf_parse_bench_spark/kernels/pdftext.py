@@ -661,7 +661,8 @@ class _PdfDoc:
                 body = _runlength_decode(body)
             elif name == "Crypt":
                 continue  # handled at the object layer (or /Identity)
-            else:  # unsupported filter chain (DCT/CCITT image data etc.)
+            else:  # non-text filter chain (image data — decoded
+                  # separately via _image_pixels, not here)
                 return b""
             p = self.resolve(p)
             if isinstance(p, dict):
@@ -740,7 +741,30 @@ class _PdfDoc:
             _, raw = self.get_object(int(ref)) if isinstance(ref, _Ref) \
                 else (None, None)
             if raw is not None and w > 0 and h > 0:
-                if filters and filters[-1] in ("DCTDecode", "DCT"):
+                if filters and filters[-1] in ("CCITTFaxDecode", "CCF"):
+                    from pdf_parse_bench_spark.kernels.ccitt import (
+                        ccittfax_decode)
+                    parms = self.resolve(d.get("DecodeParms"))
+                    if isinstance(parms, list):
+                        parms = self.resolve(parms[-1])
+                    parms = parms if isinstance(parms, dict) else {}
+                    body = raw
+                    if len(filters) > 1:
+                        pre = dict(d)
+                        pre["Filter"] = filters[:-1]
+                        body = self._decode_stream(pre, raw)
+                    arr = ccittfax_decode(
+                        body,
+                        int(self.resolve(parms.get("Columns", 1728))
+                            or 1728),
+                        int(self.resolve(parms.get("Rows", h)) or h),
+                        k=int(self.resolve(parms.get("K", 0)) or 0),
+                        byte_align=bool(self.resolve(
+                            parms.get("EncodedByteAlign", False))))
+                    if self.resolve(parms.get("BlackIs1", False)):
+                        arr = 255 - arr  # 1-bits mean black
+                    px = arr
+                elif filters and filters[-1] in ("DCTDecode", "DCT"):
                     from pdf_parse_bench_spark.kernels.jpeg import (
                         jpeg_decode)
                     body = raw

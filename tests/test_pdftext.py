@@ -836,3 +836,88 @@ def test_embedded_jpeg_inks_raster_and_reports_stats():
     assert rows[0]["px_w"] == pstats["width"]
     assert rows[0]["px_h"] == pstats["height"]
     assert rows[0]["mean_intensity"] == pstats["mean_intensity"]
+
+
+def test_ccitt_roundtrip_and_known_bits():
+    """CCITT G4/G3-1D codec: encoder<->decoder round-trips over noise,
+    blocky, striped, and all-black images at both byte alignments, a
+    >2560-pixel run chains make-up codes, and a hand-coded MH line
+    (white-4 black-3 white-1 -> 1011 10 000111) pins the common table
+    entries independently of the encoder."""
+    import numpy as np
+
+    from pdf_parse_bench_spark.kernels.ccitt import (
+        ccittfax_decode, ccittfax_encode)
+
+    rng = np.random.default_rng(20260817)
+    for trial in range(16):
+        h, w = int(rng.integers(1, 30)), int(rng.integers(1, 90))
+        style = trial % 4
+        if style == 0:
+            img = (rng.random((h, w)) < 0.5).astype(np.uint8) * 255
+        elif style == 1:
+            img = np.kron((rng.random((max(1, h // 4), max(1, w // 8)))
+                           < 0.5), np.ones((4, 8)))[:h, :w]
+            img = img.astype(np.uint8) * 255
+        elif style == 2:
+            img = np.full((h, w), 255, np.uint8)
+            img[:, ::7] = 0
+        else:
+            img = np.zeros((h, w), np.uint8)
+        H, W = img.shape
+        for k in (-1, 0):
+            for ba in (False, True):
+                data = ccittfax_encode(img, k=k, byte_align=ba)
+                dec = ccittfax_decode(data, W, H, k=k, byte_align=ba)
+                assert (dec == img).all(), (trial, k, ba)
+    long = np.full((3, 6000), 255, np.uint8)
+    long[1, 100:5800] = 0
+    for k in (-1, 0):
+        dec = ccittfax_decode(ccittfax_encode(long, k=k), 6000, 3, k=k)
+        assert (dec == long).all()
+    kat = ccittfax_encode(
+        np.array([[255] * 4 + [0] * 3 + [255]], np.uint8), k=0)
+    assert "".join(f"{b:08b}" for b in kat).startswith("101110000111")
+
+
+def test_embedded_ccitt_image_stats():
+    """A /CCITTFaxDecode Image XObject (G4 + EncodedByteAlign) must
+    decode inside the PDF: pdf_image_stats reports the true bilevel
+    dims/mean, and BlackIs1 inverts the rendering."""
+    import numpy as np
+
+    from pdf_parse_bench_spark.kernels.ccitt import ccittfax_encode
+    from pdf_parse_bench_spark.kernels.pdftext import pdf_image_stats
+
+    img = np.full((16, 48), 255, np.uint8)
+    img[4:12, 8:40] = 0  # a black bar: mean known in closed form
+    data = ccittfax_encode(img, k=-1, byte_align=True)
+    mean = float(np.floor(img.mean() / 255.0 * 1e6 + 0.5)) / 1e6
+
+    def mk(extra_parms=b""):
+        body = b"q 96 0 0 32 60 700 cm /ImC Do Q"
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 595 842] /Resources << "
+            b"/XObject << /ImC 4 0 R >> >> >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            b"<< /Type /XObject /Subtype /Image /Width 48 /Height 16 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+            b"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns 48 "
+            b"/Rows 16 /EncodedByteAlign true" + extra_parms + b" >> "
+            b"/Length %d >>\nstream\n%s\nendstream" % (len(data), data),
+            b"<< /Length %d >>\nstream\n%s\nendstream"
+            % (len(body), body),
+        ]
+        return _mini_pdf(objs)
+
+    rows = pdf_image_stats(mk())
+    assert len(rows) == 1 and rows[0]["decoded"]
+    assert (rows[0]["px_w"], rows[0]["px_h"]) == (48, 16)
+    assert rows[0]["mean_intensity"] == mean
+
+    inv_mean = float(np.floor(
+        (255 - img).mean() / 255.0 * 1e6 + 0.5)) / 1e6
+    rows = pdf_image_stats(mk(b" /BlackIs1 true"))
+    assert rows[0]["mean_intensity"] == inv_mean

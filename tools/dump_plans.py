@@ -99,10 +99,16 @@ PICKS = {
                        "posexplode — zero Exchanges.",
     "url_dedup": "window on canonical URL; URL-less docs get per-doc "
                  "synthetic keys (no NULL-partition funnel).",
-    "semantic_dedup": "SemDeDup: cell-equi self-join bounded per IVF "
-                      "cell; exact cosine on within-cell pairs only.",
-    "pack_sequences": "two-phase distributed prefix sum (per-partition "
-                      "cumsum + P-row offset window) + local explode.",
+    "semantic_dedup": "SemDeDup: (cell, subcell)-equi self-join — hot "
+                      "cells above cell_cap split by a deterministic id "
+                      "key, bounding every compared group (r5).",
+    "pack_sequences": "two-phase distributed prefix sum keyed on the "
+                      "DETERMINISTIC range bucket (r5; never "
+                      "spark_partition_id) + B-row offset window + "
+                      "local explode.",
+    "pdf_image_stats": "pruned 2-column scan -> size rebalance -> "
+                       "mapInPandas; per-image decode cached per "
+                       "object number inside the worker (r5).",
     "lm_score": "O(n) trigram build via zipped shifted arrays; model "
                 "shuffle-joined on tri, 1-row total broadcast.",
 }
