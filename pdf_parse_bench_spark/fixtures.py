@@ -497,11 +497,13 @@ def _mk_color_jpeg(y_mcu: "np.ndarray", cb_mcu: "np.ndarray",
                    cr_mcu: "np.ndarray", w: int, h: int,
                    subsample: bool) -> bytes:
     """Baseline YCbCr color JPEG with flat per-MCU channels (exact under
-    the all-ones quant table, like _mk_gray_jpeg). `subsample` picks
-    4:2:0 (2x2 Y blocks per MCU, flat across the MCU) vs 4:4:4. Arrays
-    are (mcu_rows, mcu_cols) of channel values 0..255."""
+    the all-ones quant table, like _mk_gray_jpeg). `subsample` picks the
+    chroma layout: True = 4:2:0 (2x2 Y blocks per MCU), False = 4:4:4,
+    "422" = 4:2:2 (2x1), "440" = 4:4:0 (1x2). Arrays are
+    (mcu_rows, mcu_cols) of channel values 0..255."""
     bh, bw = y_mcu.shape
-    ys, xs = (2, 2) if subsample else (1, 1)
+    ys, xs = {True: (2, 2), False: (1, 1),
+              "422": (1, 2), "440": (2, 1)}[subsample]
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
     sof_comp = bytes([1, (xs << 4) | ys, 0, 2, 0x11, 0, 3, 0x11, 0])

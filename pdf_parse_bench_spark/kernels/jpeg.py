@@ -364,8 +364,11 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
             if nc == 3:
                 samp = [(c[1], c[2]) for c in comps]
                 if samp not in ([(1, 1)] * 3,
-                                [(2, 2), (1, 1), (1, 1)]):
-                    raise ValueError("only 4:4:4 / 4:2:0 sampling")
+                                [(2, 2), (1, 1), (1, 1)],
+                                [(2, 1), (1, 1), (1, 1)],
+                                [(1, 2), (1, 1), (1, 1)]):
+                    raise ValueError(
+                        "only 4:4:4 / 4:2:0 / 4:2:2 sampling")
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = (width + 8 * hmax - 1) // (8 * hmax)

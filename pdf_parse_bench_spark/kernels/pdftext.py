@@ -787,6 +787,22 @@ class _PdfDoc:
                     if bpc == 8 and "Gray" in cs and len(body) >= w * h:
                         px = np.frombuffer(
                             body[:w * h], dtype=np.uint8).reshape(h, w)
+                    elif bpc == 1 and "Gray" in cs \
+                            and len(body) >= ((w + 7) // 8) * h:
+                        rb = (w + 7) // 8
+                        bits = np.unpackbits(np.frombuffer(
+                            body[:rb * h], dtype=np.uint8).reshape(h, rb),
+                            axis=1)[:, :w]
+                        px = (bits * np.uint8(255)).astype(np.uint8)
+                    elif bpc == 4 and "Gray" in cs \
+                            and len(body) >= ((w + 1) // 2) * h:
+                        rb = (w + 1) // 2
+                        b4 = np.frombuffer(
+                            body[:rb * h], dtype=np.uint8).reshape(h, rb)
+                        nib = np.empty((h, rb * 2), dtype=np.uint8)
+                        nib[:, 0::2] = b4 >> 4
+                        nib[:, 1::2] = b4 & 0x0F
+                        px = (nib[:, :w] * np.uint8(17)).astype(np.uint8)
                     elif bpc == 8 and "RGB" in cs and len(body) >= 3 * w * h:
                         arr = np.frombuffer(
                             body[:3 * w * h],

@@ -444,3 +444,31 @@ def test_jpeg_restart_desync_rejected():
     data[i + 1] = 0xD3
     with pytest.raises(ValueError):
         jpeg_decode_gray(bytes(data))
+
+
+def test_jpeg_422_440_sampling_roundtrip():
+    """4:2:2 and 4:4:0 chroma layouts (the remaining common photo
+    profiles) decode bit-exactly: flat-MCU encodes vs the closed-form
+    BT.601 conversion of the exact channel values."""
+    import numpy as np
+
+    from pdf_parse_bench_spark.fixtures import _mk_color_jpeg
+    from pdf_parse_bench_spark.kernels.jpeg import jpeg_decode
+
+    for mode, (mw, mh) in (("422", (16, 8)), ("440", (8, 16))):
+        bh, bw = 2, 3
+        yy, xx = np.mgrid[0:bh, 0:bw]
+        y_m = (40 + xx * 30 + yy * 50).astype(np.int64)
+        cb_m = (100 + xx * 20).astype(np.int64)
+        cr_m = (90 + yy * 25).astype(np.int64)
+        w, h = bw * mw - 3, bh * mh - 2
+        img = jpeg_decode(_mk_color_jpeg(y_m, cb_m, cr_m, w, h, mode))
+        ypx = np.repeat(np.repeat(y_m, mh, 0), mw, 1)[:h, :w].astype(
+            np.float64)
+        cbpx = np.repeat(np.repeat(cb_m, mh, 0), mw, 1)[:h, :w] - 128.0
+        crpx = np.repeat(np.repeat(cr_m, mh, 0), mw, 1)[:h, :w] - 128.0
+        exp = np.clip(np.round(np.stack(
+            [ypx + 1.402 * crpx,
+             ypx - 0.344136 * cbpx - 0.714136 * crpx,
+             ypx + 1.772 * cbpx], axis=-1)), 0, 255).astype(np.uint8)
+        assert np.array_equal(img, exp), mode

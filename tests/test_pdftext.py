@@ -921,3 +921,50 @@ def test_embedded_ccitt_image_stats():
         (255 - img).mean() / 255.0 * 1e6 + 0.5)) / 1e6
     rows = pdf_image_stats(mk(b" /BlackIs1 true"))
     assert rows[0]["mean_intensity"] == inv_mean
+
+
+def test_raw_1bit_4bit_gray_image_pixels():
+    """Filterless 1-bit and 4-bit DeviceGray rasters decode to true
+    pixel stats (bit unpack / nibble expansion with row byte padding)."""
+    import numpy as np
+
+    from pdf_parse_bench_spark.kernels.pdftext import pdf_image_stats
+
+    def mk(img_obj):
+        body = b"q 60 0 0 30 60 700 cm /ImR Do Q"
+        return _mini_pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 595 842] /Resources << "
+            b"/XObject << /ImR 4 0 R >> >> >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            img_obj,
+            b"<< /Length %d >>\nstream\n%s\nendstream"
+            % (len(body), body),
+        ])
+
+    # 1-bit: 10x3, alternating columns -> bits 1010... row-padded
+    w, h = 10, 3
+    bits = np.tile((np.arange(w) % 2 == 0).astype(np.uint8), (h, 1))
+    packed = np.packbits(bits, axis=1).tobytes()
+    obj = (b"<< /Type /XObject /Subtype /Image /Width 10 /Height 3 "
+           b"/ColorSpace /DeviceGray /BitsPerComponent 1 /Length %d >>"
+           b"\nstream\n%s\nendstream" % (len(packed), packed))
+    rows = pdf_image_stats(mk(obj))
+    exp = float(np.floor((bits * 255).mean() / 255.0 * 1e6 + 0.5)) / 1e6
+    assert rows[0]["decoded"] and rows[0]["mean_intensity"] == exp
+    assert (rows[0]["px_w"], rows[0]["px_h"]) == (10, 3)
+
+    # 4-bit: 5x2 gradient, odd width -> padded nibble per row
+    sam = np.array([[0, 3, 7, 11, 15], [15, 12, 8, 4, 0]], np.uint8)
+    rb = []
+    for r in sam:
+        row = list(r) + [0]  # pad to even
+        rb += [(row[i] << 4) | row[i + 1] for i in range(0, 6, 2)]
+    data = bytes(rb)
+    obj = (b"<< /Type /XObject /Subtype /Image /Width 5 /Height 2 "
+           b"/ColorSpace /DeviceGray /BitsPerComponent 4 /Length %d >>"
+           b"\nstream\n%s\nendstream" % (len(data), data))
+    rows = pdf_image_stats(mk(obj))
+    exp = float(np.floor((sam * 17).mean() / 255.0 * 1e6 + 0.5)) / 1e6
+    assert rows[0]["decoded"] and rows[0]["mean_intensity"] == exp
