@@ -844,7 +844,11 @@ class _PdfDoc:
                     h = int(self.resolve(d.get("Height", 0)))
                 except (TypeError, ValueError):
                     return None
-                return ("image", w, h, self._image_pixels(ref, d, w, h))
+                # pixels are LAZY: text/span extraction needs only the
+                # Do-site geometry; only the rasterizer and the image-
+                # stats operator force the decode (cached per object)
+                return ("image", w, h,
+                        lambda: self._image_pixels(ref, d, w, h))
             if sub != "Form":
                 return None
             body = self.stream_bytes(ref)
@@ -1824,6 +1828,8 @@ def page_pixmap(runs: list[tuple[float, float, str]], page_w: float,
     h_px = max(1, int(page_h * scale))
     img = np.full((h_px, w_px), 255, dtype=np.uint8)
     for x, y_pdf, im_w, im_h, px in (images or []):
+        if callable(px):
+            px = px()  # lazy decode, forced only here
         if px is None or getattr(px, "size", 0) == 0 \
                 or im_w <= 0 or im_h <= 0:
             continue
@@ -1894,6 +1900,8 @@ def pdf_image_stats(pdf_bytes: bytes) -> list[dict]:
         if body:
             _page_runs(body, fonts, xobj_fn, images=images)
         for x, y, w, h, px in images:
+            if callable(px):
+                px = px()  # lazy decode, forced only here
             ref = (f"page_{round(x)}_{round(page_h - y - h)}"
                    f"_{round(w)}_{round(h)}.png")
             if px is not None and getattr(px, "size", 0):
