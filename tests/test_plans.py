@@ -388,3 +388,19 @@ def test_pack_sequences_deterministic_across_configs(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b == c and len(a) > 0
+
+
+def test_pdf_image_stats_plan_shape(spark, fx_smoke):
+    """pdf_image_stats reads only (doc_id, pdf_bytes), goes through ONE
+    size-rebalance exchange, and executes as a single MapInPandas — the
+    same pruned-scan -> rebalance -> Arrow-batch shape as the other PDF
+    fan-outs (per-image decode happens inside the worker, cached per
+    object number)."""
+    from pdf_parse_bench_spark.operators.extract import pdf_image_stats_op
+
+    pdf = spark.read.parquet(str(fx_smoke / "pdf_docs.parquet"))
+    out = pdf_image_stats_op(pdf)
+    assert_read_schema_only(out, {"doc_id", "pdf_bytes"})
+    tree = formatted_plan(out).split("\n\n")[0]  # the plan tree section
+    assert tree.count("MapInPandas") == 1, tree
+    assert tree.count("Exchange") == 1, tree  # size rebalance, nothing else
