@@ -26,6 +26,23 @@ CATEGORY_TO_KIND = {
 BOILERPLATE_CATEGORIES = frozenset({"Page-header", "Page-footer"})
 
 _GAP_EPS = 2.0  # minimum whitespace gap (pt) considered a cut
+# narrow-gutter column evidence (wrap-table layouts leave only ~1pt
+# between the table edge and the prose column): the cut is allowed below
+# _GAP_EPS ONLY when the caller supplies a per-box table-likeness mask
+# and the gutter separates a table-like side from a prose side across
+# several rows — a pure-geometry version of this rule was measured
+# net-negative in round 5 (it mis-cut justified paragraphs whose inline
+# math aligned a pseudo-gutter) and the content gate is what fixes that
+_XGAP_MIN = 0.5
+_MIN_COL_BANDS = 4
+
+
+def _n_bands(ys: np.ndarray) -> int:
+    """Distinct y-bands (top edges more than _GAP_EPS apart)."""
+    if len(ys) == 0:
+        return 0
+    s = np.sort(ys)
+    return 1 + int(np.sum(np.diff(s) > _GAP_EPS))
 
 
 def _largest_gap(starts: np.ndarray, ends: np.ndarray) -> tuple[float, float]:
@@ -43,10 +60,14 @@ def _largest_gap(starts: np.ndarray, ends: np.ndarray) -> tuple[float, float]:
     return float(gaps[k]), float((s[1:][k] + max_end[:-1][k]) / 2.0)
 
 
-def reading_order(bboxes: np.ndarray) -> list[int]:
+def reading_order(bboxes: np.ndarray,
+                  table_mask: np.ndarray | None = None) -> list[int]:
     """Return indices of blocks in reading order via recursive XY-cut.
 
     bboxes: (n, 4) array of [x1, y1, x2, y2], top-left origin, y down.
+    table_mask: optional (n,) bool array marking table-like content
+    (label + numeric cells); enables the content-gated narrow-gutter
+    column cut for wrap-table layouts (see _XGAP_MIN note).
     """
     bboxes = np.asarray(bboxes, dtype=np.float64)
     out: list[int] = []
@@ -60,13 +81,21 @@ def reading_order(bboxes: np.ndarray) -> list[int]:
         bb = bboxes[idx]
         ygap, ycut = _largest_gap(bb[:, 1], bb[:, 3])
         xgap, xcut = _largest_gap(bb[:, 0], bb[:, 2])
+        if table_mask is not None and _XGAP_MIN < xgap <= _GAP_EPS:
+            lsel = bb[:, 0] < xcut
+            lm = table_mask[idx[lsel]]
+            rm = table_mask[idx[~lsel]]
+            if (_n_bands(bb[lsel, 1]) >= _MIN_COL_BANDS
+                    and _n_bands(bb[~lsel, 1]) >= _MIN_COL_BANDS
+                    and len(lm) and len(rm)):
+                lt, rt = float(lm.mean()), float(rm.mean())
+                if (lt >= 0.7 and rt <= 0.3) or (rt >= 0.7 and lt <= 0.3):
+                    # table column beside a prose column: split rather
+                    # than x-interleave them band by band
+                    rec(idx[lsel])
+                    rec(idx[~lsel])
+                    return
         if max(xgap, ygap) <= _GAP_EPS:
-            # (a sub-eps "narrow gutter" x-cut was tried here in round 5
-            # and reverted: it fixed wrap-table column interleave on the
-            # tables corpus (+3 segments) but mis-cut justified
-            # paragraphs whose inline math aligned a pseudo-gutter
-            # (-15 segments on 2025-q4) — full-region narrow gaps are
-            # NOT reliable column evidence at < _GAP_EPS)
             # no cut: baseline-banded geometric sort — boxes whose top
             # edges chain within _GAP_EPS of each other form one visual
             # line (sub-point baseline jitter from kerning/Tm rounding

@@ -1593,10 +1593,29 @@ def _run_boxes(runs, page_h: float) -> np.ndarray:
     )
 
 
+_CELL_NUM_RE = re.compile(r"^[±+-]?[0-9][0-9.,%]*$")
+
+
+def _tablelike_mask(runs) -> "np.ndarray":
+    """Per-run table-likeness for the content-gated narrow-gutter cut:
+    a run reading as label + numeric cells ('Education 11',
+    'CC12M-NegCap 58.5 57.8') — the same row signature the span-level
+    table detector keys on, evaluated per run."""
+    out = []
+    for _x, _y, _w, _h, text, _m in runs:
+        toks = text.split()
+        n_num = sum(1 for t in toks if _CELL_NUM_RE.match(t))
+        out.append(len(toks) >= 2 and (
+            n_num >= 2 or (n_num >= 1
+                           and _CELL_NUM_RE.match(toks[-1]) is not None)))
+    return np.array(out, dtype=bool)
+
+
 def _runs_to_text(runs, page_h: float) -> str:
     if not runs:
         return ""
-    order = reading_order(_run_boxes(runs, page_h))
+    order = reading_order(_run_boxes(runs, page_h),
+                          table_mask=_tablelike_mask(runs))
     return "\n".join(runs[i][4] for i in order)
 
 
@@ -1637,7 +1656,8 @@ def _runs_to_spans(runs, page_h: float,
     if not runs:
         return [(k, t, m) for k, t, m, _y in
                 sorted(img_spans, key=lambda s: s[3])]
-    order = reading_order(_run_boxes(runs, page_h))
+    order = reading_order(_run_boxes(runs, page_h),
+                          table_mask=_tablelike_mask(runs))
     lines: list[list[int]] = []
     for i in order:
         if lines and abs(runs[i][1] - runs[lines[-1][-1]][1]) <= 2.0:
