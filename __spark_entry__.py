@@ -485,43 +485,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["windowed_counts"] = windowed_counts
 
-    # Driver-coverage rotation (VERDICT r4 item 2): the driver's
-    # correctness gate checks the FIRST 50 registered queries. Round 5
-    # re-enters the 31 queries deferred in round 4 (so the union of
-    # CORRECTNESS_r04 + r05 covers every registered query — nothing
+    # Driver-coverage rotation (VERDICT r5 item 3): the driver's
+    # correctness gate checks the FIRST 50 registered queries. Round 6
+    # re-enters the 32 queries deferred in round 5 (so the union of
+    # CORRECTNESS_r05 + r06 covers every registered query — nothing
     # misses two consecutive driver artifacts), keeps every query whose
-    # code path changed THIS round inside the gate (pack_sequences
-    # deterministic bucket; the progressive-JPEG/media family; the
-    # pdftext image-XObject + pdfcrypt owner/asym paths; reading-order
-    # banding -> layout_spans; semantic_dedup cell cap; lineage
-    # severity), and defers ONLY r04-driver-green, untouched queries.
-    # ALL queries stay covered locally by tools/check_parity.py +
-    # tests/test_oracle_parity.py.
+    # code path changed THIS round inside the gate (pack_sequences oracle
+    # BIGINT casts; the CMYK-JPEG media family; JBIG2/JPX degradation
+    # dims in pdftext; pdfcrypt password side-table; layout band-growth
+    # bound + wrap-table work), and defers ONLY r05-driver-green,
+    # untouched queries. ALL queries stay covered locally by
+    # tools/check_parity.py + tests/test_oracle_parity.py.
     rotate_first = [
-        # (a) the 31 deferred in r04 — back under the driver gate
-        "benchmark_counts", "grouped_mean_scores", "score_cube",
-        "ngram_jaccard_pairs", "embedding_near_dups", "lsh_candidate_pairs",
-        "extracted_complexity_cube", "leaderboard", "pending_scores",
-        "extraction_quality", "page_assembly_refs", "html_spans",
-        "token_counts", "fingerprint", "corpus_filter", "lang_id",
-        "quality_score", "simhash_signatures", "dedup_exact",
-        "judge_scores", "judged_complexity_cube", "boilerplate_lines",
-        "span_match_rate", "span_kind_projection", "span_sequencing",
-        "empty_filter", "page_assembly", "media_features",
-        "normalize_for_matching", "score_parse_clamp",
-        "delimiter_normalization",
-        # (b) changed in r05 — must sit inside the gate
-        "pack_sequences", "pdf_image_stats", "decode_media",
-        "thumbnail_media", "page_raster_stats", "pdf_parse", "pdf_spans",
-        "pdf_encrypt_audit", "semantic_dedup", "layout_spans",
-        "extract_lineage",
-        # (c) fills touched by this round's alignment/fixture work
-        "extract_spans", "align_extractions", "align_noisy",
-        "nested_pipeline", "tei_spans", "unicode_normalization",
-        "minhash_signatures",
-    ]
-    defer_last = [
-        # r04-driver-green and untouched in r05
+        # (a) the 32 deferred in r05 — back under the driver gate
         "pii_scrub", "doc_stats_rollup", "quality_percentiles",
         "formula_artifacts", "duplicate_ngram_pairs", "tfidf_top_terms",
         "vocab_stats", "tpch_q1", "tpch_q6", "tpch_q3", "revenue_by_region",
@@ -531,8 +507,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall", "ann_ivf", "quantize_embeddings", "domain_stats",
         "winnowing_fingerprints", "repetition_stats", "decontaminate",
         "chunk_documents", "url_dedup", "stratified_sample", "lm_score",
+        # (b) changed in r06 — must sit inside the gate
+        "pack_sequences", "pdf_image_stats", "decode_media",
+        "thumbnail_media", "page_raster_stats", "pdf_parse", "pdf_spans",
+        "pdf_encrypt_audit", "layout_spans", "extract_spans",
+        "align_extractions", "align_noisy", "nested_pipeline",
+        # (c) fills plausibly touched by this round's layout/fixture work
+        "media_features", "extract_lineage", "page_assembly",
+        "page_assembly_refs", "boilerplate_lines",
     ]
-    assert len(rotate_first) == 49 and len(defer_last) == 32
+    defer_last = [
+        # r05-driver-green and untouched in r06
+        "benchmark_counts", "grouped_mean_scores", "score_cube",
+        "ngram_jaccard_pairs", "embedding_near_dups", "lsh_candidate_pairs",
+        "extracted_complexity_cube", "leaderboard", "pending_scores",
+        "extraction_quality", "html_spans", "token_counts", "fingerprint",
+        "corpus_filter", "lang_id", "quality_score", "simhash_signatures",
+        "dedup_exact", "judge_scores", "judged_complexity_cube",
+        "span_match_rate", "span_kind_projection", "span_sequencing",
+        "empty_filter", "normalize_for_matching", "score_parse_clamp",
+        "delimiter_normalization", "semantic_dedup", "tei_spans",
+        "unicode_normalization", "minhash_signatures", "simhash_near_dups",
+    ]
+    assert len(rotate_first) == 50 and len(defer_last) == 32
     assert all(k in q for k in rotate_first + defer_last)
     assert not set(rotate_first) & set(defer_last)
     mid = [k for k in q if k not in set(rotate_first) | set(defer_last)]
@@ -1375,9 +1372,13 @@ def oracle_sql() -> dict[str, str]:
         "CAST(floor(start / 128.0) AS BIGINT), "
         "CAST(floor((start + n - 1) / 128.0) AS BIGINT) + 1)) AS seq_id "
         "FROM c) "
-        "SELECT seq_id, doc_id, "
-        "greatest(seq_id * 128 - start, 0) + 1 AS word_from, "
-        "least((seq_id + 1) * 128 - start, n) AS word_to FROM ex"
+        # CAST every start-derived column to BIGINT: the windowed sum(n) is
+        # HUGEINT in DuckDB and fetchdf() materializes HUGEINT arithmetic as
+        # float64 (1.0 vs Spark's int64 1) -> driver hash red (VERDICT r5 #1).
+        "SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id, "
+        "CAST(greatest(seq_id * 128 - start, 0) + 1 AS BIGINT) AS word_from, "
+        "CAST(least((seq_id + 1) * 128 - start, n) AS BIGINT) AS word_to "
+        "FROM ex"
     )
     o["lm_score"] = (
         "WITH t AS (SELECT doc_id, text FROM documents "

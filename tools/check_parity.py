@@ -21,14 +21,27 @@ import __spark_entry__ as entry  # noqa: E402
 from pdf_parse_bench_spark.session import get_spark  # noqa: E402
 
 
+import numpy as np  # noqa: E402
+
+
 def norm_cell(v):
+    """Type-strict cell normalization: tag every value with its dtype kind so
+    float64 1.0 != int64 1 (the driver's hash distinguishes them; a coercing
+    `==` masked the pack_sequences oracle HUGEINT->float64 bug for 2 rounds).
+    """
     if v is None:
         return None
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    return v
+            return ("f", "NaN")
+        return ("f", round(float(v), 9))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, bytes):
+        return ("y", v)
+    return ("s", str(v)) if not isinstance(v, str) else ("s", v)
 
 
 def to_rows(df_pandas):
