@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v41"  # bump to force regeneration
+FIXTURE_VERSION = "v42"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -564,6 +564,89 @@ def _mk_color_jpeg_with_stats(did: int) -> tuple[bytes, dict, "np.ndarray"]:
     b = ypx + 1.772 * cbpx
     rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
     mean = float(rgb.mean()) / 255.0
+    return data, {
+        "width": w, "height": h, "channels": 3, "n_bytes": len(data),
+        "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
+        "status": "ok",
+    }, rgb.astype(np.uint8)
+
+
+def _mk_cmyk_jpeg(p0: "np.ndarray", p1: "np.ndarray", p2: "np.ndarray",
+                  p3: "np.ndarray", w: int, h: int,
+                  transform: int = 0) -> bytes:
+    """Baseline 4-component Adobe JPEG (CMYK transform=0 or YCCK
+    transform=2) with flat per-block channels, exact under the all-ones
+    quant table like _mk_gray_jpeg. Arrays are (block_rows, block_cols)
+    of STORED sample values 0..255 (Adobe-inverted convention — the
+    APP14 marker is always written). All components 4:4:4:4."""
+    bh, bw = p0.shape
+    out = bytearray(b"\xff\xd8")
+    # APP14 Adobe: 'Adobe' ver(2) flags0(2) flags1(2) transform(1)
+    out += (b"\xff\xee" + (14).to_bytes(2, "big") + b"Adobe"
+            + (100).to_bytes(2, "big") + b"\x00\x00\x00\x00"
+            + bytes([transform]))
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    sof_comp = bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0])
+    out += (b"\xff\xc0" + (20).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x04"
+            + sof_comp)
+    out += (b"\xff\xc4" + (19 + len(_JDC_SYMS)).to_bytes(2, "big")
+            + b"\x00" + _JDC_COUNTS + _JDC_SYMS)
+    out += (b"\xff\xc4" + (19 + len(_JAC_SYMS)).to_bytes(2, "big")
+            + b"\x10" + _JAC_COUNTS + _JAC_SYMS)
+    out += (b"\xff\xda" + (14).to_bytes(2, "big")
+            + bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00, 0, 63, 0]))
+    bwr = _JpegBitWriter()
+    preds = [0, 0, 0, 0]
+
+    def put_block(comp: int, v: int) -> None:
+        dc = 8 * (int(v) - 128)
+        d = dc - preds[comp]
+        preds[comp] = dc
+        t = abs(d).bit_length()
+        bwr.write(t, 4)
+        if t:
+            bwr.write(d if d >= 0 else d + (1 << t) - 1, t)
+        bwr.write(0b00, 2)  # EOB
+    for by in range(bh):
+        for bx in range(bw):
+            for comp, plane in enumerate((p0, p1, p2, p3)):
+                put_block(comp, plane[by, bx])
+    out += bwr.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+def _mk_cmyk_jpeg_with_stats(did: int) -> tuple[bytes, dict, "np.ndarray"]:
+    """Deterministic flat-block CMYK (even did) / YCCK (odd did) JPEG +
+    golden decode stats. Expected RGB is the decoder's documented
+    arithmetic applied to the exact stored channel values (channels are
+    exact under the all-ones quant table): Adobe-inverted multiplicative
+    composite R=(255-C)(255-K)/255 == s0*s3/255, with the BT.601 step
+    first for YCCK."""
+    ycck = did % 2 == 1
+    bh, bw = 1 + did % 3, 1 + (did // 3) % 3
+    yy, xx = np.mgrid[0:bh, 0:bw]
+    p0 = ((did * 19 + xx * 7 + yy * 5) % 256).astype(np.int64)
+    p1 = ((did * 11 + xx * 13) % 256).astype(np.int64)
+    p2 = ((did * 23 + yy * 17) % 256).astype(np.int64)
+    p3 = ((did * 29 + xx * 3 + yy * 7) % 256).astype(np.int64)
+    w, h = bw * 8 - did % 5, bh * 8 - (did * 7) % 5
+    data = _mk_cmyk_jpeg(p0, p1, p2, p3, w, h, transform=2 if ycck else 0)
+
+    def px(p):
+        return np.repeat(np.repeat(p, 8, 0), 8, 1)[:h, :w].astype(np.float64)
+    s0, s1, s2, s3 = px(p0), px(p1), px(p2), px(p3)
+    if ycck:
+        y, cb, cr = s0, s1 - 128.0, s2 - 128.0
+        s0 = y + 1.402 * cr
+        s1 = y - 0.344136 * cb - 0.714136 * cr
+        s2 = y + 1.772 * cb
+    s0, s1, s2 = (np.clip(p, 0, 255) for p in (s0, s1, s2))
+    rgb = np.clip(np.round(
+        np.stack([s0 * s3, s1 * s3, s2 * s3], axis=-1) / 255.0), 0, 255)
+    mean = float(rgb.mean()) / 255.0
+    # channels = 3: the decoder composites CMYK to RGB, and decode_media
+    # reports the decoded array's shape (not the SOF component count)
     return data, {
         "width": w, "height": h, "channels": 3, "n_bytes": len(data),
         "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
@@ -1485,6 +1568,16 @@ def generate_pdf(doc_id: int, spans: list[dict]
     im3_ba = doc_id % 3 == 0
     im3_data = ccittfax_encode(im3_arr, k=im3_k, byte_align=im3_ba)
     im3_mean = float(im3_arr.astype(np.float64).mean()) / 255.0
+    # /Im4 — a 4-component CMYK/YCCK Adobe JPEG behind /DCTDecode (the
+    # print-origin profile, VERDICT r5 item 4): _image_pixels composites
+    # to RGB then collapses to Rec.601 luma, so the golden mean applies
+    # that exact arithmetic to the pre-encode RGB array
+    im4_jpg, im4_stats, im4_arr = _mk_cmyk_jpeg_with_stats(doc_id)
+    im4_w, im4_h = im4_stats["width"], im4_stats["height"]
+    _l4 = np.clip(np.round(
+        0.299 * im4_arr[..., 0].astype(np.float64)
+        + 0.587 * im4_arr[..., 1] + 0.114 * im4_arr[..., 2]), 0, 255)
+    im4_mean = float(_l4.mean()) / 255.0
     image_rows: list[dict] = []  # golden per painted image (M11 pixels)
 
     def _image_row(pg, x, ytop, w, h, pw, ph, mean):
@@ -1602,6 +1695,18 @@ def generate_pdf(doc_id: int, spans: list[dict]
             _image_row(pg, 150, round(page_h - y0), iw3, ih3,
                        im3_w, im3_h, im3_mean)
             y0 -= ih3 + 12.0
+        if rng.random() < 0.15:
+            # print-origin CMYK figure via /DCTDecode (/Im4): the decoder
+            # composites the 4-component stream; stats report true mean
+            iw4, ih4 = 88 + 8 * (doc_id % 3), 40 + 8 * (pg % 3)
+            iy4 = y0 - ih4
+            ops.append(f"q {iw4} 0 0 {ih4} 420.0 {iy4:.1f} cm /Im4 Do Q")
+            golden_entries.append(
+                (pg, "image", "",
+                 f"page_420_{round(page_h - y0)}_{iw4}_{ih4}.png"))
+            _image_row(pg, 420, round(page_h - y0), iw4, ih4,
+                       im4_w, im4_h, im4_mean)
+            y0 -= ih4 + 12.0
         for x, col_lines, max_w in cols:
             col_ops, emitted = _emit_column(x, y0, col_lines, rng,
                                             size=size, max_w=max_w)
@@ -1649,8 +1754,8 @@ def generate_pdf(doc_id: int, spans: list[dict]
 
     # objects: 1=Catalog 2=Pages 3=F1 4=F2 5=F3 6=CMap 7=F4 8=CIDCMap
     # 9=FormA4 10=FormLetter 11=F5 (math face) 12=Im1 (raw image
-    # XObject) 13=Im2 (DCTDecode JPEG) 14=Im3 (CCITTFaxDecode),
-    # then per page:
+    # XObject) 13=Im2 (DCTDecode JPEG) 14=Im3 (CCITTFaxDecode)
+    # 15=Im4 (CMYK/YCCK DCTDecode), then per page:
     # streams, page dict. MediaBox + Resources live on the Pages node
     # (inheritance path); Letter pages override MediaBox locally.
     objs: list[bytes] = [
@@ -1700,6 +1805,12 @@ def generate_pdf(doc_id: int, spans: list[dict]
                 b"\nstream\n%s\nendstream"
                 % (im3_w, im3_h, im3_k, im3_w, im3_h, ba3,
                    len(im3_data), im3_data))
+    # CMYK/YCCK Adobe JPEG image XObject (15 = Im4): 4-component
+    # DCTDecode, /DeviceCMYK colour space — the print-origin profile
+    objs.append(b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceCMYK /BitsPerComponent 8 "
+                b"/Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream"
+                % (im4_w, im4_h, len(im4_jpg), im4_jpg))
     page_nums: list[int] = []
     for page in pages:
         snums = []
@@ -1718,7 +1829,8 @@ def generate_pdf(doc_id: int, spans: list[dict]
     objs[1] = (b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 595 842] "
                b"/Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 5 0 R "
                b"/F4 7 0 R /F5 11 0 R >> "
-               b"/XObject << /FmA 9 0 R /FmL 10 0 R /Im1 12 0 R /Im2 13 0 R /Im3 14 0 R >> >> >>"
+               b"/XObject << /FmA 9 0 R /FmL 10 0 R /Im1 12 0 R "
+               b"/Im2 13 0 R /Im3 14 0 R /Im4 15 0 R >> >> >>"
                % (kids, len(page_nums)))
 
     # ~30% of docs ship in the PDF 1.5 modern layout (xref STREAM +
@@ -2031,6 +2143,18 @@ def ensure_fixtures(sf_dir: str) -> Path:
             thumb_rows.append({"doc_id": doc_id, "offset": 1005,
                                "media_ref": ref,
                                **_thumb_stats(jpx.astype(np.uint8))})
+        if did % 11 == 0:
+            # 4-component CMYK (even) / YCCK (odd) Adobe-APP14 JPEGs —
+            # the print-origin profile (VERDICT r5 item 4): must
+            # composite to true RGB stats ('ok'), not degrade
+            jpg, jstats, jpx = _mk_cmyk_jpeg_with_stats(did)
+            ref = f"cmyk_{did}.jpg"
+            media_rows.append({"doc_id": doc_id, "offset": 1006,
+                               "media_ref": ref, "media_bytes": jpg})
+            media_stats_rows.append({"doc_id": doc_id, "offset": 1006,
+                                     "media_ref": ref, **jstats})
+            thumb_rows.append({"doc_id": doc_id, "offset": 1006,
+                               "media_ref": ref, **_thumb_stats(jpx)})
         if did % 7 == 0:
             junk = bytes((did * 31 + k * 17) % 256 for k in range(40))
             ref = f"corrupt_{did}.bin"

@@ -14,11 +14,12 @@ progressive DC-first/DC-refine/AC-first/AC-refine with EOB runs and
 successive-approximation correction bits per G.2), restart-marker resync
 with predictor/EOB-run reset, then one vectorized dequantize + inverse
 zigzag + separable float IDCT + level shift + clamp over all blocks.
-Sampling layouts: grayscale, YCbCr 4:4:4 and 4:2:0 (the layouts that
-cover virtually all real streams). Profiles outside that scope
-(arithmetic coding, 12-bit, hierarchical, exotic sampling) raise —
-callers degrade to the header-only metadata contract rather than
-failing the task (X4 isolation).
+Sampling layouts: grayscale, YCbCr 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0, and
+4-component CMYK/YCCK with the Adobe APP14 transform flag (print-origin
+PDFs; inverted-sample convention when the Adobe marker is present).
+Profiles outside that scope (arithmetic coding, 12-bit, hierarchical,
+exotic sampling) raise — callers degrade to the header-only metadata
+contract rather than failing the task (X4 isolation).
 """
 
 from __future__ import annotations
@@ -280,8 +281,9 @@ def _read_ac_refine(br, cof, act, ss, se, al, eobrun):
 def jpeg_decode(data: bytes) -> "np.ndarray":
     """Decode a Huffman-coded JPEG — baseline (SOF0) or progressive
     (SOF2), with or without restart intervals — to uint8 pixels:
-    (h, w) for grayscale, (h, w, 3) RGB for YCbCr color with 4:4:4 or
-    4:2:0 sampling (the layouts that cover virtually all real streams).
+    (h, w) for grayscale, (h, w, 3) RGB for YCbCr color AND for
+    4-component CMYK/YCCK (composited through the Adobe APP14
+    convention).
     Every scan decodes into a per-component coefficient store; pixels
     materialize once at the end via a single vectorized
     dequantize + IDCT pass. Raises ValueError for any stream outside
@@ -293,6 +295,7 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
     huff_ac: dict[int, dict] = {}
     width = height = 0
     progressive = False
+    adobe = None  # APP14 transform flag (None = no Adobe marker)
     ri = 0  # restart interval in MCUs/blocks (0 = none)
     comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
     coefs: list[np.ndarray] = []                 # (BH, BW, 64) int32
@@ -353,7 +356,7 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
-            if nc not in (1, 3) or not width or not height:
+            if nc not in (1, 3, 4) or not width or not height:
                 raise ValueError("unsupported component count")
             for c in range(nc):
                 cid = seg[6 + 3 * c]
@@ -369,6 +372,13 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
                                 [(1, 2), (1, 1), (1, 1)]):
                     raise ValueError(
                         "only 4:4:4 / 4:2:0 / 4:2:2 sampling")
+            if nc == 4:
+                samp = [(c[1], c[2]) for c in comps]
+                # CMYK 4:4:4:4, or YCCK with quarter-res chroma and
+                # full-res Y + K (the Photoshop/print profiles)
+                if samp not in ([(1, 1)] * 4,
+                                [(2, 2), (1, 1), (1, 1), (2, 2)]):
+                    raise ValueError("unsupported CMYK sampling")
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = (width + 8 * hmax - 1) // (8 * hmax)
@@ -381,6 +391,9 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
                 bdims.append(((ch + 7) // 8, (cw + 7) // 8))
         elif marker in _SOF_MARKERS:
             raise ValueError("unsupported SOF profile")
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14 Adobe: 'Adobe' ver(2) flags0(2) flags1(2) transform(1)
+            adobe = seg[11]
         elif marker == 0xDD:  # DRI
             ri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
@@ -431,18 +444,40 @@ def jpeg_decode(data: bytes) -> "np.ndarray":
         img = np.clip(np.round(planes[0][:height, :width] + 128), 0, 255)
         return img.astype(np.uint8)
     # upsample chroma to full resolution (pixel replication — the JFIF
-    # nearest-neighbor path), then YCbCr -> RGB (JFIF / BT.601 full-range)
+    # nearest-neighbor path)
     full = []
     for ci, (_, hs, vs, _) in enumerate(comps):
         p = planes[ci]
         if hs < hmax or vs < vmax:
             p = np.repeat(np.repeat(p, vmax // vs, 0), hmax // hs, 1)
         full.append(p[:height, :width])
-    y, cb, cr = full[0] + 128.0, full[1], full[2]
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
+    if len(comps) == 3:
+        # YCbCr -> RGB (JFIF / BT.601 full-range)
+        y, cb, cr = full[0] + 128.0, full[1], full[2]
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=-1)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    # 4-component CMYK / YCCK (Adobe APP14 transform flag; print-origin
+    # PDFs and scans — VERDICT r5 item 4). Adobe writers store CMYK
+    # INVERTED (sample 255 = no ink), and YCCK is the BT.601 transform of
+    # those inverted CMY channels, so after the YCbCr step the first
+    # three planes ARE (255-C, 255-M, 255-Y). Composite to RGB with the
+    # standard multiplicative black: R = (255-C)(255-K)/255.
+    if adobe == 2:  # YCCK: undo BT.601 on channels 0..2, K untouched
+        y, cb, cr = full[0] + 128.0, full[1], full[2]
+        c0 = y + 1.402 * cr
+        c1 = y - 0.344136 * cb - 0.714136 * cr
+        c2 = y + 1.772 * cb
+    else:  # transform 0 (or absent): stored CMYK planes
+        c0, c1, c2 = (full[0] + 128.0), (full[1] + 128.0), (full[2] + 128.0)
+    k = np.clip(full[3] + 128.0, 0, 255)
+    c0, c1, c2 = (np.clip(p, 0, 255) for p in (c0, c1, c2))
+    if adobe is None:
+        # no Adobe marker: samples are direct ink amounts, not inverted
+        c0, c1, c2, k = 255.0 - c0, 255.0 - c1, 255.0 - c2, 255.0 - k
+    rgb = np.stack([c0 * k, c1 * k, c2 * k], axis=-1) / 255.0
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 

@@ -472,3 +472,44 @@ def test_jpeg_422_440_sampling_roundtrip():
              ypx - 0.344136 * cbpx - 0.714136 * crpx,
              ypx + 1.772 * cbpx], axis=-1)), 0, 255).astype(np.uint8)
         assert np.array_equal(img, exp), mode
+
+
+def test_jpeg_cmyk_ycck_roundtrip():
+    """4-component Adobe CMYK (transform 0) and YCCK (transform 2)
+    streams composite to the exact closed-form RGB: channels are exact
+    under the all-ones quant table, so the only arithmetic is the
+    documented inverted-CMYK multiplicative composite (plus the BT.601
+    step for YCCK)."""
+    import numpy as np
+
+    from pdf_parse_bench_spark.fixtures import _mk_cmyk_jpeg_with_stats
+    from pdf_parse_bench_spark.kernels.jpeg import jpeg_decode, jpeg_dims
+
+    for did in range(6):  # alternating CMYK / YCCK, varied dims
+        data, stats, golden = _mk_cmyk_jpeg_with_stats(did)
+        assert jpeg_dims(data)[2] == 4
+        img = jpeg_decode(data)
+        assert img.shape == golden.shape and img.shape[2] == 3
+        assert np.array_equal(img, golden), did
+
+
+def test_jpeg_cmyk_no_adobe_marker_direct_ink():
+    """A 4-component stream WITHOUT the APP14 marker carries direct
+    (non-inverted) ink samples: all-zero samples mean no ink -> white."""
+    import numpy as np
+
+    from pdf_parse_bench_spark.fixtures import _mk_cmyk_jpeg
+    from pdf_parse_bench_spark.kernels.jpeg import jpeg_decode
+
+    z = np.zeros((1, 2), dtype=np.int64)
+    data = _mk_cmyk_jpeg(z, z, z, z, 16, 8, transform=0)
+    # strip the APP14 segment: marker (2) + 14-byte segment after SOI
+    assert data[2:4] == b"\xff\xee"
+    stripped = data[:2] + data[18:]
+    assert stripped[2:4] == b"\xff\xdb"
+    img = jpeg_decode(stripped)
+    assert img.shape == (8, 16, 3)
+    assert np.array_equal(img, np.full((8, 16, 3), 255, np.uint8))
+    # with the marker the same samples are Adobe-inverted: full ink
+    assert np.array_equal(jpeg_decode(data),
+                          np.zeros((8, 16, 3), np.uint8))
