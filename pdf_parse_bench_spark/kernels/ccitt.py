@@ -224,16 +224,25 @@ def ccittfax_decode(data: bytes, columns: int, rows: int, k: int = -1,
         if byte_align:
             br.align()
         if k == 0:
-            # optional EOL(s) before each line
+            # optional fill + EOL(s) before each line: T.4 permits any
+            # number of zero-fill bits before each EOL (000000000001) in
+            # byte-aligned scanner streams. EOL is the only code with
+            # >= 11 leading zeros (the MH tables are prefix-free against
+            # it), so a run of >= 11 zeros terminated by a 1 is
+            # fill+EOL — consume the whole run, not a fixed 12-bit peek.
             while True:
                 save = br.pos
+                zeros = 0
                 try:
-                    bits = "".join(str(br.read()) for _ in range(12))
+                    bit = br.read()
+                    while bit == 0:
+                        zeros += 1
+                        bit = br.read()
                 except ValueError:
                     br.pos = save
                     break
-                if bits == _EOL:
-                    continue
+                if zeros >= 11:
+                    continue  # fill+EOL consumed (terminating 1 read)
                 br.pos = save
                 break
             trans = []

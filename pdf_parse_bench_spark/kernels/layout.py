@@ -106,7 +106,22 @@ def reading_order(bboxes: np.ndarray,
             ys = bb[order, 1]
             band = np.zeros(len(order), dtype=np.int64)
             if len(ys) > 1:
-                band[1:] = np.cumsum(np.diff(ys) > _GAP_EPS)
+                # chaining diffs <= _GAP_EPS is transitive: a cascade of
+                # tops each within 2pt of the next could merge several
+                # genuinely distinct baselines, so bound a band's total
+                # y-extent to ~1.5 line heights from its first top even
+                # when consecutive gaps stay under _GAP_EPS
+                heights = bb[:, 3] - bb[:, 1]
+                max_extent = max(2.0 * _GAP_EPS,
+                                 1.5 * float(np.median(heights)))
+                cur = 0
+                start = ys[0]
+                for j in range(1, len(ys)):
+                    if (ys[j] - ys[j - 1] > _GAP_EPS
+                            or ys[j] - start > max_extent):
+                        cur += 1
+                        start = ys[j]
+                    band[j] = cur
             sub = np.lexsort((bb[order, 0], band))
             out.extend(int(i) for i in idx[order[sub]])
             return
