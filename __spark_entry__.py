@@ -117,6 +117,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pdf_spans"] = lambda s, d: pdf_spans_op(_f(s, d, "pdf_docs"))
     q["pdf_encrypt_audit"] = lambda s, d: pdf_encrypt_audit_op(
         _f(s, d, "pdf_docs"))
+
+    def pdf_locked_audit(s, d):
+        """Password-locked corpus slice (both user+owner passwords set):
+        the empty-password audit fails closed; joining the broadcast
+        (doc_id, password) side table flips decrypt_ok to true
+        (kernels/pdfcrypt Algorithm 6/7 + R6 routes)."""
+        locked = _f(s, d, "pdf_locked")
+        pws = _f(s, d, "pdf_passwords")
+        no_pw = pdf_encrypt_audit_op(locked).select(
+            "doc_id", "scheme",
+            F.col("decrypt_ok").alias("decrypt_ok_empty"))
+        with_pw = pdf_encrypt_audit_op(locked, passwords_df=pws).select(
+            "doc_id", F.col("decrypt_ok").alias("decrypt_ok_pw"))
+        return no_pw.join(with_pw, "doc_id")
+    q["pdf_locked_audit"] = pdf_locked_audit
     q["page_raster_stats"] = lambda s, d: (
         rasterize_pages(_f(s, d, "pdf_docs"))
         .select("doc_id", "page_no", "width", "height", "ink_ratio")
@@ -514,7 +529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_extractions", "align_noisy", "nested_pipeline",
         # (c) fills plausibly touched by this round's layout/fixture work
         "media_features", "extract_lineage", "page_assembly",
-        "page_assembly_refs", "boilerplate_lines",
+        "page_assembly_refs",
+        # (d) new in r06
+        "pdf_locked_audit",
     ]
     defer_last = [
         # r05-driver-green and untouched in r06
@@ -528,8 +545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "empty_filter", "normalize_for_matching", "score_parse_clamp",
         "delimiter_normalization", "semantic_dedup", "tei_spans",
         "unicode_normalization", "minhash_signatures", "simhash_near_dups",
+        "boilerplate_lines",
     ]
-    assert len(rotate_first) == 50 and len(defer_last) == 32
+    assert len(rotate_first) == 50 and len(defer_last) == 33
     assert all(k in q for k in rotate_first + defer_last)
     assert not set(rotate_first) & set(defer_last)
     mid = [k for k in q if k not in set(rotate_first) | set(defer_last)]
@@ -797,6 +815,10 @@ def oracle_sql() -> dict[str, str]:
     o["pdf_encrypt_audit"] = (
         "SELECT doc_id, scheme, decrypt_ok "
         f"FROM '{ORACLE_FX}/golden_pdf_enc.parquet'"
+    )
+    o["pdf_locked_audit"] = (
+        "SELECT doc_id, scheme, decrypt_ok_empty, decrypt_ok_pw "
+        f"FROM '{ORACLE_FX}/golden_pdf_locked.parquet'"
     )
     o["boilerplate_lines"] = (
         "WITH lines AS (SELECT doc_id, list_filter(list_transform("

@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GLOBAL_SEED = 20260816
-FIXTURE_VERSION = "v42"  # bump to force regeneration
+FIXTURE_VERSION = "v44"  # bump to force regeneration
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 FIXTURES_ROOT = REPO_ROOT / "fixtures"
@@ -652,6 +652,53 @@ def _mk_cmyk_jpeg_with_stats(did: int) -> tuple[bytes, dict, "np.ndarray"]:
         "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
         "status": "ok",
     }, rgb.astype(np.uint8)
+
+
+def _mk_jbig2_with_stats(did: int) -> tuple[bytes, int, int, float]:
+    """Deterministic bilevel page behind JBIG2 (the non-CCITT scanned-PDF
+    profile): (embedded-format bytes, w, h, mean). Rotates through the
+    MQ generic-region templates 0-3 with TPGDON alternating, plus the
+    MMR (T.6 inside JBIG2) variant — every profile kernels/jbig2
+    decodes. Mean is exact from the pre-encode array."""
+    from pdf_parse_bench_spark.kernels.jbig2 import jbig2_encode
+    h, w = 12 + 2 * (did % 4), 28 + 4 * (did % 5)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (((xx // (2 + did % 4) + yy // 3 + did) % 2) * 255).astype(
+        np.uint8)
+    if did % 2:  # duplicate rows give TPGDON real copy-row work
+        img[1::4] = img[0::4][: img[1::4].shape[0]]
+    if did % 5 == 0:
+        data = jbig2_encode(img, mmr=True)
+    else:
+        data = jbig2_encode(img, mmr=False, template=did % 4,
+                            tpgdon=did % 2 == 1)
+    return data, w, h, float(img.astype(np.float64).mean()) / 255.0
+
+
+def _mk_jpx_stub(w: int, h: int, jp2: bool) -> bytes:
+    """JPEG 2000 stream with REAL headers (SIZ / ihdr carrying the true
+    dims) and an undecodable body — the JPXDecode degradation fixture:
+    pdf_image_stats must report decoded=False WITH these dims (read from
+    the data, not the PDF dict). `jp2` picks the box container form;
+    otherwise a raw codestream."""
+    import struct as _struct
+    nc = 3
+    siz = (b"\xff\x4f\xff\x51"
+           + _struct.pack(">HH", 38 + 3 * nc, 0)
+           + _struct.pack(">IIII", w, h, 0, 0)      # Xsiz Ysiz XOsiz YOsiz
+           + _struct.pack(">IIII", w, h, 0, 0)      # tile grid
+           + _struct.pack(">H", nc)
+           + b"\x07\x01\x01" * nc                   # 8-bit unsigned, 1x1
+           + b"\xff\x93" + b"\x00" * 16)            # SOD then junk body
+    if not jp2:
+        return siz
+    sig = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    ftyp = _struct.pack(">I", 20) + b"ftypjp2 " + b"\x00" * 4 + b"jp2 "
+    ihdr = (_struct.pack(">I", 22) + b"ihdr"
+            + _struct.pack(">IIH", h, w, nc) + b"\x07\x07\x00\x00")
+    jp2h = _struct.pack(">I", 8 + len(ihdr)) + b"jp2h" + ihdr
+    jp2c = _struct.pack(">I", 8 + len(siz)) + b"jp2c" + siz
+    return sig + ftyp + jp2h + jp2c
 
 
 def _mk_gray_jpeg_with_stats(did: int) -> tuple[bytes, dict, "np.ndarray"]:
@@ -1578,15 +1625,24 @@ def generate_pdf(doc_id: int, spans: list[dict]
         0.299 * im4_arr[..., 0].astype(np.float64)
         + 0.587 * im4_arr[..., 1] + 0.114 * im4_arr[..., 2]), 0, 255)
     im4_mean = float(_l4.mean()) / 255.0
+    # /Im5 — a bilevel scan behind /JBIG2Decode (generic region, MQ or
+    # MMR coded — the non-CCITT scanned-PDF profile, VERDICT r5 item 5)
+    im5_data, im5_w, im5_h, im5_mean = _mk_jbig2_with_stats(doc_id)
+    # /Im6 — a /JPXDecode stream (JPEG 2000): decode is out of profile by
+    # design, but the SIZ/ihdr headers carry TRUE dims, so the stats row
+    # degrades to decoded=False WITH real geometry (VERDICT r5 item 10)
+    im6_w, im6_h = 64 + 16 * (doc_id % 3), 48 + 16 * (doc_id % 4)
+    im6_data = _mk_jpx_stub(im6_w, im6_h, jp2=doc_id % 2 == 0)
     image_rows: list[dict] = []  # golden per painted image (M11 pixels)
 
-    def _image_row(pg, x, ytop, w, h, pw, ph, mean):
+    def _image_row(pg, x, ytop, w, h, pw, ph, mean, decoded=True):
         image_rows.append({
             "page_no": pg, "seq": len(image_rows),
             "media_ref": f"page_{x}_{ytop}_{w}_{h}.png",
             "px_w": pw, "px_h": ph,
-            "mean_intensity": float(np.floor(mean * 1e6 + 0.5)) / 1e6,
-            "decoded": True})
+            "mean_intensity": None if mean is None
+            else float(np.floor(mean * 1e6 + 0.5)) / 1e6,
+            "decoded": decoded})
     pos = 0
     while pos < len(lines) or not pages:
         two_col = bool(rng.random() < 0.4)
@@ -1707,6 +1763,31 @@ def generate_pdf(doc_id: int, spans: list[dict]
             _image_row(pg, 420, round(page_h - y0), iw4, ih4,
                        im4_w, im4_h, im4_mean)
             y0 -= ih4 + 12.0
+        if rng.random() < 0.15:
+            # bilevel scan via /JBIG2Decode (/Im5): the raster inks the
+            # MQ/MMR-decoded pixels; pdf_image_stats reports true mean
+            iw5, ih5 = 64 + 8 * (doc_id % 3), 32 + 8 * (pg % 2)
+            iy5 = y0 - ih5
+            ops.append(f"q {iw5} 0 0 {ih5} 480.0 {iy5:.1f} cm /Im5 Do Q")
+            golden_entries.append(
+                (pg, "image", "",
+                 f"page_480_{round(page_h - y0)}_{iw5}_{ih5}.png"))
+            _image_row(pg, 480, round(page_h - y0), iw5, ih5,
+                       im5_w, im5_h, im5_mean)
+            y0 -= ih5 + 12.0
+        if rng.random() < 0.12:
+            # JPEG-2000 figure via /JPXDecode (/Im6): out of decode
+            # profile — the degradation row must carry the TRUE dims
+            # read from the stream's SIZ/ihdr headers, mean null
+            iw6, ih6 = 56 + 8 * (doc_id % 3), 28 + 8 * (pg % 3)
+            iy6 = y0 - ih6
+            ops.append(f"q {iw6} 0 0 {ih6} 36.0 {iy6:.1f} cm /Im6 Do Q")
+            golden_entries.append(
+                (pg, "image", "",
+                 f"page_36_{round(page_h - y0)}_{iw6}_{ih6}.png"))
+            _image_row(pg, 36, round(page_h - y0), iw6, ih6,
+                       im6_w, im6_h, None, decoded=False)
+            y0 -= ih6 + 12.0
         for x, col_lines, max_w in cols:
             col_ops, emitted = _emit_column(x, y0, col_lines, rng,
                                             size=size, max_w=max_w)
@@ -1755,7 +1836,8 @@ def generate_pdf(doc_id: int, spans: list[dict]
     # objects: 1=Catalog 2=Pages 3=F1 4=F2 5=F3 6=CMap 7=F4 8=CIDCMap
     # 9=FormA4 10=FormLetter 11=F5 (math face) 12=Im1 (raw image
     # XObject) 13=Im2 (DCTDecode JPEG) 14=Im3 (CCITTFaxDecode)
-    # 15=Im4 (CMYK/YCCK DCTDecode), then per page:
+    # 15=Im4 (CMYK/YCCK DCTDecode) 16=Im5 (JBIG2Decode)
+    # 17=Im6 (JPXDecode, dims-only), then per page:
     # streams, page dict. MediaBox + Resources live on the Pages node
     # (inheritance path); Letter pages override MediaBox locally.
     objs: list[bytes] = [
@@ -1811,6 +1893,16 @@ def generate_pdf(doc_id: int, spans: list[dict]
                 b"/ColorSpace /DeviceCMYK /BitsPerComponent 8 "
                 b"/Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream"
                 % (im4_w, im4_h, len(im4_jpg), im4_jpg))
+    # JBIG2 image XObject (16 = Im5): embedded-format generic region
+    objs.append(b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/Filter /JBIG2Decode /Length %d >>\nstream\n%s\nendstream"
+                % (im5_w, im5_h, len(im5_data), im5_data))
+    # JPEG-2000 image XObject (17 = Im6): real headers, undecodable body
+    objs.append(b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                b"/Filter /JPXDecode /Length %d >>\nstream\n%s\nendstream"
+                % (im6_w, im6_h, len(im6_data), im6_data))
     page_nums: list[int] = []
     for page in pages:
         snums = []
@@ -1830,7 +1922,8 @@ def generate_pdf(doc_id: int, spans: list[dict]
                b"/Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 5 0 R "
                b"/F4 7 0 R /F5 11 0 R >> "
                b"/XObject << /FmA 9 0 R /FmL 10 0 R /Im1 12 0 R "
-               b"/Im2 13 0 R /Im3 14 0 R /Im4 15 0 R >> >> >>"
+               b"/Im2 13 0 R /Im3 14 0 R /Im4 15 0 R /Im5 16 0 R "
+               b"/Im6 17 0 R >> >> >>"
                % (kids, len(page_nums)))
 
     # ~30% of docs ship in the PDF 1.5 modern layout (xref STREAM +
@@ -1949,6 +2042,7 @@ def ensure_fixtures(sf_dir: str) -> Path:
     render_rows = []
     pdf_span_rows = []
     pdf_image_rows = []
+    pdf_locked_rows, pdf_password_rows, golden_locked_rows = [], [], []
     for rec in base.itertuples(index=False):
         did = int(rec.doc_id)
         doc_id = f"{did:09d}"
@@ -2018,6 +2112,24 @@ def ensure_fixtures(sf_dir: str) -> Path:
             pdf_span_rows.append({"doc_id": doc_id, **ps})
         for ir in img_stat_rows:
             pdf_image_rows.append({"doc_id": doc_id, **ir})
+        if did % 50 == 0:
+            # password-LOCKED corpus slice + its (doc_id, password) side
+            # table (VERDICT r5 item 8): both user and owner passwords
+            # are set, so the empty-password audit fails closed and only
+            # the side-table join flips decrypt_ok to true
+            from pdf_parse_bench_spark.kernels.pdfcrypt import (
+                encrypt_pdf, sniff_label)
+            lv = ("rc4-128", "aes-128", "aes-256",
+                  "rc4-40")[(did // 50) % 4]
+            pw = f"pw-{did}"
+            pdf_locked_rows.append({
+                "doc_id": doc_id,
+                "pdf_bytes": encrypt_pdf(pdf_bytes, lv, seed=did,
+                                         user_password=pw.encode())})
+            pdf_password_rows.append({"doc_id": doc_id, "password": pw})
+            golden_locked_rows.append({
+                "doc_id": doc_id, "scheme": sniff_label(lv),
+                "decrypt_ok_empty": False, "decrypt_ok_pw": True})
         # raster-stats golden: pinned regression artifact — the deterministic
         # rasterizer is its own spec (the reference's M5 relies on fitz the
         # same way); this locks page count, pixmap geometry and ink ratio
@@ -2264,6 +2376,15 @@ def ensure_fixtures(sf_dir: str) -> Path:
     _write("golden_pdf_enc.parquet", pdf_enc_rows,
            pa.schema([("doc_id", pa.string()), ("scheme", pa.string()),
                       ("decrypt_ok", pa.bool_())]))
+    _write("pdf_locked.parquet", pdf_locked_rows,
+           pa.schema([("doc_id", pa.string()),
+                      ("pdf_bytes", pa.binary())]))
+    _write("pdf_passwords.parquet", pdf_password_rows,
+           pa.schema([("doc_id", pa.string()), ("password", pa.string())]))
+    _write("golden_pdf_locked.parquet", golden_locked_rows,
+           pa.schema([("doc_id", pa.string()), ("scheme", pa.string()),
+                      ("decrypt_ok_empty", pa.bool_()),
+                      ("decrypt_ok_pw", pa.bool_())]))
     _write("golden_pdf_images.parquet", pdf_image_rows,
            pa.schema([("doc_id", pa.string()), ("page_no", pa.int32()),
                       ("seq", pa.int32()), ("media_ref", pa.string()),

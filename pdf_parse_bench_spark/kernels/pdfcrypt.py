@@ -287,9 +287,12 @@ _PAD = bytes([0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00,
 
 
 def _file_key_std(o: bytes, p: int, id0: bytes, r: int, nbytes: int,
-                  encrypt_metadata: bool) -> bytes:
-    """Algorithm 2: file key from the (empty) user password."""
-    h = hashlib.md5(_PAD + o[:32] + struct.pack("<i", p) + id0)
+                  encrypt_metadata: bool, password: bytes = b"") -> bytes:
+    """Algorithm 2: file key from the user password (padded; empty by
+    default — the crawl norm). The owner route passes the 32-byte
+    recovered pad directly (pad(x)==x when len(x)==32)."""
+    h = hashlib.md5((password + _PAD)[:32] + o[:32]
+                    + struct.pack("<i", p) + id0)
     if r >= 4 and not encrypt_metadata:
         h.update(b"\xff\xff\xff\xff")
     key = h.digest()
@@ -320,13 +323,6 @@ def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
             return k[:32]
 
 
-def _file_key_r6(u: bytes, ue: bytes) -> bytes:
-    """R6 empty-user-password file key: Algorithm 2.A — the intermediate
-    key (hash of password + key salt) unwraps /UE with a zero IV."""
-    ikey = _hash_2b(b"", u[40:48], b"")
-    return aes_cbc_decrypt(ikey, ue, iv=b"\x00" * 16, unpad=False)[:32]
-
-
 def _as_bytes(v) -> bytes:
     return v if isinstance(v, bytes) else b""
 
@@ -334,13 +330,17 @@ def _as_bytes(v) -> bytes:
 class StandardDecrypter:
     """Per-document decrypter built from the /Encrypt dict + first /ID.
 
-    Only the empty user password is attempted (crawl norm).  `ok` is
-    False when the handler is unsupported or validation fails — the
-    caller falls back to treating the file as damaged (error isolation),
-    never raising out of the extract UDF.
+    Tries `password` as the user password first (the passwords
+    side-table hook — VERDICT r5 item 8), then the empty password (the
+    crawl norm); for each candidate both the USER route and the OWNER
+    route are attempted. Classic (R2-R4) keys are validated against /U
+    (Algorithm 6) so a wrong password fails closed instead of decrypting
+    to garbage. `ok` is False when the handler is unsupported or every
+    route fails — the caller falls back to treating the file as damaged
+    (error isolation), never raising out of the extract UDF.
     """
 
-    def __init__(self, enc: dict, id0: bytes):
+    def __init__(self, enc: dict, id0: bytes, password: bytes = b""):
         self.ok = False
         self.stm_cfm = self.str_cfm = "Identity"
         self.key = b""
@@ -352,10 +352,13 @@ class StandardDecrypter:
         o, u = _as_bytes(enc.get("O")), _as_bytes(enc.get("U"))
         p = int(enc.get("P", -1))
         em = enc.get("EncryptMetadata", True) is not False
+        pwds = [password, b""] if password else [b""]
         self.stm_cfm = self.str_cfm = "V2"  # V1/V2 default: RC4
         if self.v in (1, 2) and self.r in (2, 3):
             n = 5 if self.v == 1 else max(5, length // 8)
-            self.key = _file_key_std(o, p, id0, self.r, n, em)
+            self.key = self._classic_key(o, u, p, id0, n, em, pwds)
+            if self.key is None:
+                return
         elif self.v == 4:
             cf = enc.get("CF") if isinstance(enc.get("CF"), dict) else {}
 
@@ -372,7 +375,9 @@ class StandardDecrypter:
             self.stm_cfm, n1 = cfm_of(enc.get("StmF"))
             self.str_cfm, n2 = cfm_of(enc.get("StrF"))
             n = max(n1, n2, 5)
-            self.key = _file_key_std(o, p, id0, self.r, n, em)
+            self.key = self._classic_key(o, u, p, id0, n, em, pwds)
+            if self.key is None:
+                return
         elif self.v == 5 and self.r in (5, 6):
             self.stm_cfm = self.str_cfm = "AESV3"
             ue, oe = _as_bytes(enc.get("UE")), _as_bytes(enc.get("OE"))
@@ -380,32 +385,73 @@ class StandardDecrypter:
             if len(u) < 48:
                 return
             key = None
-            if len(ue) >= 32:
+            for pw in pwds:
                 # USER route (Algorithm 2.A): /Perms integrity (one AES
                 # block) validates the derived key cheaply when present,
                 # else the ~64-round /U validation hash
-                cand = _file_key_r6(u, ue)
-                if (self._perms_ok(cand, perms) if len(perms) == 16
-                        else _hash_2b(b"", u[32:40], b"") == u[:32]):
-                    key = cand
-            if (key is None and len(o) >= 48 and len(oe) >= 32
-                    and _hash_2b(b"", o[32:40], u[:48]) == o[:32]):
-                # OWNER route (Algorithm 2.A): the owner password is
-                # empty even though the user password is not — /O
-                # validates against hash(pw + validation salt + U48),
-                # and the file key unwraps from /OE with the key-salt
-                # intermediate (udata = the full 48-byte /U)
-                ikey = _hash_2b(b"", o[40:48], u[:48])
-                cand = aes_cbc_decrypt(ikey, oe, iv=b"\x00" * 16,
-                                       unpad=False)[:32]
-                if len(perms) != 16 or self._perms_ok(cand, perms):
-                    key = cand
+                if len(ue) >= 32:
+                    ikey = _hash_2b(pw, u[40:48], b"")
+                    cand = aes_cbc_decrypt(ikey, ue, iv=b"\x00" * 16,
+                                           unpad=False)[:32]
+                    if (self._perms_ok(cand, perms) if len(perms) == 16
+                            else _hash_2b(pw, u[32:40], b"") == u[:32]):
+                        key = cand
+                        break
+                if (len(o) >= 48 and len(oe) >= 32
+                        and _hash_2b(pw, o[32:40], u[:48]) == o[:32]):
+                    # OWNER route (Algorithm 2.A): /O validates against
+                    # hash(pw + validation salt + U48), and the file key
+                    # unwraps from /OE with the key-salt intermediate
+                    # (udata = the full 48-byte /U)
+                    ikey = _hash_2b(pw, o[40:48], u[:48])
+                    cand = aes_cbc_decrypt(ikey, oe, iv=b"\x00" * 16,
+                                           unpad=False)[:32]
+                    if len(perms) != 16 or self._perms_ok(cand, perms):
+                        key = cand
+                        break
             if key is None:
                 return  # wrong password (or corrupt) -> fail closed
             self.key = key
         else:
             return
         self.ok = True
+
+    def _classic_key(self, o: bytes, u: bytes, p: int, id0: bytes,
+                     n: int, em: bool, pwds: list) -> bytes | None:
+        """R2-R4 file key: user route (Algorithm 2 + /U check per
+        Algorithm 6) then owner route (Algorithm 7: /O unwraps to the
+        padded user password) for each candidate password."""
+        for pw in pwds:
+            key = _file_key_std(o, p, id0, self.r, n, em, pw)
+            if self._u_ok(key, u, id0):
+                return key
+            # owner route: okey from the owner password (Algorithm 3
+            # steps a-d), /O decrypts to the PADDED user password
+            h = hashlib.md5((pw + _PAD)[:32]).digest()
+            if self.r >= 3:
+                for _ in range(50):
+                    h = hashlib.md5(h).digest()
+            okey = h[:n]
+            if self.r == 2:
+                upad = rc4(okey, o[:32])
+            else:
+                upad = o[:32]
+                for i in range(19, -1, -1):
+                    upad = rc4(bytes(b ^ i for b in okey), upad)
+            key = _file_key_std(o, p, id0, self.r, n, em, upad)
+            if self._u_ok(key, u, id0):
+                return key
+        return None
+
+    def _u_ok(self, key: bytes, u: bytes, id0: bytes) -> bool:
+        """Algorithm 6: recompute /U from the candidate key (Algorithm
+        4 for R2, Algorithm 5 first-16-bytes for R3/R4)."""
+        if self.r == 2:
+            return rc4(key, _PAD) == u[:32]
+        x = rc4(key, hashlib.md5(_PAD + id0).digest())
+        for i in range(1, 20):
+            x = rc4(bytes(b ^ i for b in key), x)
+        return x == u[:16]
 
     @staticmethod
     def _perms_ok(key: bytes, perms: bytes) -> bool:
@@ -437,16 +483,18 @@ class StandardDecrypter:
         return self._apply(self.str_cfm, data, num, gen)
 
 
-def sniff_encryption(pdf: bytes) -> tuple[str, bool]:
+def sniff_encryption(pdf: bytes, password: bytes = b"") -> tuple[str, bool]:
     """(scheme, decrypt_ok) for auditing a crawled corpus.
 
     scheme is 'none' / 'rc4-40' / 'rc4-128' / 'aes-128' / 'aes-256' /
     'other' (identity or unknown crypt filters) / 'damaged'; decrypt_ok
-    is True when the file is unencrypted or the empty-user-password key
-    derivation succeeded (V5 also validates the /U hash)."""
+    is True when the file is unencrypted or key derivation succeeded
+    for `password` or the empty password (validated against /U, or
+    /Perms for V5). `password` is the passwords side-table hook: a
+    crawl joins a small (doc_id, password) registry into the audit."""
     from pdf_parse_bench_spark.kernels.pdftext import _PdfDoc
     try:
-        doc = _PdfDoc(pdf)
+        doc = _PdfDoc(pdf, password=password)
         enc = doc.resolve(doc.trailer.get("Encrypt"))
     except Exception:
         return ("damaged", False)
@@ -493,7 +541,12 @@ def sniff_label(variant: str) -> str:
 
 
 class _Encrypter:
-    def __init__(self, variant: str, seed: int):
+    def __init__(self, variant: str, seed: int,
+                 user_password: bytes = b""):
+        """`user_password` locks the file for readers: both the user and
+        the owner password are set to it (so neither empty-password
+        route succeeds) — the fixture side of the passwords side-table
+        hook (VERDICT r5 item 8)."""
         rng = np.random.default_rng(0xC0DEC + seed)
         self.variant = variant
         self.id0 = rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
@@ -508,7 +561,8 @@ class _Encrypter:
             # is empty — the decrypter must authenticate via the /O
             # validation hash and unwrap the key from /OE
             upw = (b"reader-%d" % seed) if variant == "aes-256-owner" \
-                else b""
+                else user_password
+            opw = user_password  # empty unless password-locked
             self.key = rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
             vs = rng.integers(0, 256, 8, dtype=np.uint8).tobytes()
             ks = rng.integers(0, 256, 8, dtype=np.uint8).tobytes()
@@ -518,8 +572,8 @@ class _Encrypter:
                                       pad=False)
             vso = rng.integers(0, 256, 8, dtype=np.uint8).tobytes()
             kso = rng.integers(0, 256, 8, dtype=np.uint8).tobytes()
-            self.o = _hash_2b(b"", vso, self.u) + vso + kso
-            self.oe = aes_cbc_encrypt(_hash_2b(b"", kso, self.u), self.key,
+            self.o = _hash_2b(opw, vso, self.u) + vso + kso
+            self.oe = aes_cbc_encrypt(_hash_2b(opw, kso, self.u), self.key,
                                       iv=b"\x00" * 16, pad=False)
             self.perms = aes_encrypt_block(
                 self.key, struct.pack("<i", self.p) + b"\xff\xff\xff\xff"
@@ -533,19 +587,20 @@ class _Encrypter:
                 self.variant = "aes-128"
             self.r = {"rc4-40": 2, "rc4-128": 3, "aes-128": 4}[variant]
             self.nbytes = 5 if variant == "rc4-40" else 16
-            # Algorithm 3: /O from the (empty) owner == user password
-            h = hashlib.md5(_PAD).digest()
+            # Algorithm 3: /O from the owner (== user) password
+            pw_pad = (user_password + _PAD)[:32]
+            h = hashlib.md5(pw_pad).digest()
             if self.r >= 3:
                 for _ in range(50):
                     h = hashlib.md5(h).digest()
             okey = h[:self.nbytes]
-            o = rc4(okey, _PAD)
+            o = rc4(okey, pw_pad)
             if self.r >= 3:
                 for i in range(1, 20):
                     o = rc4(bytes(b ^ i for b in okey), o)
             self.o = o
             self.key = _file_key_std(o, self.p, self.id0, self.r,
-                                     self.nbytes, self.em)
+                                     self.nbytes, self.em, user_password)
             if self.r == 2:  # Algorithm 4
                 self.u = rc4(self.key, _PAD)
             else:  # Algorithm 5
@@ -622,7 +677,8 @@ def _ser(v, crypt_str) -> bytes:
     raise TypeError(f"unserialisable COS value {type(v)}")
 
 
-def encrypt_pdf(pdf: bytes, variant: str = "rc4-128", seed: int = 0) -> bytes:
+def encrypt_pdf(pdf: bytes, variant: str = "rc4-128", seed: int = 0,
+                user_password: bytes = b"") -> bytes:
     """Rewrite `pdf` as a classic-layout file encrypted with the standard
     security handler (empty user/owner password).  Object numbers are
     preserved; ObjStm-packed objects are re-emitted as top-level objects
@@ -630,7 +686,7 @@ def encrypt_pdf(pdf: bytes, variant: str = "rc4-128", seed: int = 0) -> bytes:
     faithful rewrite must unpack them)."""
     from pdf_parse_bench_spark.kernels.pdftext import _PdfDoc, _Ref
     doc = _PdfDoc(pdf)
-    enc = _Encrypter(variant, seed)
+    enc = _Encrypter(variant, seed, user_password)
     nums = sorted(set(doc.offsets) | set(doc.in_objstm))
     old_enc = doc.trailer.get("Encrypt")
     if isinstance(old_enc, _Ref) and int(old_enc) in nums:

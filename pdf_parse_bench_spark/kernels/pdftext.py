@@ -28,6 +28,7 @@ bytes — no driver-side loops (north_rule: batched byte-stream tokenization).
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 import numpy as np
@@ -368,8 +369,9 @@ def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
 
 
 class _PdfDoc:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes = b""):
         self.data = data
+        self._password = password
         self.trailer: dict = {}
         self.offsets: dict[int, int] = {}
         self.in_objstm: dict[int, tuple[int, int]] = {}  # num -> (stm, idx)
@@ -409,7 +411,7 @@ class _PdfDoc:
             ids = self.resolve(self.trailer.get("ID"))
             id0 = ids[0] if isinstance(ids, list) and ids \
                 and isinstance(ids[0], bytes) else b""
-            h = StandardDecrypter(enc, id0)
+            h = StandardDecrypter(enc, id0, self._password)
             if h.ok:
                 self._crypt = h
         except Exception:
@@ -764,6 +766,24 @@ class _PdfDoc:
                     if self.resolve(parms.get("BlackIs1", False)):
                         arr = 255 - arr  # 1-bits mean black
                     px = arr
+                elif filters and filters[-1] == "JBIG2Decode":
+                    from pdf_parse_bench_spark.kernels.jbig2 import (
+                        jbig2_decode)
+                    parms = self.resolve(d.get("DecodeParms"))
+                    if isinstance(parms, list):
+                        parms = self.resolve(parms[-1])
+                    parms = parms if isinstance(parms, dict) else {}
+                    g = parms.get("JBIG2Globals")
+                    globals_data = self.stream_bytes(g) if g is not None \
+                        else b""
+                    body = raw
+                    if len(filters) > 1:
+                        pre = dict(d)
+                        pre["Filter"] = filters[:-1]
+                        body = self._decode_stream(pre, raw)
+                    # T.88 1-bits are black; jbig2_decode returns
+                    # 255-white/0-black uint8 (the CCITT convention)
+                    px = jbig2_decode(body, globals_data)
                 elif filters and filters[-1] in ("DCTDecode", "DCT"):
                     from pdf_parse_bench_spark.kernels.jpeg import (
                         jpeg_decode)
@@ -811,11 +831,61 @@ class _PdfDoc:
                             0.299 * arr[..., 0].astype(np.float64)
                             + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]),
                             0, 255).astype(np.uint8)
-        except Exception:
+        except (ValueError, KeyError, IndexError, OverflowError,
+                struct.error, zlib.error):
+            # ValueError is the jpeg/ccitt kernels' documented
+            # out-of-profile signal; the rest are the narrow malformed-
+            # data shapes. Programming errors (NameError, AttributeError,
+            # ...) propagate instead of masquerading as decoded=False.
             px = None
         if key is not None:
             self._img_cache[key] = px
         return px
+
+    def _image_true_dims(self, ref, d: dict):
+        """TRUE pixel dims read from the image DATA's own headers —
+        JBIG2 segment headers, JPEG 2000 SIZ/ihdr, JPEG SOF — or None.
+        Degradation rows (decoded=False) report these instead of the
+        PDF dict's claim, so an out-of-profile JBIG2/JPX/JPEG figure
+        still carries real geometry (VERDICT r5 items 5/10)."""
+        try:
+            filt = self.resolve(d.get("Filter"))
+            filters = [str(self.resolve(f)) for f in (
+                filt if isinstance(filt, list)
+                else [filt] if filt else [])]
+            if not filters:
+                return None
+            _, raw = self.get_object(int(ref)) if isinstance(ref, _Ref) \
+                else (None, None)
+            if raw is None:
+                return None
+            body = raw
+            if len(filters) > 1:
+                pre = dict(d)
+                pre["Filter"] = filters[:-1]
+                body = self._decode_stream(pre, raw)
+            last = filters[-1]
+            if last == "JBIG2Decode":
+                from pdf_parse_bench_spark.kernels.jbig2 import jbig2_dims
+                parms = self.resolve(d.get("DecodeParms"))
+                if isinstance(parms, list):
+                    parms = self.resolve(parms[-1])
+                parms = parms if isinstance(parms, dict) else {}
+                g = parms.get("JBIG2Globals")
+                return jbig2_dims(
+                    body, self.stream_bytes(g) if g is not None else b"")
+            if last == "JPXDecode":
+                from pdf_parse_bench_spark.kernels.jpx import jpx_dims
+                w, h, _nc = jpx_dims(body)
+                return w, h
+            if last in ("DCTDecode", "DCT"):
+                from pdf_parse_bench_spark.kernels.jpeg import jpeg_dims
+                w, h, _nc = jpeg_dims(body)
+                return w, h
+        except (ValueError, KeyError, IndexError, OverflowError,
+                struct.error, zlib.error):
+            pass
+        return None
 
     def _xobject_lookup(self, resources):
         """Closure resolving a /XObject name for the `Do` operator (§8.10):
@@ -847,8 +917,13 @@ class _PdfDoc:
                 # pixels are LAZY: text/span extraction needs only the
                 # Do-site geometry; only the rasterizer and the image-
                 # stats operator force the decode (cached per object)
-                return ("image", w, h,
-                        lambda: self._image_pixels(ref, d, w, h))
+                def thunk(ref=ref, d=d, w=w, h=h):
+                    return self._image_pixels(ref, d, w, h)
+                # dims-from-data probe for degradation rows: stats can
+                # report REAL geometry even when decode is out of profile
+                thunk.true_dims = \
+                    lambda ref=ref, d=d: self._image_true_dims(ref, d)
+                return ("image", w, h, thunk)
             if sub != "Form":
                 return None
             body = self.stream_bytes(ref)
@@ -1920,6 +1995,7 @@ def pdf_image_stats(pdf_bytes: bytes) -> list[dict]:
         if body:
             _page_runs(body, fonts, xobj_fn, images=images)
         for x, y, w, h, px in images:
+            thunk = px if callable(px) else None
             if callable(px):
                 px = px()  # lazy decode, forced only here
             ref = (f"page_{round(x)}_{round(page_h - y - h)}"
@@ -1934,9 +2010,15 @@ def pdf_image_stats(pdf_bytes: bytes) -> list[dict]:
                         float(np.floor(mean * 1e6 + 0.5)) / 1e6,
                     "decoded": True})
             else:
+                # out-of-profile data (JPX, exotic JBIG2/JPEG): dims
+                # still come from the DATA's own headers when present
+                dims = getattr(thunk, "true_dims", lambda: None)() \
+                    if thunk is not None else None
                 out.append({
                     "page_no": page_no, "seq": len(out),
-                    "media_ref": ref, "px_w": None, "px_h": None,
+                    "media_ref": ref,
+                    "px_w": int(dims[0]) if dims else None,
+                    "px_h": int(dims[1]) if dims else None,
                     "mean_intensity": None, "decoded": False})
     return out
 
@@ -2026,7 +2108,7 @@ def _strip_page_chrome(pages: list[tuple[list, float]]
             for runs, page_h in pages]
 
 
-def extract_pdf_text(pdf_bytes: bytes) -> str:
+def extract_pdf_text(pdf_bytes: bytes, password: bytes = b"") -> str:
     """Extract text from a PDF, reading-ordered within each page, with
     page chrome (running headers/footers, page numbers) suppressed by
     _strip_page_chrome.
@@ -2034,10 +2116,11 @@ def extract_pdf_text(pdf_bytes: bytes) -> str:
     Pages come from the real ``/Pages`` tree when the file indexes one
     (reference pypdf path: per-page ``extract_text`` then join,
     parsers/pypdf/__main__.py:30-32); otherwise every content stream is
-    treated as a page (truncated-file fallback)."""
+    treated as a page (truncated-file fallback). `password` unlocks
+    password-protected files (the passwords side-table hook)."""
     staged: list[tuple[list, float]] = []
     try:
-        doc = _PdfDoc(pdf_bytes)
+        doc = _PdfDoc(pdf_bytes, password=password)
         for body, fonts, xobj_fn, _page_w, page_h in doc.pages():
             if body:
                 staged.append((_page_runs(body, fonts, xobj_fn), page_h))
@@ -2053,7 +2136,7 @@ def extract_pdf_text(pdf_bytes: bytes) -> str:
     return "\n".join(p for p in pages if p)
 
 
-def extract_pdf_spans(pdf_bytes: bytes) -> list[dict]:
+def extract_pdf_spans(pdf_bytes: bytes, password: bytes = b"") -> list[dict]:
     """Ordered (kind, text, media_ref) spans from a PDF: the per-backend
     extraction contract (reference parse stage) recovered deterministically
     — prose runs become text spans, math-font runs become inline/display-
@@ -2064,7 +2147,7 @@ def extract_pdf_spans(pdf_bytes: bytes) -> list[dict]:
     staged: list[tuple[list, float]] = []
     page_images: list[list] = []
     try:
-        doc = _PdfDoc(pdf_bytes)
+        doc = _PdfDoc(pdf_bytes, password=password)
         for body, fonts, xobj_fn, _page_w, page_h in doc.pages():
             if body:
                 images: list = []

@@ -252,21 +252,38 @@ def pdf_spans(pdf_df: DataFrame, rebalance: bool = True) -> DataFrame:
                     "media_ref string")
 
 
-def pdf_encrypt_audit(pdf_df: DataFrame, rebalance: bool = True) -> DataFrame:
+def pdf_encrypt_audit(pdf_df: DataFrame,
+                      passwords_df: DataFrame | None = None,
+                      rebalance: bool = True) -> DataFrame:
     """Per-document encryption audit over a raw-PDF corpus: scheme
     (none / rc4-40 / rc4-128 / aes-128 / aes-256 / other / damaged) and
-    whether the empty-user-password key derivation succeeded — the triage
-    a 100 TB crawl runs before extraction (the reference inherits this
-    from pypdf's decrypt path, parsers/pypdf/__main__.py:30-32).  Pure
-    header/KDF work per doc; no page parsing."""
+    whether key derivation succeeded — the triage a 100 TB crawl runs
+    before extraction (the reference inherits this from pypdf's decrypt
+    path, parsers/pypdf/__main__.py:30-32).  Pure header/KDF work per
+    doc; no page parsing.
+
+    `passwords_df` is the optional (doc_id, password) side table —
+    a secrets registry is tiny relative to the corpus, so it joins by
+    BROADCAST (no shuffle of the pdf bytes); rows without an entry
+    audit with the empty password as before."""
     from pdf_parse_bench_spark.kernels.pdfcrypt import sniff_encryption
 
     if rebalance:
         pdf_df = rebalance_by_size(pdf_df, size_col=F.length("pdf_bytes"))
+    has_pw = passwords_df is not None
+    if has_pw:
+        pdf_df = pdf_df.join(
+            F.broadcast(passwords_df.select("doc_id", "password")),
+            "doc_id", "left")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sniffs = [sniff_encryption(bytes(b)) for b in pdf["pdf_bytes"]]
+            pws = pdf["password"] if has_pw else [None] * len(pdf)
+            sniffs = [
+                sniff_encryption(
+                    bytes(b),
+                    password=pw.encode() if isinstance(pw, str) else b"")
+                for b, pw in zip(pdf["pdf_bytes"], pws)]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "scheme": [s for s, _ in sniffs],

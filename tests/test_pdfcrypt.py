@@ -163,3 +163,62 @@ def test_encrypt_metadata_false_key_derivation_branch():
     epdf = pc.encrypt_pdf(pdf, "aes-128-nm", seed=13)
     assert b"/EncryptMetadata false" in epdf
     assert extract_pdf_text(epdf) == extract_pdf_text(pdf)
+
+
+@pytest.mark.parametrize("variant",
+                         ("rc4-40", "rc4-128", "aes-128", "aes-256"))
+def test_password_locked_requires_side_table_password(variant):
+    """A file locked with a REAL user password (owner password set too):
+    the empty-password audit fails closed, the right password decrypts
+    byte-identically, a wrong password fails closed — across every
+    supported scheme (Algorithm 6 /U validation for R2-R4, the 2.A
+    routes for R6). This is the kernels half of the passwords
+    side-table hook (VERDICT r5 item 8)."""
+    pdf = _fixture_pdf(31)
+    locked = pc.encrypt_pdf(pdf, variant, seed=31,
+                            user_password=b"open-sesame")
+    assert pc.sniff_encryption(locked)[1] is False
+    assert pc.sniff_encryption(locked, password=b"open-sesame")[1] is True
+    assert pc.sniff_encryption(locked, password=b"wrong")[1] is False
+    assert extract_pdf_text(locked, password=b"open-sesame") \
+        == extract_pdf_text(pdf)
+    assert extract_pdf_text(locked) == ""
+    assert extract_pdf_spans(locked, password=b"open-sesame") \
+        == extract_pdf_spans(pdf)
+
+
+def test_classic_u_validation_fails_closed_on_corrupt_u():
+    """R2-R4 now validate the derived key against /U (Algorithm 6):
+    a corrupted /U entry must fail closed instead of decrypting with a
+    garbage-producing key."""
+    pdf = _fixture_pdf(31)
+    for variant in ("rc4-128", "aes-128"):
+        epdf = bytearray(pc.encrypt_pdf(pdf, variant, seed=13))
+        at = epdf.find(b"/U <")
+        assert at > 0
+        epdf[at + 4:at + 8] = b"0000" if epdf[at + 4:at + 8] != b"0000" \
+            else b"1111"
+        assert extract_pdf_text(bytes(epdf)) == "", variant
+
+
+def test_locked_audit_spark_side_table_join(spark):
+    """Operator half of the side-table hook: pdf_encrypt_audit joins the
+    broadcast (doc_id, password) registry — rows with the right password
+    flip to decrypt_ok=true, rows without an entry stay false."""
+    from pdf_parse_bench_spark.operators.extract import pdf_encrypt_audit
+
+    pdf = _fixture_pdf(7)
+    rows = [("d1", pc.encrypt_pdf(pdf, "rc4-128", seed=1,
+                                  user_password=b"pw-1")),
+            ("d2", pc.encrypt_pdf(pdf, "aes-128", seed=2,
+                                  user_password=b"pw-2")),
+            ("d3", pc.encrypt_pdf(pdf, "aes-128", seed=3))]
+    docs = spark.createDataFrame(rows, "doc_id string, pdf_bytes binary")
+    pws = spark.createDataFrame(
+        [("d1", "pw-1"), ("d2", "nope")], "doc_id string, password string")
+    out = {r["doc_id"]: r["decrypt_ok"]
+           for r in pdf_encrypt_audit(docs, passwords_df=pws).collect()}
+    assert out == {"d1": True, "d2": False, "d3": True}
+    base = {r["doc_id"]: r["decrypt_ok"]
+            for r in pdf_encrypt_audit(docs).collect()}
+    assert base == {"d1": False, "d2": False, "d3": True}
