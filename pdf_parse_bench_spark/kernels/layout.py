@@ -60,16 +60,91 @@ def _largest_gap(starts: np.ndarray, ends: np.ndarray) -> tuple[float, float]:
     return float(gaps[k]), float((s[1:][k] + max_end[:-1][k]) / 2.0)
 
 
+# wrap-table extraction (round 6): a floating table whose rows BRIDGE a
+# two-column gutter defeats every cut (no x-gap exists while the rows
+# are present; y-band slicing then x-interleaves the columns line by
+# line). Evidence gate: >= _WRAP_MIN_ROWS clustered table-like rows
+# spanning >= _WRAP_MIN_ROWS bands, straddling a prose-only x-gap of
+# >= _WRAP_GUTTER_MIN pt with real prose on BOTH sides.
+_WRAP_MIN_ROWS = 3
+_WRAP_GUTTER_MIN = 6.0
+_WRAP_ROW_GAP = 30.0  # max y gap chaining rows into one cluster
+
+
+def _wrap_table_clusters(bboxes: np.ndarray,
+                         table_mask: np.ndarray) -> list[np.ndarray]:
+    """Connected clusters of table-like rows (x-overlapping, y-chained
+    within _WRAP_ROW_GAP) that straddle an otherwise-clean prose column
+    gutter. Returns index arrays (possibly empty list)."""
+    t_idx = np.flatnonzero(table_mask)
+    if len(t_idx) < _WRAP_MIN_ROWS or not (~table_mask).any():
+        return []
+    p = bboxes[~table_mask]
+    # prose-only widest x-gap: the candidate column gutter
+    gap, cut = _largest_gap(p[:, 0], p[:, 2])
+    if gap < _WRAP_GUTTER_MIN:
+        return []
+    lp, rp = p[p[:, 0] < cut], p[p[:, 0] >= cut]
+    if _n_bands(lp[:, 1]) < 2 or _n_bands(rp[:, 1]) < 2:
+        return []
+    # cluster the table rows: sort by top, chain while y-gap small and
+    # x-ranges overlap
+    order = t_idx[np.argsort(bboxes[t_idx, 1], kind="stable")]
+    clusters: list[list[int]] = []
+    for i in order:
+        placed = False
+        if clusters:
+            c = clusters[-1]
+            prev = bboxes[c[-1]]
+            b = bboxes[i]
+            if (b[1] - prev[3] <= _WRAP_ROW_GAP
+                    and min(b[2], max(bboxes[j][2] for j in c))
+                    > max(b[0], min(bboxes[j][0] for j in c))):
+                c.append(int(i))
+                placed = True
+        if not placed:
+            clusters.append([int(i)])
+    out = []
+    for c in clusters:
+        if len(c) < _WRAP_MIN_ROWS:
+            continue
+        cb = bboxes[c]
+        if _n_bands(cb[:, 1]) < _WRAP_MIN_ROWS:
+            continue
+        x1, x2 = float(cb[:, 0].min()), float(cb[:, 2].max())
+        if x1 < cut < x2:  # the cluster bridges the prose gutter
+            out.append(np.array(c, dtype=np.int64))
+    return out
+
+
 def reading_order(bboxes: np.ndarray,
                   table_mask: np.ndarray | None = None) -> list[int]:
     """Return indices of blocks in reading order via recursive XY-cut.
 
     bboxes: (n, 4) array of [x1, y1, x2, y2], top-left origin, y down.
     table_mask: optional (n,) bool array marking table-like content
-    (label + numeric cells); enables the content-gated narrow-gutter
-    column cut for wrap-table layouts (see _XGAP_MIN note).
+    (label + numeric cells); enables (a) the content-gated narrow-gutter
+    column cut (see _XGAP_MIN note) and (b) wrap-table extraction —
+    gutter-bridging table-row clusters lift out, the prose orders
+    column-major through the now-visible gutter, and each cluster's rows
+    append as one contiguous row-major block (deterministic: clusters in
+    (y, x) order — W2).
     """
     bboxes = np.asarray(bboxes, dtype=np.float64)
+    if table_mask is not None and len(bboxes):
+        table_mask = np.asarray(table_mask, dtype=bool)
+        clusters = _wrap_table_clusters(bboxes, table_mask)
+        if clusters:
+            lifted = np.concatenate(clusters)
+            keep = np.setdiff1d(np.arange(len(bboxes)), lifted)
+            order = [int(keep[k]) for k in reading_order(
+                bboxes[keep], table_mask[keep])]
+            for c in sorted(clusters,
+                            key=lambda c: (float(bboxes[c, 1].min()),
+                                           float(bboxes[c, 0].min()))):
+                order.extend(int(c[k]) for k in reading_order(
+                    bboxes[c], table_mask[c]))
+            return order
     out: list[int] = []
 
     def rec(idx: np.ndarray) -> None:
