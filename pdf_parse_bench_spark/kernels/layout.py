@@ -35,6 +35,15 @@ _GAP_EPS = 2.0  # minimum whitespace gap (pt) considered a cut
 # math aligned a pseudo-gutter) and the content gate is what fixes that
 _XGAP_MIN = 0.5
 _MIN_COL_BANDS = 4
+# prose-gutter rescue (round 6): a floating wrap-table whose rows bridge
+# the two-column gutter leaves NO whitespace gap at all, so the banded
+# no-cut fallback x-interleaves the two prose columns line by line. The
+# gutter is still visible in the long prose lines alone (>= 4 tokens,
+# non-table) — they are the runs typeset to the column measure. When
+# those show a clean >= _PROSE_GUTTER_MIN gap with >= 2 prose bands on
+# each side, cut there and assign every remaining box (table rows,
+# headers, stray fragments) to the side holding most of its x-extent.
+_PROSE_GUTTER_MIN = 6.0
 
 
 def _n_bands(ys: np.ndarray) -> int:
@@ -71,54 +80,117 @@ _WRAP_GUTTER_MIN = 6.0
 _WRAP_ROW_GAP = 30.0  # max y gap chaining rows into one cluster
 
 
-def _wrap_table_clusters(bboxes: np.ndarray,
-                         table_mask: np.ndarray) -> list[np.ndarray]:
-    """Connected clusters of table-like rows (x-overlapping, y-chained
-    within _WRAP_ROW_GAP) that straddle an otherwise-clean prose column
-    gutter. Returns index arrays (possibly empty list)."""
+def _seed_clusters(bboxes: np.ndarray,
+                   table_mask: np.ndarray) -> list[list[int]]:
+    """Chain table-like rows into clusters: sort by top, attach a row to
+    any open cluster within _WRAP_ROW_GAP of its lowest row whose x-range
+    overlaps (every open cluster is a candidate — two tables
+    y-interleaved in different columns must chain independently; a
+    last-cluster-only greedy shatters both). Keeps clusters with
+    >= _WRAP_MIN_ROWS rows over >= _WRAP_MIN_ROWS bands."""
     t_idx = np.flatnonzero(table_mask)
-    if len(t_idx) < _WRAP_MIN_ROWS or not (~table_mask).any():
-        return []
-    p = bboxes[~table_mask]
-    # prose-only widest x-gap: the candidate column gutter
-    gap, cut = _largest_gap(p[:, 0], p[:, 2])
-    if gap < _WRAP_GUTTER_MIN:
-        return []
-    lp, rp = p[p[:, 0] < cut], p[p[:, 0] >= cut]
-    if _n_bands(lp[:, 1]) < 2 or _n_bands(rp[:, 1]) < 2:
-        return []
-    # cluster the table rows: sort by top, chain while y-gap small and
-    # x-ranges overlap
     order = t_idx[np.argsort(bboxes[t_idx, 1], kind="stable")]
     clusters: list[list[int]] = []
     for i in order:
+        b = bboxes[i]
         placed = False
-        if clusters:
-            c = clusters[-1]
-            prev = bboxes[c[-1]]
-            b = bboxes[i]
-            if (b[1] - prev[3] <= _WRAP_ROW_GAP
+        for c in reversed(clusters):
+            if (b[1] - max(bboxes[j][3] for j in c) <= _WRAP_ROW_GAP
                     and min(b[2], max(bboxes[j][2] for j in c))
                     > max(b[0], min(bboxes[j][0] for j in c))):
                 c.append(int(i))
                 placed = True
+                break
         if not placed:
             clusters.append([int(i)])
+    return [c for c in clusters
+            if len(c) >= _WRAP_MIN_ROWS
+            and _n_bands(bboxes[c, 1]) >= _WRAP_MIN_ROWS]
+
+
+_ABSORB_PAD = 4.0  # x slack when pulling fragments into a float cluster
+
+
+def _wrap_table_clusters(bboxes: np.ndarray,
+                         table_mask: np.ndarray,
+                         prose_mask: np.ndarray | None = None
+                         ) -> list[np.ndarray]:
+    """Floating-table clusters to lift out of the prose flow.
+
+    Seeds are chained table-like rows (_seed_clusters). With a
+    prose_mask, each cluster absorbs its furniture — short non-prose
+    runs (headers, captions, unit cells, stray fragments) whose x-extent
+    overlaps the cluster's padded x-range within one row pitch of its
+    y-extent, to fixpoint — and fires when the cluster overlaps a long
+    prose line in BOTH axes (the float is interleaved with column text)
+    or straddles the long-prose column gutter. Without a prose_mask,
+    the round-5 rule is kept: no absorption, fire only on clusters
+    straddling the non-table-only gutter. Returns index arrays."""
+    t_idx = np.flatnonzero(table_mask)
+    if len(t_idx) < _WRAP_MIN_ROWS or not (~table_mask).any():
+        return []
+    if prose_mask is None:
+        p = bboxes[~table_mask]
+        gap, cut = _largest_gap(p[:, 0], p[:, 2])
+        if gap < _WRAP_GUTTER_MIN:
+            return []
+        lp, rp = p[p[:, 0] < cut], p[p[:, 0] >= cut]
+        if _n_bands(lp[:, 1]) < 2 or _n_bands(rp[:, 1]) < 2:
+            return []
+        return [np.array(c, dtype=np.int64)
+                for c in _seed_clusters(bboxes, table_mask)
+                if float(bboxes[c, 0].min()) < cut
+                < float(bboxes[c, 2].max())]
+    p_idx = np.flatnonzero(prose_mask & ~table_mask)
+    if len(p_idx) == 0:
+        return []
+    pb = bboxes[p_idx]
+    pgap, pcut = _largest_gap(pb[:, 0], pb[:, 2])
+    gutter_ok = (pgap >= _WRAP_GUTTER_MIN
+                 and _n_bands(pb[pb[:, 0] < pcut, 1]) >= 2
+                 and _n_bands(pb[pb[:, 0] >= pcut, 1]) >= 2)
+    seeds = _seed_clusters(bboxes, table_mask)
+    seeds.sort(key=lambda c: (float(bboxes[c, 1].min()),
+                              float(bboxes[c, 0].min())))
+    in_seed = {j for c in seeds for j in c}
+    taken: set[int] = set()
     out = []
-    for c in clusters:
-        if len(c) < _WRAP_MIN_ROWS:
-            continue
-        cb = bboxes[c]
-        if _n_bands(cb[:, 1]) < _WRAP_MIN_ROWS:
-            continue
-        x1, x2 = float(cb[:, 0].min()), float(cb[:, 2].max())
-        if x1 < cut < x2:  # the cluster bridges the prose gutter
-            out.append(np.array(c, dtype=np.int64))
+    for c in seeds:
+        mem = list(c)
+        tops = np.sort(bboxes[c, 1])
+        pitch = (float(np.median(np.diff(tops)))
+                 if len(tops) > 1 else _WRAP_ROW_GAP)
+        pitch = max(pitch, _GAP_EPS)
+        x1, x2 = float(bboxes[c, 0].min()), float(bboxes[c, 2].max())
+        y1, y2 = float(bboxes[c, 1].min()), float(bboxes[c, 3].max())
+        changed = True
+        while changed:
+            changed = False
+            for j in range(len(bboxes)):
+                if (j in mem or j in taken or j in in_seed
+                        or prose_mask[j]):
+                    continue
+                b = bboxes[j]
+                if (min(b[2], x2 + _ABSORB_PAD)
+                        > max(b[0], x1 - _ABSORB_PAD)
+                        and b[3] >= y1 - pitch and b[1] <= y2 + pitch):
+                    mem.append(j)
+                    x1, x2 = min(x1, b[0]), max(x2, b[2])
+                    y1, y2 = min(y1, b[1]), max(y2, b[3])
+                    changed = True
+        interleaved = any(
+            min(bboxes[j, 2], x2) > max(bboxes[j, 0], x1)
+            and min(bboxes[j, 3], y2) > max(bboxes[j, 1], y1)
+            for j in p_idx)
+        if interleaved or (gutter_ok and x1 < pcut < x2):
+            taken.update(mem)
+            out.append(np.array(sorted(mem), dtype=np.int64))
     return out
 
 
 def reading_order(bboxes: np.ndarray,
-                  table_mask: np.ndarray | None = None) -> list[int]:
+                  table_mask: np.ndarray | None = None,
+                  prose_mask: np.ndarray | None = None) -> list[int]:
     """Return indices of blocks in reading order via recursive XY-cut.
 
     bboxes: (n, 4) array of [x1, y1, x2, y2], top-left origin, y down.
@@ -129,21 +201,28 @@ def reading_order(bboxes: np.ndarray,
     column-major through the now-visible gutter, and each cluster's rows
     append as one contiguous row-major block (deterministic: clusters in
     (y, x) order — W2).
+    prose_mask: optional (n,) bool array marking long prose lines (the
+    runs typeset to the column measure); enables the prose-gutter rescue
+    cut inside the no-cut fallback (see _PROSE_GUTTER_MIN note).
     """
     bboxes = np.asarray(bboxes, dtype=np.float64)
+    if prose_mask is not None:
+        prose_mask = np.asarray(prose_mask, dtype=bool)
     if table_mask is not None and len(bboxes):
         table_mask = np.asarray(table_mask, dtype=bool)
-        clusters = _wrap_table_clusters(bboxes, table_mask)
+        clusters = _wrap_table_clusters(bboxes, table_mask, prose_mask)
         if clusters:
             lifted = np.concatenate(clusters)
             keep = np.setdiff1d(np.arange(len(bboxes)), lifted)
             order = [int(keep[k]) for k in reading_order(
-                bboxes[keep], table_mask[keep])]
+                bboxes[keep], table_mask[keep],
+                None if prose_mask is None else prose_mask[keep])]
             for c in sorted(clusters,
                             key=lambda c: (float(bboxes[c, 1].min()),
                                            float(bboxes[c, 0].min()))):
                 order.extend(int(c[k]) for k in reading_order(
-                    bboxes[c], table_mask[c]))
+                    bboxes[c], table_mask[c],
+                    None if prose_mask is None else prose_mask[c]))
             return order
     out: list[int] = []
 
@@ -156,6 +235,43 @@ def reading_order(bboxes: np.ndarray,
         bb = bboxes[idx]
         ygap, ycut = _largest_gap(bb[:, 1], bb[:, 3])
         xgap, xcut = _largest_gap(bb[:, 0], bb[:, 2])
+        # prose-gutter rescue: gutter-bridging table rows / header
+        # fragments hide the column gutter from the all-boxes x-gap, but
+        # the long prose lines alone still show it. Widest-gap-wins with
+        # the prose gutter standing in for the hidden x-gap: when it
+        # beats both visible gaps, cut there and side-assign every box
+        # by x-extent mass. (A full-width prose line — title, heading —
+        # sits inside the candidate gap and kills it, so genuinely
+        # single-column regions never fire.)
+        if (prose_mask is not None and table_mask is not None
+                and xgap <= _GAP_EPS):
+            pm = prose_mask[idx]
+            if int(pm.sum()) >= 4:
+                bp = bb[pm]
+                pgap, pcut = _largest_gap(bp[:, 0], bp[:, 2])
+                if (pgap >= _PROSE_GUTTER_MIN and pgap > ygap
+                        and pgap > xgap):
+                    lp = bp[:, 0] < pcut
+                    # evidence gate: the rescue exists because wrap-table
+                    # ROWS hide a real gutter — require >= _WRAP_MIN_ROWS
+                    # table-like bridgers over >= _WRAP_MIN_ROWS bands
+                    # actually crossing the cut. Math-heavy single-column
+                    # pages (wrapped sentence fragments around display
+                    # math fake a gutter among the few long prose lines)
+                    # have no such rows and must never fire.
+                    bridge = (table_mask[idx]
+                              & (bb[:, 0] < pcut) & (bb[:, 2] > pcut))
+                    if (int(bridge.sum()) >= _WRAP_MIN_ROWS
+                            and _n_bands(bb[bridge, 1]) >= _WRAP_MIN_ROWS
+                            and _n_bands(bp[lp, 1]) >= 2
+                            and _n_bands(bp[~lp, 1]) >= 2):
+                        lmass = np.minimum(bb[:, 2], pcut) - bb[:, 0]
+                        rmass = bb[:, 2] - np.maximum(bb[:, 0], pcut)
+                        lsel = lmass >= rmass
+                        if lsel.any() and (~lsel).any():
+                            rec(idx[lsel])
+                            rec(idx[~lsel])
+                            return
         if table_mask is not None and _XGAP_MIN < xgap <= _GAP_EPS:
             lsel = bb[:, 0] < xcut
             lm = table_mask[idx[lsel]]

@@ -1686,11 +1686,25 @@ def _tablelike_mask(runs) -> "np.ndarray":
     return np.array(out, dtype=bool)
 
 
+def _prose_gap_mask(runs) -> "np.ndarray":
+    """Long prose lines (>= 4 tokens, no numeric cells) — the runs
+    typeset to the column measure, whose x-extents expose the column
+    gutter even when table rows/header fragments bridge it (layout's
+    prose-gutter rescue cut)."""
+    out = []
+    for _x, _y, _w, _h, text, _m in runs:
+        toks = text.split()
+        out.append(len(toks) >= 4
+                   and not any(_CELL_NUM_RE.match(t) for t in toks))
+    return np.array(out, dtype=bool)
+
+
 def _runs_to_text(runs, page_h: float) -> str:
     if not runs:
         return ""
     order = reading_order(_run_boxes(runs, page_h),
-                          table_mask=_tablelike_mask(runs))
+                          table_mask=_tablelike_mask(runs),
+                          prose_mask=_prose_gap_mask(runs))
     return "\n".join(runs[i][4] for i in order)
 
 
@@ -1732,7 +1746,8 @@ def _runs_to_spans(runs, page_h: float,
         return [(k, t, m) for k, t, m, _y in
                 sorted(img_spans, key=lambda s: s[3])]
     order = reading_order(_run_boxes(runs, page_h),
-                          table_mask=_tablelike_mask(runs))
+                          table_mask=_tablelike_mask(runs),
+                          prose_mask=_prose_gap_mask(runs))
     lines: list[list[int]] = []
     for i in order:
         if lines and abs(runs[i][1] - runs[lines[-1][-1]][1]) <= 2.0:

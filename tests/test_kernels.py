@@ -223,6 +223,68 @@ def test_reading_order_single_column_by_y():
     assert reading_order(bboxes) == [1, 2, 0]
 
 
+def test_prose_gutter_rescue_cuts_hidden_columns():
+    # two prose columns (gutter 287..307) whose gutter is bridged by
+    # floating table rows (x 150..350): no all-boxes x-gap exists and the
+    # y-gaps are uniform, so without the rescue the banded fallback
+    # x-interleaves the columns line by line. With prose/table masks the
+    # long prose lines alone expose the gutter -> column-major order.
+    import numpy as np
+    bboxes = [
+        [50, 60, 287, 72],     # 0 left prose
+        [307, 60, 545, 72],    # 1 right prose
+        [50, 84, 287, 96],     # 2 left prose
+        [307, 84, 545, 96],    # 3 right prose
+        [150, 108, 350, 120],  # 4 table row (bridges gutter)
+        [150, 132, 350, 144],  # 5 table row
+        [150, 156, 350, 168],  # 6 table row
+        [50, 180, 287, 192],   # 7 left prose (below the float)
+        [307, 108, 545, 120],  # 8 right prose (flows beside the float)
+        [307, 132, 545, 144],  # 9 right prose
+        [307, 156, 545, 168],  # 10 right prose
+        [307, 180, 545, 192],  # 11 right prose
+    ]
+    tmask = np.zeros(12, dtype=bool)
+    tmask[[4, 5, 6]] = True
+    pmask = ~tmask
+    order = reading_order(bboxes, table_mask=tmask, prose_mask=pmask)
+    pos = {i: k for k, i in enumerate(order)}
+    # column-major: every left-column prose line before every right one
+    assert max(pos[i] for i in (0, 2, 7)) < min(
+        pos[i] for i in (1, 3, 8, 9, 10, 11))
+    # prose lines within a column stay contiguous (no table row between)
+    assert pos[2] == pos[0] + 1 and pos[7] == pos[2] + 1
+
+
+def test_float_lift_absorbs_table_furniture():
+    # a floating table y-interleaved with single-column prose: its rows
+    # plus short furniture (caption, header fragment) lift out as one
+    # block, so the surrounding prose lines stay contiguous.
+    import numpy as np
+    bboxes = [
+        [50, 60, 400, 72],     # 0 prose
+        [50, 84, 400, 96],     # 1 prose (table starts beside/below)
+        [120, 90, 200, 100],   # 2 caption "(a) COCO" (short, absorbed)
+        [100, 108, 380, 120],  # 3 table row
+        [100, 132, 380, 144],  # 4 table row
+        [100, 156, 380, 168],  # 5 table row
+        [50, 150, 400, 162],   # 6 prose (y-interleaved with rows)
+        [50, 174, 400, 186],   # 7 prose
+    ]
+    tmask = np.zeros(8, dtype=bool)
+    tmask[[3, 4, 5]] = True
+    pmask = np.zeros(8, dtype=bool)
+    pmask[[0, 1, 6, 7]] = True
+    order = reading_order(bboxes, table_mask=tmask, prose_mask=pmask)
+    pos = {i: k for k, i in enumerate(order)}
+    # prose stays contiguous; lifted cluster (rows + caption) follows
+    assert [i for i in order if i in (0, 1, 6, 7)] == [0, 1, 6, 7]
+    assert pos[7] < min(pos[i] for i in (2, 3, 4, 5))
+    # cluster kept together
+    cluster_pos = sorted(pos[i] for i in (2, 3, 4, 5))
+    assert cluster_pos == list(range(cluster_pos[0], cluster_pos[0] + 4))
+
+
 def test_blocks_to_spans_strips_boilerplate_keeps_media(fx_smoke):
     blocks = [
         {"page_no": 0, "bbox": [50, 18, 545, 34], "category": "Page-header", "text": "hdr"},

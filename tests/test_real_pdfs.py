@@ -175,14 +175,15 @@ def test_pdf_spans_prose_improves_alignment():
 def test_full_text_alignment_all_corpora():
     """Full-text GT alignment floors per reference corpus (first 10
     docs each; round 5's baseline-banded no-cut fallback lifted 2025-q4
-    0.888 -> 0.918). Full-corpus rates: 2025-q4 0.916, formulas-only
-    0.924, tables-only 0.870 (wrap-table columns interleave), aggregate
-    0.915 over all 300 reference PDFs; the committed floors keep a
-    regression margin on the 10-doc sample."""
+    0.888 -> 0.918; round 6's prose-gutter rescue cut + content-aware
+    float lift raised tables-only 0.872 -> 0.933 with q4/formulas
+    bit-identical). First-100 rates: 2025-q4 0.916, formulas-only
+    0.924, tables-only 0.933; the committed floors keep a regression
+    margin on the 10-doc sample."""
     from pdf_parse_bench_spark.kernels.alignment import find_original_segment
 
     floors = {"2025-q4": 0.90, "2026-q1-formulas-only": 0.90,
-              "2026-q1-tables-only": 0.75}
+              "2026-q1-tables-only": 0.88}
     for corpus, floor in floors.items():
         ref = Path(f"/root/reference/data/{corpus}")
         if not ref.exists():
