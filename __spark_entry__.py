@@ -39,6 +39,7 @@ from pdf_parse_bench_spark.operators import aggregates as agg  # noqa: E402
 from pdf_parse_bench_spark.operators import dedup as dd  # noqa: E402
 from pdf_parse_bench_spark.operators import similarity as sim  # noqa: E402
 from pdf_parse_bench_spark.operators import textstats as ts  # noqa: E402
+from pdf_parse_bench_spark.operators.tables import table_cells  # noqa: E402
 from pdf_parse_bench_spark.operators.extract import (  # noqa: E402
     _collect_boilerplate,
     align_extractions,
@@ -199,6 +200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("s.kind").alias("kind"), F.col("s.text").alias("text"))
         )
     q["span_kind_projection"] = span_kind_projection
+
+    q["extract_table_cells"] = lambda s, d: table_cells(
+        _f(s, d, "spans_documents"))
 
     def span_sequencing(s, d):
         docs = _f(s, d, "spans_documents")
@@ -529,9 +533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_extractions", "align_noisy", "nested_pipeline",
         # (c) fills plausibly touched by this round's layout/fixture work
         "media_features", "extract_lineage", "page_assembly",
-        "page_assembly_refs",
-        # (d) new in r06
-        "pdf_locked_audit",
+        # (d) new in r06 (page_assembly_refs — r05-green, markdown path
+        # untouched by the layout work — moved to the mid section to make
+        # room under the 50-query driver gate)
+        "pdf_locked_audit", "extract_table_cells",
     ]
     defer_last = [
         # r05-driver-green and untouched in r06
@@ -842,6 +847,25 @@ def oracle_sql() -> dict[str, str]:
     o["span_kind_projection"] = (
         f'SELECT doc_id, "offset", kind, text FROM {_GOLD} '
         "WHERE kind IN ('table', 'inline-formula', 'display-formula')"
+    )
+    o["extract_table_cells"] = (
+        "WITH t AS (SELECT doc_id, CAST(\"offset\" AS BIGINT) AS \"offset\", "
+        f"text AS tab FROM {_GOLD} WHERE kind = 'table'), "
+        "r AS (SELECT doc_id, \"offset\", "
+        "CAST(length(regexp_replace(regexp_extract(tab, "
+        "'\\\\begin\\{tabular\\}\\{([^}]*)\\}', 1), '[^lcr]', '', 'g')) "
+        "AS BIGINT) AS n_cols, "
+        "list_filter(string_split(tab, chr(10)), x -> contains(x, '&')) "
+        "AS rows FROM t), "
+        "rr AS (SELECT doc_id, \"offset\", n_cols, "
+        "CAST(generate_subscripts(rows, 1) - 1 AS BIGINT) AS row_idx, "
+        "regexp_replace(regexp_replace(unnest(rows), "
+        "'\\\\textbf\\{([^}]*)\\}', '\\1', 'g'), '\\s*\\\\\\\\\\s*$', '') "
+        "AS rowc FROM r) "
+        "SELECT doc_id, \"offset\", row_idx, n_cols, "
+        "CAST(len(string_split(rowc, ' & ')) AS BIGINT) AS n_cells, "
+        "array_to_string(list_transform(string_split(rowc, ' & '), "
+        "c -> trim(c)), '|') AS cells FROM rr"
     )
     o["span_sequencing"] = (
         f'SELECT doc_id, "offset" AS pos, kind, "offset" FROM {_GOLD}'

@@ -174,3 +174,27 @@ def test_pack_sequences_exact_cover(spark):
         assert tot == (SEQ_LEN if sid != last else tot)
         assert tot <= SEQ_LEN
     assert sum(per_seq.values()) == sum(n_by_doc.values())
+
+
+def test_table_cells_grid(spark):
+    """tabular source -> logical grid: spec-declared n_cols, header at
+    row_idx 0 with styling stripped, body cells in column order."""
+    from pdf_parse_bench_spark.operators.tables import table_cells
+    tab = ("\\begin{tabular}{lcc}\n\\hline\n"
+           "\\textbf{Name} & \\textbf{A} & \\textbf{B} \\\\\n\\hline\n"
+           "Foo & 12 & 34 \\\\\n"
+           "Bar & 56 & 78 \\\\\n\\hline\n\\end{tabular}")
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "table", "text": tab, "media_ref": None,
+                  "offset": 3},
+                 {"kind": "text", "text": "prose", "media_ref": None,
+                  "offset": 4}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    rows = {r["row_idx"]: r for r in table_cells(docs).collect()}
+    assert len(rows) == 3  # header + 2 body rows; prose span ignored
+    assert all(r["n_cols"] == 3 and r["n_cells"] == 3 and r["offset"] == 3
+               for r in rows.values())
+    assert rows[0]["cells"] == "Name|A|B"  # \textbf stripped
+    assert rows[1]["cells"] == "Foo|12|34"
+    assert rows[2]["cells"] == "Bar|56|78"
