@@ -190,7 +190,8 @@ def _wrap_table_clusters(bboxes: np.ndarray,
 
 def reading_order(bboxes: np.ndarray,
                   table_mask: np.ndarray | None = None,
-                  prose_mask: np.ndarray | None = None) -> list[int]:
+                  prose_mask: np.ndarray | None = None,
+                  merge_satellites: bool = True) -> list[int]:
     """Return indices of blocks in reading order via recursive XY-cut.
 
     bboxes: (n, 4) array of [x1, y1, x2, y2], top-left origin, y down.
@@ -216,13 +217,15 @@ def reading_order(bboxes: np.ndarray,
             keep = np.setdiff1d(np.arange(len(bboxes)), lifted)
             order = [int(keep[k]) for k in reading_order(
                 bboxes[keep], table_mask[keep],
-                None if prose_mask is None else prose_mask[keep])]
+                None if prose_mask is None else prose_mask[keep],
+                merge_satellites)]
             for c in sorted(clusters,
                             key=lambda c: (float(bboxes[c, 1].min()),
                                            float(bboxes[c, 0].min()))):
                 order.extend(int(c[k]) for k in reading_order(
                     bboxes[c], table_mask[c],
-                    None if prose_mask is None else prose_mask[c]))
+                    None if prose_mask is None else prose_mask[c],
+                    merge_satellites))
             return order
     out: list[int] = []
 
@@ -313,6 +316,38 @@ def reading_order(bboxes: np.ndarray,
                         cur += 1
                         start = ys[j]
                     band[j] = cur
+            if (merge_satellites and prose_mask is not None
+                    and band.max() > 0):
+                # satellite merge: display math embedded in a paragraph
+                # leaves sub-baseline boxes (sum limits, denominators,
+                # deep sub/superscripts) BETWEEN the prose baselines —
+                # they band separately and break the wrapped sentence. A
+                # band with no long prose line whose top starts above its
+                # predecessor band's bottom is vertically entangled with
+                # that line: merge it in (the x-sort below then slots the
+                # fragments at their inline positions). Bands that merely
+                # follow each other (table rows, the next prose line)
+                # never overlap and keep their own band. (A cluster-and-
+                # choose variant that could also merge downward measured
+                # WORSE on the reference corpora than this simple upward
+                # rule; see CHANGES_r06.)
+                pm_o = prose_mask[idx][order]
+                bots = bb[order, 3]
+                nb = int(band.max()) + 1
+                b_bot = np.full(nb, -np.inf)
+                b_top = np.full(nb, np.inf)
+                b_prose = np.zeros(nb, dtype=bool)
+                for j in range(len(order)):
+                    b = band[j]
+                    b_bot[b] = max(b_bot[b], bots[j])
+                    b_top[b] = min(b_top[b], ys[j])
+                    b_prose[b] |= bool(pm_o[j])
+                newid = np.arange(nb)
+                for b in range(1, nb):
+                    if (not b_prose[b]
+                            and b_top[b] < b_bot[b - 1] - 0.5):
+                        newid[b] = newid[b - 1]
+                band = newid[band]
             sub = np.lexsort((bb[order, 0], band))
             out.extend(int(i) for i in idx[order[sub]])
             return

@@ -1745,9 +1745,13 @@ def _runs_to_spans(runs, page_h: float,
     if not runs:
         return [(k, t, m) for k, t, m, _y in
                 sorted(img_spans, key=lambda s: s[3])]
+    # merge_satellites off: this path groups lines by consecutive
+    # baseline itself (and classifies formula lines from the grouping),
+    # so sub-baseline fragments must keep their own bands here
     order = reading_order(_run_boxes(runs, page_h),
                           table_mask=_tablelike_mask(runs),
-                          prose_mask=_prose_gap_mask(runs))
+                          prose_mask=_prose_gap_mask(runs),
+                          merge_satellites=False)
     lines: list[list[int]] = []
     for i in order:
         if lines and abs(runs[i][1] - runs[lines[-1][-1]][1]) <= 2.0:

@@ -256,6 +256,24 @@ def test_prose_gutter_rescue_cuts_hidden_columns():
     assert pos[2] == pos[0] + 1 and pos[7] == pos[2] + 1
 
 
+def test_satellite_band_merges_into_its_line():
+    # display math embedded in a paragraph: the sum-limit / denominator
+    # boxes sit BETWEEN the prose baselines and would band separately,
+    # splitting the wrapped sentence. An all-non-prose band overlapping
+    # its predecessor's y-extent merges in at its inline x position.
+    import numpy as np
+    bboxes = [
+        [50, 100, 205, 110],   # 0 prose, line 1 left
+        [200, 100, 240, 110],  # 1 math main (x-overlaps 0 -> no x-cut)
+        [202, 106, 238, 113],  # 2 math satellite (sub-baseline)
+        [235, 100, 400, 110],  # 3 prose, line 1 right
+        [50, 112, 400, 122],   # 4 prose, line 2
+    ]
+    pmask = np.array([1, 0, 0, 1, 1], dtype=bool)
+    order = reading_order(bboxes, prose_mask=pmask)
+    assert order == [0, 1, 2, 3, 4]  # satellite inline, not between lines
+
+
 def test_float_lift_absorbs_table_furniture():
     # a floating table y-interleaved with single-column prose: its rows
     # plus short furniture (caption, header fragment) lift out as one
