@@ -111,6 +111,13 @@ PICKS = {
                        "object number inside the worker (r5).",
     "lm_score": "O(n) trigram build via zipped shifted arrays; model "
                 "shuffle-joined on tri, 1-row total broadcast.",
+    "extract_table_cells": "tabular source -> logical cell grid entirely "
+                           "in codegen: one pruned scan, two Generates "
+                           "(span explode, row posexplode), regexp + "
+                           "split/transform HOFs; ZERO Exchanges (r6).",
+    "pdf_locked_audit": "password side-table joined into the KDF-only "
+                        "audit pass; per-doc decrypt verdicts for both "
+                        "the empty and supplied passwords (r6).",
 }
 
 
