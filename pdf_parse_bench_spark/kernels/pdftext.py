@@ -1668,7 +1668,7 @@ def _run_boxes(runs, page_h: float) -> np.ndarray:
     )
 
 
-_CELL_NUM_RE = re.compile(r"^[±+-]?[0-9][0-9.,%]*$")
+_CELL_NUM_RE = re.compile(r"^[±+-]?[0-9][0-9.,%/]*(?:[Ee][+-]?[0-9]+)?$")
 
 
 def _tablelike_mask(runs) -> "np.ndarray":

@@ -178,9 +178,10 @@ def test_full_text_alignment_all_corpora():
     0.888 -> 0.918; round 6's prose-gutter rescue cut + content-aware
     float lift raised tables-only 0.872 -> 0.933 with q4/formulas
     bit-identical, then the satellite band merge lifted q4 0.916 ->
-    0.954 and formulas 0.924 -> 0.959). First-100 rates: 2025-q4
-    0.954, formulas-only 0.959, tables-only 0.937; 10-doc samples
-    0.940 / 0.958 / 0.942; the committed floors keep a regression
+    0.954 and formulas 0.924 -> 0.959; the widened numeric-cell
+    signature — fractions '0/15', scientific '0.196E+02' — lifted
+    tables to 0.947). First-100 rates: 2025-q4 0.954, formulas-only
+    0.959, tables-only 0.947; the committed floors keep a regression
     margin on the 10-doc sample."""
     from pdf_parse_bench_spark.kernels.alignment import find_original_segment
 
