@@ -1683,6 +1683,11 @@ def _tablelike_mask(runs) -> "np.ndarray":
         out.append(len(toks) >= 2 and (
             n_num >= 2 or (n_num >= 1
                            and _CELL_NUM_RE.match(toks[-1]) is not None)))
+        # NOTE: lone numeric runs ('143') must NOT count as cells even
+        # though one-run-per-cell grids render them: marking them was
+        # measured net-negative (q4 -37 / formulas -19 segments vs
+        # tables +-0 at first-100) — equation digit columns mis-seed
+        # the float lift far more often than real cell grids benefit.
     return np.array(out, dtype=bool)
 
 
