@@ -44,6 +44,12 @@ _MIN_COL_BANDS = 4
 # each side, cut there and assign every remaining box (table rows,
 # headers, stray fragments) to the side holding most of its x-extent.
 _PROSE_GUTTER_MIN = 6.0
+# when BOTH a y-cut and an x-cut are available, the x-gap must look like
+# a real column gutter to win: an accidental 4pt in-line whitespace
+# (inline-equation tail vs the line's last fragment) must not beat a
+# 3.6pt line gap and split a line pair mid-sentence. x-gaps narrower
+# than this still cut when no y-cut exists (nested sub-column layouts).
+_XCUT_MIN = 6.0
 
 
 def _n_bands(ys: np.ndarray) -> int:
@@ -351,7 +357,10 @@ def reading_order(bboxes: np.ndarray,
             sub = np.lexsort((bb[order, 0], band))
             out.extend(int(i) for i in idx[order[sub]])
             return
-        if xgap > ygap:  # widest gap wins: vertical gutter → column-major
+        if xgap > ygap and (ygap <= _GAP_EPS or xgap >= _XCUT_MIN):
+            # widest gap wins: vertical gutter → column-major (but see
+            # _XCUT_MIN — a hair-wider accidental x-gap must not beat a
+            # real line gap)
             left = idx[bb[:, 0] < xcut]
             right = idx[bb[:, 0] >= xcut]
             rec(left)
