@@ -361,6 +361,9 @@ def simhash_near_dups(docs: DataFrame,
     )
 
 
+EMB_PAIR_BLOCK = 2048  # row-block size for the within-bucket pair matrix
+
+
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.4,
                         n_planes: int = EMB_LSH_PLANES,
                         band_rows: int = EMB_LSH_ROWS) -> DataFrame:
@@ -370,62 +373,99 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.4,
     splits into P/R bands of R bits; vectors sharing any (band, band_key)
     become candidates, verified by exact float64 cosine >= threshold.
 
-    Scale shape: the pair join runs per (band, band_key) bucket —
+    Scale shape: verification runs per (band, band_key) bucket —
     2^R * n_bands buckets — never corpus-quadratic; recall rises with more
     bands, precision with more rows per band (tune like MinHash-LSH). With
     P=16/R=4, two vectors at cosine 0.9 (~14° apart) collide in a given
-    band w.p. (1-14/180)^4 ≈ 0.72, in ≥1 of 4 bands w.p. ≈ 0.994."""
-    from pdf_parse_bench_spark.operators.similarity import hyperplanes, sign_bucket
+    band w.p. (1-14/180)^4 ≈ 0.72, in ≥1 of 4 bands w.p. ≈ 0.994.
 
-    planes = hyperplanes(n_planes)
+    Physical shape (r7, guide §4.2): the within-bucket pair work is a
+    grouped NumPy kernel, not a self-join. The r6 plan self-joined the
+    band table and evaluated an interpreted aggregate/zip_with cosine
+    fold per candidate ROW-PAIR inside the join (O(bucket^2) interpreted
+    expressions — 78 s at sf1.0); this version ships (vec_id, band,
+    band_key, v) once through ONE exchange and computes each bucket's
+    pair-cosine matrix as vectorized float64 ops in row blocks of
+    EMB_PAIR_BLOCK (memory O(block * bucket), work identical). All
+    arithmetic replays the JVM fold's operation order exactly — dot and
+    norm accumulate dimension-by-dimension, then one divide and the
+    floor(x*1e6+0.5)/1e6 rounding — so every surviving pair's cosine is
+    bit-identical to the r6 plan and the DuckDB oracle (asserted by
+    tests/test_oracle_parity.py; r6 hashes unchanged). Cross-band
+    duplicate pairs carry identical rows and collapse in the final
+    distinct(), exactly as before."""
+    import numpy as np
+    import pandas as pd
+    from pdf_parse_bench_spark.operators.similarity import hyperplanes
+
+    pl = np.array(hyperplanes(n_planes), dtype=np.float64)  # (P, dim)
     n_bands = n_planes // band_rows
     mask = (1 << band_rows) - 1
-    v = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
-    )
-    sig = v.select("vec_id", sign_bucket(F.col("v"), planes).alias("sig"))
-    bands = sig.select(
-        "vec_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright("sig", b * band_rows).bitwiseAND(
-                    F.lit(mask)).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ])).alias("bk"),
-    ).select("vec_id", "bk.band", "bk.band_key")
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(b, ["band", "band_key"])  # identical plans → ReusedExchange
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
-    va = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"),
-                  F.col("norm").alias("norm_a"))
-    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"),
-                  F.col("norm").alias("norm_b"))
-    return (
-        cands.join(va, "vec_a").join(vb, "vec_b")
-        .withColumn(
-            "cosine",
-            round_half_up(
-                F.aggregate(
-                    F.zip_with("v_a", "v_b", lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("norm_a") * F.col("norm_b"))
-            ),
-        )
-        .where(F.col("cosine") >= F.lit(threshold))
-        .select("vec_a", "vec_b", "cosine")
-    )
+    w_p = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def explode_bands(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            # signature: sign of dot(v, plane_p), accumulated dim-by-dim in
+            # the same order as the JVM zip_with/aggregate fold so borderline
+            # signs match sign_bucket() exactly
+            acc = np.zeros((n, pl.shape[0]))
+            for d in range(mat.shape[1]):
+                acc += mat[:, d][:, None] * pl[:, d][None, :]
+            sig = ((acc >= 0).astype(np.int64) * w_p).sum(axis=1)
+            yield pd.DataFrame({
+                "vec_id": np.tile(pdf["vec_id"].to_numpy(), n_bands),
+                "band": np.repeat(np.arange(n_bands, dtype=np.int32), n),
+                "band_key": np.concatenate([
+                    ((sig >> (b * band_rows)) & mask) for b in range(n_bands)
+                ]).astype(np.int32),
+                "v": list(mat) * n_bands,
+            })
+
+    exploded = emb.select("vec_id", "embedding").mapInPandas(
+        explode_bands,
+        schema="vec_id long, band int, band_key int, v array<double>")
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        mat = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        g, dim = mat.shape
+        nrm = np.zeros(g)
+        for d in range(dim):
+            c = mat[:, d]
+            nrm += c * c
+        nrm = np.sqrt(nrm)
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, g, EMB_PAIR_BLOCK):
+            i1 = min(i0 + EMB_PAIR_BLOCK, g)
+            dots = np.zeros((i1 - i0, g))
+            for d in range(dim):
+                c = mat[:, d]
+                dots += c[i0:i1][:, None] * c[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (nrm[i0:i1][:, None] * nrm[None, :])
+                cos = np.floor(cos * 1000000.0 + 0.5) / 1000000.0
+            ii, jj = np.nonzero(cos >= threshold)
+            keep = (ii + i0) < jj  # vec_a < vec_b under the sorted order
+            out_a.append(ids[ii[keep] + i0])
+            out_b.append(ids[jj[keep]])
+            out_c.append(cos[ii[keep], jj[keep]])
+        return pd.DataFrame({
+            "vec_a": np.concatenate(out_a) if out_a else
+            np.array([], dtype=np.int64),
+            "vec_b": np.concatenate(out_b) if out_b else
+            np.array([], dtype=np.int64),
+            "cosine": np.concatenate(out_c) if out_c else
+            np.array([], dtype=np.float64),
+        })
+
+    pairs = exploded.groupBy("band", "band_key").applyInPandas(
+        verify, schema="vec_a long, vec_b long, cosine double")
+    return pairs.distinct()
 
 
 NGRAM_DUP_N = 8        # shingle width (words) — Lee et al. exact-substring dedup

@@ -456,16 +456,54 @@ def semantic_dedup(emb: DataFrame, cells: int = IVF_CELLS,
 
     Output: one row per DROPPED vector — (vec_id, dup_of = its smallest
     near-dup partner, max_cosine). At 100 TB (cell, subcell) is the
-    partition key, so the self-join is a per-partition
-    (storage-partitioned) join with no corpus-wide shuffle."""
-    cents = centroids if centroids is not None else ivf_centroids(cells)
-    corpus = _with_norm(emb)
-    best = F.greatest(*[
-        F.struct(_dot_lit(F.col("v"), cv).alias("d"),
-                 F.lit(-ci).alias("negc"))
-        for ci, cv in enumerate(cents)
-    ])
-    assigned = corpus.withColumn("cell", (-best.getField("negc")).cast("int"))
+    partition key, so the pair stage is a per-partition grouped kernel
+    with no corpus-wide shuffle.
+
+    Physical shape (r7, guide §4.2): cell assignment, the within-group
+    pair cosines AND the per-dropped-vector aggregation all run as
+    vectorized NumPy inside Arrow batches. The r6 plan self-joined the
+    assigned table on (cell, _sub) and evaluated an interpreted
+    aggregate/zip_with cosine fold per candidate ROW-PAIR inside the
+    join condition (28 s at sf1.0); this version computes each group's
+    pair matrix in row blocks (same blocking as
+    dedup.embedding_near_dups) and, because every vector lives in
+    exactly one (cell, _sub) group, emits the final (vec_id, dup_of,
+    max_cosine) rows straight from the group — the old groupBy shuffle
+    disappears. Every float op replays the JVM fold's operation order
+    (dim-by-dim accumulation, one divide, floor(x*1e6+0.5)/1e6), so
+    results are bit-identical to r6 and the DuckDB oracle. The cell-size
+    pass re-evaluates the assignment kernel instead of caching the
+    corpus (~16 fused multiply-adds per row — cheaper than pinning
+    executor memory), exactly like the r6 plan re-evaluated its
+    assignment expressions in both subtrees."""
+    import pandas as pd
+    from pdf_parse_bench_spark.operators.dedup import EMB_PAIR_BLOCK
+
+    cents = np.array(
+        centroids if centroids is not None else ivf_centroids(cells),
+        dtype=np.float64)  # (C, dim)
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            # dot(v, centroid_c) accumulated dim-by-dim — the same
+            # operation order as the JVM _dot_lit fold, so argmax ties
+            # (first occurrence == smallest cell id) match greatest()
+            # on (d, -cell) structs exactly
+            dots = np.zeros((n, cents.shape[0]))
+            for d in range(mat.shape[1]):
+                dots += mat[:, d][:, None] * cents[:, d][None, :]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cell": dots.argmax(axis=1).astype(np.int32),
+                "v": list(mat),
+            })
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cell int, v array<double>")
     sizes = assigned.groupBy("cell").agg(F.count("*").alias("_csize"))
     assigned = (
         assigned.join(F.broadcast(sizes), "cell")
@@ -473,16 +511,44 @@ def semantic_dedup(emb: DataFrame, cells: int = IVF_CELLS,
             F.col("vec_id"),
             F.ceil(F.col("_csize") / F.lit(cell_cap))))
         .drop("_csize"))
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell"))
-               & (F.col("a._sub") == F.col("b._sub"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cosine", _cosine(F.col("a.v"), F.col("b.v"),
-                                      F.col("a.norm"), F.col("b.norm")))
-        .where(F.col("cosine") >= threshold)
-    )
-    return (pairs.groupBy(F.col("b.vec_id").alias("vec_id"))
-            .agg(F.min(F.col("a.vec_id")).alias("dup_of"),
-                 F.max("cosine").alias("max_cosine")))
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        mat = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        g, dim = mat.shape
+        nrm = np.zeros(g)
+        for d in range(dim):
+            c = mat[:, d]
+            nrm += c * c
+        nrm = np.sqrt(nrm)
+        found = np.zeros(g, dtype=bool)
+        dup_of = np.zeros(g, dtype=np.int64)
+        max_cos = np.full(g, -np.inf)
+        for i0 in range(0, g, EMB_PAIR_BLOCK):
+            i1 = min(i0 + EMB_PAIR_BLOCK, g)
+            dots = np.zeros((i1 - i0, g))
+            for d in range(dim):
+                c = mat[:, d]
+                dots += c[i0:i1][:, None] * c[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (nrm[i0:i1][:, None] * nrm[None, :])
+                cos = np.floor(cos * 1000000.0 + 0.5) / 1000000.0
+            m = (cos >= threshold) & (
+                np.arange(i0, i1)[:, None] < np.arange(g)[None, :])
+            anym = m.any(axis=0)
+            first = m.argmax(axis=0)
+            newly = anym & ~found
+            dup_of[newly] = ids[i0 + first[newly]]
+            found |= anym
+            if anym.any():
+                max_cos = np.maximum(
+                    max_cos, np.where(m, cos, -np.inf).max(axis=0))
+        return pd.DataFrame({
+            "vec_id": ids[found],
+            "dup_of": dup_of[found],
+            "max_cosine": max_cos[found],
+        })
+
+    return assigned.groupBy("cell", "_sub").applyInPandas(
+        verify, schema="vec_id long, dup_of long, max_cosine double")
