@@ -52,10 +52,13 @@ def _lang_pred_expr():
     return pred, best
 
 
-def _quality_exprs():
+def _quality_exprs(w=None):
     """Quality feature expressions over the text column (shared by
-    quality_score and corpus_filter so both stay single-scan)."""
-    w = _words()
+    quality_score and corpus_filter so both stay single-scan). Pass a
+    pre-materialized words-array Column as `w` to avoid re-inlining the
+    split (doc_stats_rollup's barrier-staged plan)."""
+    if w is None:
+        w = _words()
     n_chars = F.length("text")
     n_words = F.size(w)
     n_punct = n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
@@ -302,11 +305,70 @@ def doc_stats_rollup(docs: DataFrame) -> DataFrame:
     hierarchy level (grand total → per source → per source+language) —
     the aggregation-hierarchy report a corpus dashboard serves from one
     pass. One Expand + one aggregation exchange (same shape as cube but
-    N+1 groupings instead of 2^N)."""
-    q = _quality_exprs()
-    pred, _ = _lang_pred_expr()
-    feats = docs.select("source", pred.alias("pred_lang"),
-                        q["quality"].alias("quality"))
+    N+1 groupings instead of 2^N).
+
+    r7 (guide §7.2 — duplicated subtrees): inlining _lang_pred_expr's
+    argmax CASE into the Expand stage repeated the split(trim(text))
+    tokenization ~90 times in ONE Project; the fused
+    Project+Expand+HashAggregate stage blows the codegen method limit
+    and falls back to interpreted eval, where nothing eliminates the
+    duplicates — 19 s at sf1.0 vs 0.3 s for lang_id's codegen'd copy of
+    the same expressions. The marker scores are therefore materialized
+    once behind a Generate barrier (explode of a 1-element struct array
+    — the _shingles_df trick, which CollapseProject cannot cross) and
+    the per-doc features therefore move to one vectorized-batch Python
+    kernel (guide §4.2: a marker-dict pass per token beats 15
+    interpreted array-filter lambdas per doc), replaying the JVM float
+    expression order op-for-op (each ratio rounded via
+    floor(x*1e6+0.5)/1e6 before use, min/max for least/greatest), so
+    quality and pred_lang are bit-identical; only the rollup aggregate
+    stays relational. 19.2 s → ~1 s at sf1.0."""
+    import math
+    import re
+
+    import pandas as pd
+
+    langs = sorted(LANG_MARKERS)
+    marker2lang = {m: la for la in langs for m in LANG_MARKERS[la]}
+    stop = set(STOPWORDS)
+    punct_re = re.compile(r"[^a-zA-Z0-9 ]")
+
+    def feats_kernel(batches):
+        for pdf in batches:
+            srcs, preds, quals = [], [], []
+            for source, text in zip(pdf["source"], pdf["text"]):
+                toks = [t for t in text.split(" ") if t]
+                n_chars = len(text)
+                n_words = len(toks)
+                n_punct = n_chars - len(punct_re.sub("", text))
+                stop_hits = 0
+                counts = dict.fromkeys(langs, 0)
+                for t in toks:
+                    if t in stop:
+                        stop_hits += 1
+                    la = marker2lang.get(t)
+                    if la is not None:
+                        counts[la] += 1
+                pr = math.floor((n_punct / max(n_chars, 1))
+                                * 1000000.0 + 0.5) / 1000000.0
+                sr = math.floor((stop_hits / max(n_words, 1))
+                                * 1000000.0 + 0.5) / 1000000.0
+                quality = math.floor(
+                    (min(n_words / 50.0, 1.0) * 0.4
+                     + (1.0 - min(pr * 5, 1.0)) * 0.3
+                     + min(sr * 5, 1.0) * 0.3) * 1000000.0 + 0.5
+                ) / 1000000.0
+                best = max(counts.values())
+                pred = "unknown" if best <= 0 else next(
+                    la for la in langs if counts[la] == best)
+                srcs.append(source)
+                preds.append(pred)
+                quals.append(quality)
+            yield pd.DataFrame({"source": srcs, "pred_lang": preds,
+                                "quality": quals})
+
+    feats = docs.select("source", "text").mapInPandas(
+        feats_kernel, schema="source string, pred_lang string, quality double")
     return (
         feats.rollup("source", "pred_lang")
         .agg(F.count("*").cast("long").alias("n_docs"),
@@ -541,29 +603,62 @@ def lm_score(docs: DataFrame) -> DataFrame:
     log-likelihood of its char trigrams under the model — lower = more
     typical text, the signal CCNet buckets on.
 
-    Shapes like tfidf_top_terms: trigrams are built O(n) per doc by
-    zipping three shifted char arrays (never substring-per-offset,
-    which is O(n^2) on long docs), exploded once; the model is one
-    count aggregation joined back on the trigram key (cost-based
-    broadcast at small scale, shuffle join at 10^9 distinct keys — not
-    force-broadcast); only the 1-row corpus total is hint-broadcast."""
-    cs = F.split(F.col("text"), "")
-    n = F.size(cs)
-    t1 = F.slice(cs, 1, F.greatest(n - 2, F.lit(0)))
-    t2 = F.slice(cs, 2, F.greatest(n - 2, F.lit(0)))
-    t3 = F.slice(cs, 3, F.greatest(n - 2, F.lit(0)))
-    tris = F.zip_with(F.zip_with(t1, t2, lambda a, b: F.concat(a, b)),
-                      t3, lambda a, b: F.concat(a, b))
+    Shape (r7, guide §2.3 "aggregate before you shuffle" + §4.2):
+    per-doc trigram COUNTS are built in one vectorized NumPy pass
+    (utf-32 view -> three shifted slices packed into a 63-bit integer
+    key — 3 x 21-bit code points, an exact bijection to the trigram
+    string — then np.unique), so what crosses every exchange is the
+    per-doc distinct-trigram table, not one row per character of the
+    corpus (the r6 plan exploded ~3 interpreted zip_with/concat arrays
+    per doc and shuffled every trigram INSTANCE through the model join
+    and the doc rollup — 24 s at sf1.0). The model stays one count
+    aggregation joined back on the packed key (cost-based broadcast at
+    small scale, shuffle join at 10^9 distinct keys — not
+    force-broadcast); only the 1-row corpus total is hint-broadcast;
+    log() stays a JVM expression so its libm semantics are unchanged.
+    The per-doc mean nll is the count-weighted mean over distinct
+    trigrams — algebraically identical to the r6 per-instance avg
+    (every instance of a trigram carries the same nll; 6-dp parity
+    asserted by tests/test_oracle_parity.py against the unchanged
+    per-instance oracle SQL)."""
+    import numpy as np
+    import pandas as pd
+
+    def tri_counts(batches):
+        for pdf in batches:
+            ids, keys, ks = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                a = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                if a.size < 3:
+                    continue
+                packed = (a[:-2] << 42) | (a[1:-1] << 21) | a[2:]
+                u, c = np.unique(packed, return_counts=True)
+                ids.append(np.full(u.size, doc_id, dtype=np.int64))
+                keys.append(u)
+                ks.append(c)
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(ids) if ids else
+                np.array([], dtype=np.int64),
+                "key": np.concatenate(keys) if keys else
+                np.array([], dtype=np.int64),
+                "k": np.concatenate(ks) if ks else
+                np.array([], dtype=np.int64),
+            })
+
     g = (docs.where(F.length("text") >= 3)
-         .select("doc_id", F.explode(tris).alias("tri")))
-    model = g.groupBy("tri").agg(F.count("*").alias("c"))
+         .select("doc_id", "text")
+         .mapInPandas(tri_counts, schema="doc_id long, key long, k long"))
+    model = g.groupBy("key").agg(F.sum("k").alias("c"))
     total = model.agg(F.sum("c").alias("total"))
-    scored = (g.join(model, "tri")
+    scored = (g.join(model, "key")
               .join(F.broadcast(total))
               .withColumn("nll", F.log(F.col("total") / F.col("c"))))
     return (scored.groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_tri"),
-                 round_half_up(F.avg("nll")).alias("lm_nll")))
+            .agg(F.sum("k").cast("long").alias("n_tri"),
+                 round_half_up(F.sum(F.col("k") * F.col("nll"))
+                               / F.sum("k")).alias("lm_nll")))
 
 
 SEQ_LEN = 128  # words per packed training sequence
