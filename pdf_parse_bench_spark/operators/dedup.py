@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from pdf_parse_bench_spark.functions import round_half_up
+from pdf_parse_bench_spark.operators.skew import spread_for_kernel
 
 MINHASH_K = 16
 LSH_BANDS = 4
@@ -32,28 +33,6 @@ SIMHASH_BITS = 16
 
 def _words(col: str = "text"):
     return F.filter(F.split(F.trim(F.col(col)), " +"), lambda x: x != "")
-
-
-def _shingles_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles: array<string>) — word n-grams (SHINGLE_N); docs
-    shorter than N words get a single whole-text shingle.
-
-    The words array is materialized behind an explode-of-singleton barrier:
-    projection collapse would otherwise inline the split+filter expression
-    into every element_at, re-tokenizing the document 3x per shingle
-    (measured 10x slower at sf0.1)."""
-    wdf = docs.select("doc_id", F.explode(F.array(_words())).alias("w"))
-    n = F.size("w")
-    shingles = F.when(
-        n >= SHINGLE_N,
-        F.transform(
-            F.sequence(F.lit(1), n - (SHINGLE_N - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("w", i + k) for k in range(SHINGLE_N)]
-            ),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", "w")))
-    return wdf.select("doc_id", shingles.alias("shingles"))
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
@@ -68,65 +47,109 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 _MINHASH_MOD = 4294967296  # 2^32
 
 
+def _doc_words(text: str) -> list[str]:
+    """Python twin of _words(): split on single spaces, drop empties —
+    identical tokens to split(trim(text), ' +') for any input (runs of
+    spaces yield empty tokens that the filter drops either way)."""
+    return [t for t in text.split(" ") if t]
+
+
+def _doc_shingle_ab(text: str, n: int = SHINGLE_N):
+    """(a, b) int64 arrays — the two big-endian 32-bit halves of
+    md5(shingle) for every word n-gram of the doc (whole text as one
+    shingle when shorter than n words), byte-identical to the JVM
+    conv(substring(md5(shingle), 1|9, 8), 16, 10) pair."""
+    import hashlib
+
+    import numpy as np
+
+    w = _doc_words(text)
+    if len(w) >= n:
+        shingles = (" ".join(w[i:i + n]) for i in range(len(w) - n + 1))
+    else:
+        shingles = (" ".join(w),)
+    buf = b"".join(hashlib.md5(s.encode()).digest()[:8] for s in shingles)
+    ab = np.frombuffer(buf, dtype=">u4").astype(np.int64).reshape(-1, 2)
+    return ab[:, 0], ab[:, 1]
+
+
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """K minhash values per doc via Kirsch-Mitzenmacher double hashing:
     ONE md5 per shingle yields two 32-bit halves (a, b); h_i = (a + i·b)
     mod 2^32 gives K pairwise-distinct hash functions with the same LSH
     collision guarantees as K independent hashes (Kirsch & Mitzenmacher
-    2006). r3's construction burned ceil(K/4) md5 calls per shingle — the
-    md5 dominates the stage, so this is ~4x less hashing at K=16 (28.6s →
-    ~8s at sf0.1 per BENCH artifacts) and the gap widens with K.
+    2006).
 
-    Physical shape: distinct-explode shingles (min is dedup-invariant) →
-    one md5 + two conv's per row (whole-stage codegen subexpression
-    elimination computes them once across the K projections) → groupBy
-    (doc_id) min with map-side partial aggregation, so the shuffle
-    carries only K×8-byte partial minima per doc."""
-    sh = _shingles_df(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    h = F.md5("shingle")
-    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    b = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
-    hashed = sh.select(
-        "doc_id",
-        *[((a + F.lit(i) * b) % _MINHASH_MOD).alias(f"mh{i}")
-          for i in range(k)]
-    )
-    mins = hashed.groupBy("doc_id").agg(
-        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(k)]
-    )
-    return mins.select(
-        "doc_id", F.array(*[f"mh{i}" for i in range(k)]).alias("signature")
-    )
+    Physical shape (r7, guide §4.2): ZERO shuffles — the whole
+    signature is computed per doc inside one Arrow-batched kernel
+    (hashlib md5 = the same bytes as the JVM md5; the K double-hash
+    minima are one vectorized NumPy reduction). The r6 plan exploded
+    every shingle and ran an interpreted transform/concat_ws per
+    shingle plus a K-column groupBy shuffle; the kernel keeps the md5
+    count identical and drops both the interpreted gram construction
+    and the exchange."""
+    import numpy as np
+    import pandas as pd
+
+    idx = np.arange(k, dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                a, b = _doc_shingle_ab(text)
+                sigs.append(
+                    ((a[:, None] + idx[None, :] * b[:, None])
+                     % _MINHASH_MOD).min(axis=0))
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "signature": sigs})
+
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    return spread_for_kernel(docs.select("doc_id", "text")).mapInPandas(
+        run, schema=f"doc_id {id_t}, signature array<long>")
+
+
+def _minhash_band_rows(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, band, band_key) rows — md5 over the '|'-joined band slice
+    of the minhash signature, identical strings to the r6 JVM
+    md5(concat_ws('|', ...)) band keys. One kernel pass, no exchange."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    idx = np.arange(k, dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            ids, bands, keys = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                a, b = _doc_shingle_ab(text)
+                sig = ((a[:, None] + idx[None, :] * b[:, None])
+                       % _MINHASH_MOD).min(axis=0)
+                for band in range(LSH_BANDS):
+                    key = hashlib.md5("|".join(
+                        str(v) for v in
+                        sig[band * LSH_ROWS:(band + 1) * LSH_ROWS]
+                    ).encode()).hexdigest()
+                    ids.append(doc_id)
+                    bands.append(band)
+                    keys.append(key)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "band": np.array(bands, dtype=np.int32),
+                "band_key": keys,
+            })
+
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    return spread_for_kernel(docs.select("doc_id", "text")).mapInPandas(
+        run, schema=f"doc_id {id_t}, band int, band_key string")
 
 
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """MinHash-LSH banding: docs sharing any band key become candidates.
     Self-join happens per band bucket (shuffle key = band hash)."""
-    sig = minhash_signatures(docs)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.element_at("signature", b * LSH_ROWS + r + 1)
-                                    for r in range(LSH_ROWS)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.band_key")
+    bands = _minhash_band_rows(docs)
     # both join sides shuffle on (band, band_key) from the identical plan, so
     # Catalyst reuses one exchange (ReusedExchange, asserted in
     # tests/test_plans.py) — no persist needed, nothing pins executor memory.
@@ -143,13 +166,37 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_sets_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>) — the doc's DISTINCT word-3-gram
+    shingles from one kernel pass (sorted for determinism; only set
+    SIZES feed the Jaccard, so order is free)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids, sets_ = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = _doc_words(text)
+                if len(w) >= SHINGLE_N:
+                    sh = sorted({
+                        " ".join(w[i:i + SHINGLE_N])
+                        for i in range(len(w) - SHINGLE_N + 1)})
+                else:
+                    sh = [" ".join(w)]
+                ids.append(doc_id)
+                sets_.append(sh)
+            yield pd.DataFrame({"doc_id": ids, "sh": sets_})
+
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    return spread_for_kernel(docs.select("doc_id", "text")).mapInPandas(
+        run, schema=f"doc_id {id_t}, sh array<string>")
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """LSH candidates verified by true shingle-set Jaccard >= threshold.
     Exact set ops run only on candidate pairs (never corpus-quadratic)."""
     cands = lsh_candidate_pairs(docs)
-    sh = _shingles_df(docs).select(
-        "doc_id", F.array_distinct("shingles").alias("sh")
-    )
+    sh = _shingle_sets_df(docs)
     j = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -304,37 +351,49 @@ def simhash64_blocks(docs: DataFrame) -> DataFrame:
     (b0..b3) to stay engine-portable (bit 63 of a BIGINT is the sign bit).
 
     Bit k's vote is bit k of the word's md5 first 64 bits (two 32-bit
-    halves via conv, then shiftright+and — r4 replaced the r3 shape of
-    TWO md5 calls per word + 64 per-bit hex-nibble string compares with
-    ONE md5 + integer bit ops: the md5 dominated the stage). One shuffle:
-    groupBy(doc_id) with 64 map-side partial bit-sums plus a count; the
-    vote sign is 2*sum(bit_k) - n > 0."""
-    w = docs.select("doc_id", F.explode(_words()).alias("word"))
-    h = F.md5("word")
-    halves = w.select(
-        "doc_id",
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("a"),
-        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("b"),
-    )
-    votes = halves.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum(
-                F.shiftright(F.col("a" if k < 32 else "b"), k % 32)
-                .bitwiseAND(1)
-            ).alias(f"s{k}")
-            for k in range(64)
-        ],
-    )
-    blocks = [
-        sum(
-            F.when(2 * F.col(f"s{j * 16 + r}") > F.col("n"), F.lit(1 << r))
-            .otherwise(F.lit(0))
-            for r in range(16)
-        ).cast("int").alias(f"b{j}")
-        for j in range(SIMHASH64_BLOCKS)
-    ]
-    return votes.select("doc_id", *blocks)
+    big-endian halves); the vote sign is 2*sum(bit_k) > n. Physical
+    shape (r7, guide §4.2): ZERO shuffles — one Arrow-batched kernel
+    hashes each doc's words (hashlib md5 = the same bytes as the JVM
+    md5) and folds the 64 bit-sums as one vectorized NumPy reduction.
+    The r6 plan exploded every word and ran a 65-aggregate
+    groupBy(doc_id) shuffle with 64 shiftright/and expressions per word
+    row. Docs with no words emit no row, exactly like the r6 explode."""
+    import numpy as np
+    import pandas as pd
+
+    shifts = np.arange(32, dtype=np.int64)
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            ids, blks = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = _doc_words(text)
+                if not w:
+                    continue
+                buf = b"".join(
+                    hashlib.md5(t.encode()).digest()[:8] for t in w)
+                ab = np.frombuffer(buf, dtype=">u4").astype(np.int64)
+                bits = (ab[:, None] >> shifts[None, :]) & 1
+                s = bits.reshape(-1, 2, 32).sum(axis=0)  # (2, 32)
+                sf = np.concatenate([s[0], s[1]])        # s_0..s_63
+                votes = (2 * sf > len(w)).astype(np.int64)
+                blk = (votes.reshape(4, 16)
+                       * (1 << np.arange(16, dtype=np.int64))).sum(axis=1)
+                ids.append(doc_id)
+                blks.append(blk.astype(np.int32))
+            arr = (np.stack(blks) if blks
+                   else np.empty((0, 4), dtype=np.int32))
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "b0": arr[:, 0], "b1": arr[:, 1],
+                "b2": arr[:, 2], "b3": arr[:, 3],
+            })
+
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    return spread_for_kernel(docs.select("doc_id", "text")).mapInPandas(
+        run, schema=f"doc_id {id_t}, b0 int, b1 int, b2 int, b3 int")
 
 
 def simhash_near_dups(docs: DataFrame,
@@ -344,35 +403,38 @@ def simhash_near_dups(docs: DataFrame,
     signatures within Hamming distance 3 must agree EXACTLY on at least one
     of the 4 16-bit blocks (pigeonhole), so candidates come from a self-join
     per (block_idx, block_value) bucket — the same banding shape as
-    MinHash-LSH — and the exact popcount(xor) check runs on candidates only."""
+    MinHash-LSH — and the exact popcount(xor) check runs on candidates only.
+
+    r7 (guide §2.3/§2.4): each band row CARRIES the four signature blocks
+    (8 bytes — cheaper than a join), so the Hamming popcount evaluates
+    inline in the self-join output and the survivors-only distinct runs on
+    the ~0.1% of candidates that pass `<= max_hamming`. The r6 plan
+    distinct-ed the RAW candidate pair space first (19M rows at sf1.0 —
+    block values of short docs collide heavily) and then re-joined the
+    signature table twice; duplicates of a surviving pair carry identical
+    (doc_a, doc_b, hamming) rows, so deduping after the filter is
+    row-identical."""
     sig = simhash64_blocks(docs)
     bands = sig.select(
-        "doc_id",
+        "doc_id", "b0", "b1", "b2", "b3",
         F.explode(F.array(*[
             F.struct(F.lit(j).alias("blk"), F.col(f"b{j}").alias("blk_val"))
             for j in range(SIMHASH64_BLOCKS)
         ])).alias("bk"),
-    ).select("doc_id", "bk.blk", "bk.blk_val")
+    ).select("doc_id", "b0", "b1", "b2", "b3", "bk.blk", "bk.blk_val")
     a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(b, ["blk", "blk_val"])  # identical plans → ReusedExchange
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"),
-                    *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"),
-                    *[F.col(f"b{j}").alias(f"c{j}") for j in range(4)])
     hamming = sum(
-        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"c{j}")))
+        F.bit_count(F.col(f"a.b{j}").bitwiseXOR(F.col(f"b.b{j}")))
         for j in range(4)
     )
     return (
-        cands.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("hamming", hamming.cast("long"))
+        a.join(b, ["blk", "blk_val"])  # identical plans → ReusedExchange
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                hamming.cast("long").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -440,7 +502,8 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.4,
                 "v": list(mat) * n_bands,
             })
 
-    exploded = emb.select("vec_id", "embedding").mapInPandas(
+    exploded = spread_for_kernel(
+        emb.select("vec_id", "embedding"), key="vec_id").mapInPandas(
         explode_bands,
         schema="vec_id long, band int, band_key int, v array<double>")
 
@@ -497,21 +560,39 @@ def duplicate_ngram_pairs(docs: DataFrame, n: int = NGRAM_DUP_N,
     in 2..max_df docs (rarer than boilerplate) vote for doc pairs; pairs
     sharing >= min_shared rare shingles are exact-substring duplicates.
 
-    Scale shape: one shuffle on the shingle hash (map-side distinct), a
-    document-frequency filter BEFORE the self-join (so ubiquitous
-    boilerplate shingles can never explode the pair space), and the
-    self-join reuses the shingle exchange. Output is (doc_a, doc_b,
-    n_shared) — tiny relative to the corpus."""
-    ws = F.filter(F.split(F.trim(F.col("text")), " +"), lambda x: x != "")
-    w = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") >= n)
-    idx = F.sequence(F.lit(0), F.size("ws") - n)
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n)))
-    g = (w.select("doc_id", F.explode(shingles).alias("shingle"))
-         .select("doc_id", F.md5("shingle").alias("sh"))
-         .distinct())
+    Scale shape: per-doc DISTINCT shingle digests come out of one
+    Arrow-batched kernel (r7, guide §4.2 — hashlib md5 bytes ARE the
+    JVM md5 hex key, so the 16-byte digest is an equality-preserving
+    narrowing of the r6 32-char hex string and the corpus-wide
+    (doc_id, sh) distinct shuffle disappears: the kernel's per-doc set
+    IS that distinct). A document-frequency filter runs BEFORE the
+    self-join (so ubiquitous boilerplate shingles can never explode the
+    pair space), and the self-join reuses the shingle exchange. Output
+    is (doc_a, doc_b, n_shared) — tiny relative to the corpus."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids, digs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = _doc_words(text)
+                if len(w) < n:
+                    continue
+                uniq = {
+                    hashlib.md5(" ".join(w[i:i + n]).encode()).digest()
+                    for i in range(len(w) - n + 1)}
+                ids.extend([doc_id] * len(uniq))
+                digs.extend(uniq)
+            yield pd.DataFrame({"doc_id": ids, "sh": digs})
+
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    g = spread_for_kernel(docs.select("doc_id", "text")).mapInPandas(
+        run, schema=f"doc_id {id_t}, sh binary")
     rare = (g.groupBy("sh")
-            .agg(F.countDistinct("doc_id").alias("df"))
+            .agg(F.count("*").alias("df"))  # kernel rows are per-doc distinct
             .where((F.col("df") >= 2) & (F.col("df") <= max_df))
             .select("sh"))
     gr = g.join(rare, "sh")

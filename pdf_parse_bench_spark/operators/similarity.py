@@ -502,7 +502,10 @@ def semantic_dedup(emb: DataFrame, cells: int = IVF_CELLS,
                 "v": list(mat),
             })
 
-    assigned = emb.select("vec_id", "embedding").mapInPandas(
+    from pdf_parse_bench_spark.operators.skew import spread_for_kernel
+
+    assigned = spread_for_kernel(
+        emb.select("vec_id", "embedding"), key="vec_id").mapInPandas(
         assign, schema="vec_id long, cell int, v array<double>")
     sizes = assigned.groupBy("cell").agg(F.count("*").alias("_csize"))
     assigned = (

@@ -54,6 +54,25 @@ def rebalance_by_size(df: DataFrame, size_col: Column,
     )
 
 
+def spread_for_kernel(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Ensure a per-row kernel stage engages every core (guide §2.5 "input
+    skew": one huge unsplittable file).
+
+    The sf fixture tables are written as a SINGLE parquet row group, which
+    no maxPartitionBytes / minPartitionNum setting can split — so the scan
+    stage (and any per-doc kernel fused into it) runs as ONE task no matter
+    the cluster size. When the scan already has at least one partition per
+    core (the 100 TB layout: thousands of files/row groups), this is a
+    no-op — no exchange is added; otherwise one hash repartition on `key`
+    spreads the rows. Partition count derives from defaultParallelism, not
+    a local constant, and the hash key is a stable column (replay-safe
+    under task retry, unlike round-robin of nondeterministic input)."""
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, key)
+
+
 def salted_repartition(df: DataFrame, key: str = "doc_id", n_salts: int = 8,
                        num_partitions: int | None = None,
                        salt_cols: list[str] | None = None,

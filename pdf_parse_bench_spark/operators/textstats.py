@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from pdf_parse_bench_spark.functions import round_half_up
+from pdf_parse_bench_spark.operators.skew import spread_for_kernel
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 LANG_MARKERS = {
@@ -193,7 +194,12 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     count is force-broadcast."""
     from pyspark.sql import Window
 
-    w = docs.select("doc_id", F.explode(_words()).alias("word"))
+    # spread before the explode: the single-row-group fixture layout would
+    # otherwise run the whole word explode + partial aggregation in ONE
+    # scan task (guide §2.5 input skew; no-op when the scan is already
+    # parallel)
+    w = spread_for_kernel(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(_words()).alias("word"))
     tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_tbl = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -234,36 +240,53 @@ def winnowing_fingerprints(docs: DataFrame, k: int = WINNOW_K,
     two docs contributes at least one common fingerprint — the local
     analog of the whole-text md5 above, robust to partial overlap.
 
-    Physical shape: ZERO shuffles — the whole computation is higher-order
-    array functions inside one codegen projection (transform for gram
-    construction and hashing, array_min over slices for the sliding
-    minima, array_distinct per doc) followed by a single explode. An
-    exploded-rows + per-doc-window formulation is semantically identical
-    but pays a 5M-row sort at sf0.1 (measured 29s vs ~3s) — and the
-    DuckDB oracle deliberately KEEPS that window formulation as the
-    independent mirror. Docs shorter than k words fingerprint their
-    whole word sequence as one gram."""
-    words = docs.select("doc_id", _words().alias("ws"))
-    grams = F.when(
-        F.size("ws") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("ws") - k),
-            lambda i: F.array_join(F.slice("ws", i + 1, k), " "),
-        ),
-    ).otherwise(F.array(F.array_join("ws", " ")))
-    hs = words.select(
-        "doc_id",
-        F.transform(grams, lambda g: F.conv(
-            F.substring(F.md5(g), 1, 8), 16, 10).cast("long")).alias("hs"),
-    )
-    n = F.size("hs")
-    fps = F.when(
-        n >= w,
-        F.transform(F.sequence(F.lit(0), n - w),
-                    lambda i: F.array_min(F.slice("hs", i + 1, w))),
-    ).otherwise(F.array(F.array_min("hs")))
-    return hs.select(
-        "doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
+    Physical shape: ZERO shuffles — one Arrow-batched kernel per doc
+    (r7, guide §4.2: hashlib md5 first-4-bytes == the JVM
+    conv(substring(md5, 1, 8), 16, 10) hash; the sliding window minima
+    are one vectorized NumPy reduction; np.unique replaces
+    array_distinct — the DISTINCT SET is what the operator emits, and
+    row order never carries meaning here). The r6 interpreted
+    HOF formulation (transform + array_min over slices) re-scanned w
+    array cells per gram; an exploded-rows + per-doc-window formulation
+    is semantically identical but pays a 5M-row sort at sf0.1 (measured
+    29s vs ~3s) — and the DuckDB oracle deliberately KEEPS that window
+    formulation as the independent mirror. Docs shorter than k words
+    fingerprint their whole word sequence as one gram."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = [t for t in text.split(" ") if t]
+                if len(ws) >= k:
+                    grams = (" ".join(ws[i:i + k])
+                             for i in range(len(ws) - k + 1))
+                else:
+                    grams = (" ".join(ws),)
+                buf = b"".join(
+                    hashlib.md5(g.encode()).digest()[:4] for g in grams)
+                hs = np.frombuffer(buf, dtype=">u4").astype(np.int64)
+                if hs.size >= w:
+                    mins = np.lib.stride_tricks.sliding_window_view(
+                        hs, w).min(axis=1)
+                else:
+                    mins = hs.min(keepdims=True)
+                uniq = np.unique(mins)
+                ids.extend([doc_id] * uniq.size)
+                fps.append(uniq)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "fp": np.concatenate(fps) if fps else
+                np.array([], dtype=np.int64),
+            })
+
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    return spread_for_kernel(docs.select("doc_id", "text")).mapInPandas(
+        run, schema=f"doc_id {id_t}, fp long")
 
 
 # C4/CCNet-style PII scrubbing: portable regexes (no lookaround — valid in
@@ -367,6 +390,11 @@ def doc_stats_rollup(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"source": srcs, "pred_lang": preds,
                                 "quality": quals})
 
+    # NOT spread_for_kernel'd: avg(quality) sums 1e-6-quantized doubles, so
+    # its partial-sum ORDER is observable at the 6th decimal — repartitioning
+    # upstream of the rollup flips boundary groups vs the oracle's sequential
+    # sum (seen at sf0.01: one group off by 1e-6). The kernel is cheap enough
+    # single-stage (~1 s at sf1.0); input order stays the scan order.
     feats = docs.select("source", "text").mapInPandas(
         feats_kernel, schema="source string, pred_lang string, quality double")
     return (
@@ -468,14 +496,33 @@ DECON_N = 8             # same shingle width as duplicate_ngram_pairs
 
 
 def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, sh): distinct word-n-gram md5 shingles per document."""
-    ws = F.filter(F.split(F.trim(F.col("text")), " +"), lambda x: x != "")
-    w = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") >= n)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size("ws") - n),
-        lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i + 1, n))))
-    return w.select("doc_id",
-                    F.explode(F.array_distinct(shingles)).alias("sh"))
+    """(doc_id, sh): distinct word-n-gram md5 digests per document — one
+    Arrow-batched kernel pass (r7, guide §4.2: hashlib md5 bytes ARE the
+    JVM md5 hex, so the 16-byte digest is an equality-preserving
+    narrowing of the r6 hex string; the interpreted slice/concat_ws gram
+    transform and array_distinct disappear into a Python set)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids, digs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = [t for t in text.split(" ") if t]
+                if len(w) < n:
+                    continue
+                uniq = {
+                    hashlib.md5(" ".join(w[i:i + n]).encode()).digest()
+                    for i in range(len(w) - n + 1)}
+                ids.extend([doc_id] * len(uniq))
+                digs.extend(uniq)
+            yield pd.DataFrame({"doc_id": ids, "sh": digs})
+
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    return spread_for_kernel(docs.select("doc_id", "text")).mapInPandas(
+        run, schema=f"doc_id {id_t}, sh binary")
 
 
 def decontaminate(docs: DataFrame,
@@ -635,21 +682,21 @@ def lm_score(docs: DataFrame) -> DataFrame:
                     continue
                 packed = (a[:-2] << 42) | (a[1:-1] << 21) | a[2:]
                 u, c = np.unique(packed, return_counts=True)
-                ids.append(np.full(u.size, doc_id, dtype=np.int64))
+                ids.extend([doc_id] * u.size)
                 keys.append(u)
                 ks.append(c)
             yield pd.DataFrame({
-                "doc_id": np.concatenate(ids) if ids else
-                np.array([], dtype=np.int64),
+                "doc_id": ids,
                 "key": np.concatenate(keys) if keys else
                 np.array([], dtype=np.int64),
                 "k": np.concatenate(ks) if ks else
                 np.array([], dtype=np.int64),
             })
 
-    g = (docs.where(F.length("text") >= 3)
-         .select("doc_id", "text")
-         .mapInPandas(tri_counts, schema="doc_id long, key long, k long"))
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    g = spread_for_kernel(
+        docs.where(F.length("text") >= 3).select("doc_id", "text")
+    ).mapInPandas(tri_counts, schema=f"doc_id {id_t}, key long, k long")
     model = g.groupBy("key").agg(F.sum("k").alias("c"))
     total = model.agg(F.sum("c").alias("total"))
     scored = (g.join(model, "key")
