@@ -62,8 +62,7 @@ from pdf_parse_bench_spark.kernels import textnorm as tn  # noqa: E402
 from pdf_parse_bench_spark.operators import media as mediaops  # noqa: E402
 from pdf_parse_bench_spark.operators.media import media_features  # noqa: E402
 from pdf_parse_bench_spark.operators.resume import (  # noqa: E402
-    extract_with_lineage,
-    lineage_of,
+    lineage_summary,
 )
 from pdf_parse_bench_spark.streaming import sessionize, windowed_event_counts  # noqa: E402
 
@@ -121,17 +120,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def pdf_locked_audit(s, d):
         """Password-locked corpus slice (both user+owner passwords set):
-        the empty-password audit fails closed; joining the broadcast
-        (doc_id, password) side table flips decrypt_ok to true
-        (kernels/pdfcrypt Algorithm 6/7 + R6 routes)."""
+        the empty-password audit fails closed; the broadcast (doc_id,
+        password) side table flips decrypt_ok_pw to true (kernels/pdfcrypt
+        Algorithm 6/7 + R6 routes). r7: ONE kernel pass computes both
+        columns (pdf_encrypt_audit both=True) — the r6 two-pass + join
+        composition scanned, rebalanced and parsed the corpus twice
+        (VERDICT r6 'What's wrong' #2); same rows, no join in the plan."""
         locked = _f(s, d, "pdf_locked")
         pws = _f(s, d, "pdf_passwords")
-        no_pw = pdf_encrypt_audit_op(locked).select(
-            "doc_id", "scheme",
-            F.col("decrypt_ok").alias("decrypt_ok_empty"))
-        with_pw = pdf_encrypt_audit_op(locked, passwords_df=pws).select(
-            "doc_id", F.col("decrypt_ok").alias("decrypt_ok_pw"))
-        return no_pw.join(with_pw, "doc_id")
+        return pdf_encrypt_audit_op(locked, passwords_df=pws, both=True)
     q["pdf_locked_audit"] = pdf_locked_audit
     q["page_raster_stats"] = lambda s, d: (
         rasterize_pages(_f(s, d, "pdf_docs"))
@@ -183,9 +180,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _f(s, d, "golden_spans"),
     )
     def extract_lineage(s, d):
+        # r7: lineage_summary counts spans inside the kernel — identical
+        # rows to lineage_of(extract_with_lineage(...)) without shuffling
+        # every span's text through a groupBy (pinned by
+        # tests/test_resume.py::test_lineage_summary_matches_composition)
         md = _f(s, d, "parsed_markdown")
         bp = _collect_boilerplate(md)
-        return lineage_of(extract_with_lineage(md, boilerplate=bp)).select(
+        return lineage_summary(md, boilerplate=bp).select(
             "doc_id", "status", F.col("n_spans").cast("long").alias("n_spans")
         )
     q["extract_lineage"] = extract_lineage

@@ -35,6 +35,29 @@ import struct
 
 import numpy as np
 
+# r7 (guide §4.2 — hand bulk byte-crunching to native code): route the hot
+# cipher paths through OpenSSL via the `cryptography` wheel when present.
+# The from-scratch AES/RC4 below stay as the always-available fallback and
+# the executable spec (tests/test_pdfcrypt.py pins byte-equality of the two
+# paths), so results are identical either way; the R6 Algorithm-2.B KDF is
+# ~64 AES-CBC rounds per password probe and dominates the encrypt-audit
+# queries when run through the pure-Python block loop.
+try:
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _OsslCipher,
+        algorithms as _ossl_alg,
+        modes as _ossl_modes,
+    )
+    _HAVE_OSSL = True
+except Exception:  # pragma: no cover - environment without the wheel
+    _HAVE_OSSL = False
+try:
+    from cryptography.hazmat.decrepit.ciphers.algorithms import (
+        ARC4 as _OsslARC4,
+    )
+except Exception:  # pragma: no cover
+    _OsslARC4 = None
+
 # ---------------------------------------------------------------------------
 # GF(2^8) tables + AES S-boxes (built, not typed, to rule out table typos)
 # ---------------------------------------------------------------------------
@@ -227,12 +250,16 @@ def aes_cbc_decrypt(key: bytes, data: bytes, iv: bytes | None = None,
     if n == 0:
         return b""
     data = data[:n * 16]
-    rk = _expand_key(key)
-    ct = np.frombuffer(data, dtype=np.uint8).reshape(n, 16)
-    pt = _ecb_decrypt_blocks(ct, rk)
-    prev = np.vstack([np.frombuffer(iv, dtype=np.uint8).reshape(1, 16),
-                      ct[:-1]])
-    out = (pt ^ prev).tobytes()
+    if _HAVE_OSSL:
+        dec = _OsslCipher(_ossl_alg.AES(key), _ossl_modes.CBC(iv)).decryptor()
+        out = dec.update(data) + dec.finalize()
+    else:
+        rk = _expand_key(key)
+        ct = np.frombuffer(data, dtype=np.uint8).reshape(n, 16)
+        pt = _ecb_decrypt_blocks(ct, rk)
+        prev = np.vstack([np.frombuffer(iv, dtype=np.uint8).reshape(1, 16),
+                          ct[:-1]])
+        out = (pt ^ prev).tobytes()
     if unpad:
         pad = out[-1] if out else 0
         if 1 <= pad <= 16 and out.endswith(bytes([pad]) * pad):
@@ -247,6 +274,9 @@ def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes,
     if pad:
         k = 16 - len(data) % 16
         data = data + bytes([k]) * k
+    if _HAVE_OSSL:
+        enc = _OsslCipher(_ossl_alg.AES(key), _ossl_modes.CBC(iv)).encryptor()
+        return enc.update(data) + enc.finalize()
     rkw = _rk_words(key)
     out = bytearray(len(data))
     p0, p1, p2, p3 = struct.unpack(">4I", iv)
@@ -260,6 +290,10 @@ def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes,
 
 def rc4(key: bytes, data: bytes) -> bytes:
     """RC4 stream cipher (symmetric; same call encrypts and decrypts)."""
+    if (_OsslARC4 is not None and data
+            and len(key) * 8 in _OsslARC4.key_sizes):
+        enc = _OsslCipher(_OsslARC4(key), mode=None).encryptor()
+        return enc.update(data) + enc.finalize()
     s = list(range(256))
     j = 0
     klen = len(key)

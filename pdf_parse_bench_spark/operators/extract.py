@@ -254,7 +254,8 @@ def pdf_spans(pdf_df: DataFrame, rebalance: bool = True) -> DataFrame:
 
 def pdf_encrypt_audit(pdf_df: DataFrame,
                       passwords_df: DataFrame | None = None,
-                      rebalance: bool = True) -> DataFrame:
+                      rebalance: bool = True,
+                      both: bool = False) -> DataFrame:
     """Per-document encryption audit over a raw-PDF corpus: scheme
     (none / rc4-40 / rc4-128 / aes-128 / aes-256 / other / damaged) and
     whether key derivation succeeded — the triage a 100 TB crawl runs
@@ -265,7 +266,18 @@ def pdf_encrypt_audit(pdf_df: DataFrame,
     `passwords_df` is the optional (doc_id, password) side table —
     a secrets registry is tiny relative to the corpus, so it joins by
     BROADCAST (no shuffle of the pdf bytes); rows without an entry
-    audit with the empty password as before."""
+    audit with the empty password as before.
+
+    ``both=True`` (r7, guide §2.4): audit the empty password AND the
+    side-table password in the SAME kernel pass, returning (doc_id,
+    scheme, decrypt_ok_empty, decrypt_ok_pw). The r6 pdf_locked_audit
+    composed this as two full corpus passes (two scans + two size
+    rebalances of pdf_bytes, two header parses per doc) joined on
+    doc_id; one pass halves the non-KDF work and drops the join. The
+    KDF calls themselves are unchanged (an empty-vs-registry audit
+    inherently derives both keys), and within a reused python worker
+    the _hash_2b lru_cache still dedupes the wrong-password fallback
+    probes exactly as before."""
     from pdf_parse_bench_spark.kernels.pdfcrypt import sniff_encryption
 
     if rebalance:
@@ -290,6 +302,28 @@ def pdf_encrypt_audit(pdf_df: DataFrame,
                 "decrypt_ok": [ok for _, ok in sniffs],
             })
 
+    def run_both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pws = pdf["password"] if has_pw else [None] * len(pdf)
+            schemes, ok_empty, ok_pw = [], [], []
+            for b, pw in zip(pdf["pdf_bytes"], pws):
+                bb = bytes(b)
+                scheme, oke = sniff_encryption(bb, password=b"")
+                _, okp = sniff_encryption(
+                    bb, password=pw.encode() if isinstance(pw, str) else b"")
+                schemes.append(scheme)
+                ok_empty.append(oke)
+                ok_pw.append(okp)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "scheme": schemes,
+                "decrypt_ok_empty": ok_empty, "decrypt_ok_pw": ok_pw,
+            })
+
+    if both:
+        return pdf_df.mapInPandas(
+            run_both,
+            schema="doc_id string, scheme string, "
+                   "decrypt_ok_empty boolean, decrypt_ok_pw boolean")
     return pdf_df.mapInPandas(
         run, schema="doc_id string, scheme string, decrypt_ok boolean")
 

@@ -108,6 +108,49 @@ def lineage_of(result: DataFrame, stage: str = "extract") -> DataFrame:
     )
 
 
+def lineage_summary(
+    md_df: DataFrame,
+    boilerplate: frozenset[str] = frozenset(),
+    fail_docs: frozenset[str] = frozenset(),
+    stage: str = "extract",
+) -> DataFrame:
+    """One lineage row per document WITHOUT materializing span rows —
+    row-identical to ``lineage_of(extract_with_lineage(...))`` because a
+    document lives in exactly one input row, so the per-doc aggregates
+    (max partition_id, any-error status, sentinel-excluded span count)
+    collapse to values the kernel knows in place. r7 (guide §2.3
+    "aggregate before you shuffle"): the audit path this feeds only needs
+    (doc_id, status, n_spans), and the r6 composition shuffled every
+    extracted span's text through a groupBy just to count it."""
+    bp = md_df.sparkSession.sparkContext.broadcast((boilerplate, fail_docs))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bset, fail = bp.value
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        cols = ["doc_id", "stage", "partition_id", "status", "error",
+                "n_spans"]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, md in zip(pdf["doc_id"], pdf["markdown"]):
+                try:
+                    if doc_id in fail:
+                        raise RuntimeError("injected failure")
+                    n, status, error = len(parse_markdown(md, bset)), "ok", None
+                except Exception as exc:  # X4: isolate, never abort
+                    n, status, error = 0, "error", repr(exc)
+                out["doc_id"].append(doc_id)
+                out["stage"].append(stage)
+                out["partition_id"].append(pid)
+                out["status"].append(status)
+                out["error"].append(error)
+                out["n_spans"].append(n)
+            yield pd.DataFrame(out)
+
+    return md_df.mapInPandas(
+        run, schema="doc_id string, stage string, partition_id int, "
+                    "status string, error string, n_spans long")
+
+
 def pending(inputs: DataFrame, checkpoint_dir: str) -> DataFrame:
     """Inputs not yet successfully checkpointed (P5: the anti-join)."""
     spark = inputs.sparkSession

@@ -222,3 +222,60 @@ def test_locked_audit_spark_side_table_join(spark):
     base = {r["doc_id"]: r["decrypt_ok"]
             for r in pdf_encrypt_audit(docs).collect()}
     assert base == {"d1": False, "d2": False, "d3": True}
+
+
+def test_openssl_and_pure_python_paths_agree():
+    """r7 pin: when the OpenSSL-backed fast path is available, its output
+    must be byte-identical to the from-scratch AES/RC4 implementation on
+    random vectors (key sizes 16/24/32; CBC both directions; RC4 at the
+    PDF key lengths)."""
+    import os
+    import numpy as np
+    from pdf_parse_bench_spark.kernels import pdfcrypt as pc
+
+    if not pc._HAVE_OSSL:
+        import pytest
+        pytest.skip("cryptography wheel not present")
+    rng = np.random.default_rng(7)
+
+    def rand(n):
+        return bytes(rng.integers(0, 256, n, dtype=np.uint8))
+
+    for klen in (16, 24, 32):
+        key, iv = rand(klen), rand(16)
+        data = rand(16 * 37)
+        ct = pc.aes_cbc_encrypt(key, data, iv, pad=False)
+        # pure-python reference path
+        rkw = pc._rk_words(key)
+        import struct
+        out = bytearray(len(data))
+        p = struct.unpack(">4I", iv)
+        for i in range(0, len(data), 16):
+            b = struct.unpack_from(">4I", data, i)
+            p = pc._encrypt_block_words(*(x ^ y for x, y in zip(b, p)), rkw)
+            struct.pack_into(">4I", out, i, *p)
+        assert ct == bytes(out)
+        # decrypt round-trips through the numpy InvCipher reference
+        rk = pc._expand_key(key)
+        ctm = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 16)
+        pt = pc._ecb_decrypt_blocks(ctm, rk)
+        prev = np.vstack([np.frombuffer(iv, dtype=np.uint8).reshape(1, 16),
+                          ctm[:-1]])
+        assert (pt ^ prev).tobytes() == data
+        assert pc.aes_cbc_decrypt(key, ct, iv=iv, unpad=False) == data
+    # RC4: fast path vs the from-scratch KSA/PRGA loop
+    for klen in (5, 10, 16):
+        key, data = rand(klen), rand(333)
+        s = list(range(256))
+        j = 0
+        for i in range(256):
+            j = (j + s[i] + key[i % klen]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+        ref = bytearray(len(data))
+        i = j = 0
+        for k, c in enumerate(data):
+            i = (i + 1) & 0xFF
+            j = (j + s[i]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+            ref[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+        assert pc.rc4(key, data) == bytes(ref)

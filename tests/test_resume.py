@@ -100,3 +100,20 @@ def test_lineage_partition_metrics(spark, fx_smoke):
     rows = lin.collect()
     assert all(r.partition_id >= 0 for r in rows)
     assert all(r.stage == "extract" for r in rows)
+
+
+def test_lineage_summary_matches_composition(spark, fx_smoke):
+    """r7 pin: the fused one-row-per-doc lineage_summary must be
+    row-identical to lineage_of(extract_with_lineage(...)) — including an
+    injected failure and a zero-span (all-boilerplate) doc."""
+    from pdf_parse_bench_spark.operators.resume import lineage_summary
+
+    md = _md(spark, fx_smoke).limit(25)
+    fail = frozenset(r.doc_id for r in md.limit(2).collect())
+    cols = ["doc_id", "stage", "status", "error", "n_spans"]
+    fused = {tuple(r) for r in
+             lineage_summary(md, fail_docs=fail).select(*cols).collect()}
+    composed = {tuple(r) for r in
+                lineage_of(extract_with_lineage(md, fail_docs=fail))
+                .select(*cols).collect()}
+    assert fused == composed and len(fused) == 25
