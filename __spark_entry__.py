@@ -131,7 +131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pdf_encrypt_audit_op(locked, passwords_df=pws, both=True)
     q["pdf_locked_audit"] = pdf_locked_audit
     q["page_raster_stats"] = lambda s, d: (
-        rasterize_pages(_f(s, d, "pdf_docs"))
+        # include_png=False: this query reads dims+ink only, and column
+        # pruning cannot reach inside the kernel (guide §4.1) — the
+        # pixmap/stats math is untouched, so rows are identical
+        rasterize_pages(_f(s, d, "pdf_docs"), include_png=False)
         .select("doc_id", "page_no", "width", "height", "ink_ratio")
     )
     q["pdf_image_stats"] = lambda s, d: pdf_image_stats_op(

@@ -1976,9 +1976,16 @@ def page_pixmap(runs: list[tuple[float, float, str]], page_w: float,
     return img
 
 
-def rasterize_pdf(pdf_bytes: bytes, dpi: int = 72):
+def rasterize_pdf(pdf_bytes: bytes, dpi: int = 72,
+                  include_png: bool = True):
     """Yield (page_no, png_bytes, width, height, ink_ratio6) per page —
-    ink_ratio rounded half-up to 6 dp (engine-portable)."""
+    ink_ratio rounded half-up to 6 dp (engine-portable).
+
+    include_png=False skips the PNG encode (zlib deflate is ~35% of the
+    kernel — guide §1.2 "don't compute things you throw away"): the
+    raster-STATS consumers only read dims + ink_ratio, and Spark cannot
+    column-prune inside an opaque kernel. The pixmap, stats and page walk
+    are identical either way; png comes back as None."""
     from pdf_parse_bench_spark.kernels.png import encode_png
 
     try:
@@ -1993,7 +2000,8 @@ def rasterize_pdf(pdf_bytes: bytes, dpi: int = 72):
         img = page_pixmap(runs, page_w or 595.0, page_h or PAGE_H, dpi,
                           images=images)
         ink = float((img < 128).mean())
-        yield (page_no, encode_png(img), img.shape[1], img.shape[0],
+        yield (page_no, encode_png(img) if include_png else None,
+               img.shape[1], img.shape[0],
                float(np.floor(ink * 1e6 + 0.5)) / 1e6)
 
 

@@ -40,12 +40,21 @@ def compute_boilerplate(md_df: DataFrame, min_docs: int = 5) -> DataFrame:
     documents. Pure relational plan (two narrow projections + groupBy), so
     Catalyst pushes the column pruning into the scan; the result is tiny and
     meant to be broadcast into the extraction kernel."""
-    lines = md_df.select(
+    from pdf_parse_bench_spark.operators.skew import spread_for_kernel
+
+    # spread first: the single-row-group fixture layout would run the
+    # split+explode in ONE scan task (no-op on a multi-file layout). The
+    # lines array sits behind a Generate barrier so the edges projection's
+    # two element_at's don't each re-inline the split+trim+filter chain
+    # (CollapseProject would otherwise double the per-row work).
+    lines = spread_for_kernel(md_df.select("doc_id", "markdown")).select(
         "doc_id",
-        F.filter(
-            F.transform(F.split("markdown", "\n"), lambda l: F.trim(l)),
-            lambda l: l != "",
-        ).alias("lines"),
+        F.explode(F.array(
+            F.filter(
+                F.transform(F.split("markdown", "\n"), lambda l: F.trim(l)),
+                lambda l: l != "",
+            )
+        )).alias("lines"),
     )
     edges = lines.select(
         "doc_id",
@@ -329,7 +338,8 @@ def pdf_encrypt_audit(pdf_df: DataFrame,
 
 
 def rasterize_pages(pdf_df: DataFrame, dpi: int = 72,
-                    rebalance: bool = True) -> DataFrame:
+                    rebalance: bool = True,
+                    include_png: bool = True) -> DataFrame:
     """M5 page rasterization (the fitz ``get_pixmap`` analog,
     parsers/dots_ocr/__main__.py:111-118): PDF bytes → one PNG pixmap row
     per page (doc_id, page_no, png, width, height, ink_ratio), rendered by
@@ -346,7 +356,8 @@ def rasterize_pages(pdf_df: DataFrame, dpi: int = 72,
         for pdf in batches:
             out = {c: [] for c in cols}
             for doc_id, b in zip(pdf["doc_id"], pdf["pdf_bytes"]):
-                for page_no, png, w, h, ink in rasterize_pdf(bytes(b), dpi):
+                for page_no, png, w, h, ink in rasterize_pdf(
+                        bytes(b), dpi, include_png=include_png):
                     out["doc_id"].append(doc_id)
                     out["page_no"].append(page_no)
                     out["png"].append(png)

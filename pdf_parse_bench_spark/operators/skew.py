@@ -33,15 +33,21 @@ def rebalance_by_size(df: DataFrame, size_col: Column,
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
     sized = df.withColumn("_size", size_col)
-    # threshold from a 1% deterministic sample, not a full scan: at 100 TB an
-    # exact approxQuantile pass would double the read just to pick a cutoff.
-    # The p99 of a 1% uniform sample is a consistent estimator of the p99;
-    # any quantile drift only shifts a few borderline docs between bands.
-    sample = sized.sample(fraction=0.01, seed=7).select("_size")
-    thr = sample.stat.approxQuantile("_size", [big_quantile], 0.01)
-    if not thr:  # tiny input: sample may be empty — fall back to full pass
-        thr = sized.stat.approxQuantile("_size", [big_quantile], 0.01)
-    threshold = float(thr[0]) if thr else float("inf")
+    # r7: threshold from a BOUNDED-PREFIX sample (limit), not a fraction
+    # sample. sample(0.01) still scans every row to flip its coin — at
+    # 100 TB that second full read just picks a cutoff, and on the
+    # single-row-group fixture files it decoded the whole payload column
+    # in ONE task before the real pass even started (measured 1.5-3 s of
+    # fixed cost per pdf/markdown query at sf1.0). limit(N) touches only
+    # the first N rows of the first split(s). The p99 of an 8k-row prefix
+    # is a good estimator whenever row order is not size-correlated (true
+    # of every corpus here); a size-sorted adversarial layout would only
+    # skew the BALANCE bands, never results.
+    row = (sized.select("_size").limit(8192)
+           .agg(F.percentile_approx("_size", big_quantile, 1000)
+                .alias("t")).first())
+    threshold = float(row["t"]) if row and row["t"] is not None \
+        else float("inf")
     n_big = max(4, num_partitions // 4)
     pid = F.when(
         F.col("_size") > F.lit(threshold),
