@@ -232,7 +232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- scalar functions ----
     def delimiter_normalization(s, d):
-        md = _f(s, d, "parsed_markdown")
+        from pdf_parse_bench_spark.operators.skew import spread_for_kernel
+        # spread: the regexp_extract_all over the whole markdown column
+        # would otherwise run inside the single-row-group scan task
+        md = spread_for_kernel(_f(s, d, "parsed_markdown"))
         pat = r"(\$\$[\s\S]*?\$\$|\\\[[\s\S]*?\\\])"
         return md.select(
             "doc_id",
@@ -380,7 +383,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_percentiles"] = lambda s, d: ts.quality_percentiles(
         _t(s, d, "documents"))
     q["formula_artifacts"] = lambda s, d: (
-        mediaops.render_formula_artifacts(_f(s, d, "render_requests"))
+        # include_png=False: metadata-only consumer; pruning cannot reach
+        # inside the kernel, and the render/stats math is unchanged
+        mediaops.render_formula_artifacts(_f(s, d, "render_requests"),
+                                          include_png=False)
         .select("doc_id", "offset", "media_ref", "width", "height",
                 "mean_intensity", "status")
     )

@@ -140,12 +140,19 @@ def leaderboard_markdown(scores: DataFrame,
 
 
 def pending_scores(scores: DataFrame, judge_model: str = "judge-y") -> DataFrame:
-    """U2/P5: (doc, index, parser) units still lacking a given judge's score —
-    the anti-join at the heart of incremental resume."""
-    universe = scores.select("doc_id", "index", "parser_name").distinct()
-    done = (
-        scores.where(F.col("judge_model") == judge_model)
+    """U2/P5: (doc, index, parser) units still lacking a given judge's score
+    — the incremental-resume gap set (resume.pending keeps the literal
+    anti-join form against a separate checkpoint table).
+
+    r7 (guide §2.4): when universe and done both derive from the SAME
+    table, the distinct + distinct + left_anti composition (three full
+    exchanges of the unit key at sf1.0) collapses to ONE map-side-partial
+    aggregation: a unit is pending iff no row of its group carries the
+    judge's model. Same rows, one shuffle."""
+    return (
+        scores.groupBy("doc_id", "index", "parser_name")
+        .agg(F.max(F.when(F.col("judge_model") == judge_model, 1)
+                   .otherwise(0)).alias("_has"))
+        .where(F.col("_has") == 0)
         .select("doc_id", "index", "parser_name")
-        .distinct()
     )
-    return universe.join(done, ["doc_id", "index", "parser_name"], "left_anti")

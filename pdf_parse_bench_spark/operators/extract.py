@@ -146,7 +146,12 @@ def extract_spans_from_layout(blocks_df: DataFrame,
     sf0.1: 5.9 s grouped vs sub-second batched for a 0.3 s/32-core
     kernel). array_sort canonicalizes block order so the result never
     depends on shuffle arrival order."""
-    grouped = blocks_df.groupBy("doc_id").agg(
+    from pdf_parse_bench_spark.operators.skew import spread_for_kernel
+
+    # pre-spread on the SAME key as the groupBy: the repartition replaces
+    # (not adds to) the aggregation exchange, moving the collect_list
+    # partials off the 2-task single-row-group scan onto all cores
+    grouped = spread_for_kernel(blocks_df).groupBy("doc_id").agg(
         F.array_sort(F.collect_list(
             F.struct("page_no", "bbox", "category", "text"))).alias("blocks"))
 

@@ -156,7 +156,8 @@ def decode_media(media_df: DataFrame, rebalance: bool = True) -> DataFrame:
 
 
 def render_formula_artifacts(formulas: DataFrame,
-                             rebalance: bool = True) -> DataFrame:
+                             rebalance: bool = True,
+                             include_png: bool = True) -> DataFrame:
     """S7 render sink: (doc_id, offset, formula) → one PNG artifact row per
     formula via the deterministic glyph-box renderer (kernels/render.py),
     with the reference's error-image fallback contract
@@ -164,7 +165,10 @@ def render_formula_artifacts(formulas: DataFrame,
     deterministic placeholder artifact with status='render_error' — never
     a null row, never a task failure (X4). mapInPandas in Arrow batches;
     png_bytes ride along for the sink, metadata is the oracle surface
-    (closed-form in the formula text, so DuckDB recomputes it exactly)."""
+    (closed-form in the formula text, so DuckDB recomputes it exactly).
+    include_png=False skips the zlib PNG encode for metadata-only
+    consumers (column pruning cannot reach inside the kernel — guide
+    §4.1); the render and stats math is identical either way."""
     from pdf_parse_bench_spark.kernels.png import encode_png
     from pdf_parse_bench_spark.kernels.render import render_formula
     from pdf_parse_bench_spark.operators.skew import rebalance_by_size
@@ -173,7 +177,7 @@ def render_formula_artifacts(formulas: DataFrame,
         formulas = rebalance_by_size(formulas, size_col=F.length("formula"))
 
     ph = error_placeholder()
-    ph_png = encode_png(ph)
+    ph_png = encode_png(ph) if include_png else None
     ph_mean = float(np.floor(float(ph.mean()) / 255.0 * 1e6 + 0.5)) / 1e6
 
     cols = ["doc_id", "offset", "media_ref", "width", "height",
@@ -201,7 +205,8 @@ def render_formula_artifacts(formulas: DataFrame,
                     out["mean_intensity"].append(
                         float(np.floor(mean * 1e6 + 0.5)) / 1e6)
                     out["status"].append("ok")
-                    out["png_bytes"].append(encode_png(img))
+                    out["png_bytes"].append(
+                        encode_png(img) if include_png else None)
             yield pd.DataFrame(out)
 
     return formulas.mapInPandas(

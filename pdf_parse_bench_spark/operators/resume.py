@@ -121,8 +121,13 @@ def lineage_summary(
     collapse to values the kernel knows in place. r7 (guide §2.3
     "aggregate before you shuffle"): the audit path this feeds only needs
     (doc_id, status, n_spans), and the r6 composition shuffled every
-    extracted span's text through a groupBy just to count it."""
+    extracted span's text through a groupBy just to count it. Input is
+    spread so the parse engages every core on single-row-group layouts
+    (counts only downstream — no order-sensitive float aggregation)."""
+    from pdf_parse_bench_spark.operators.skew import spread_for_kernel
+
     bp = md_df.sparkSession.sparkContext.broadcast((boilerplate, fail_docs))
+    md_df = spread_for_kernel(md_df.select("doc_id", "markdown"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bset, fail = bp.value
