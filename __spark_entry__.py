@@ -144,7 +144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Full circle on the input_hint nested table: spans array ->
         markdown via pure higher-order functions (no explode) ->
         extraction kernel -> spans. Must reproduce golden exactly."""
-        docs = _f(s, d, "spans_documents")
+        from pdf_parse_bench_spark.operators.skew import spread_for_kernel
+        # spread: the interpreted HOF markdown re-assembly would otherwise
+        # run inside the single-row-group scan task
+        docs = spread_for_kernel(_f(s, d, "spans_documents"))
         pieces = F.filter(
             F.transform(
                 "spans",

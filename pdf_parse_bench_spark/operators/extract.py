@@ -37,34 +37,43 @@ _SPAN_COLS = ["doc_id", "offset", "kind", "text", "media_ref"]
 
 def compute_boilerplate(md_df: DataFrame, min_docs: int = 5) -> DataFrame:
     """Lines that appear as the first or last non-empty line of >= min_docs
-    documents. Pure relational plan (two narrow projections + groupBy), so
-    Catalyst pushes the column pruning into the scan; the result is tiny and
-    meant to be broadcast into the extraction kernel."""
+    documents. The result is tiny and meant to be broadcast into the
+    extraction kernel.
+
+    r7 (guide §4.2): the per-doc edge-line extraction runs in one
+    Arrow-batched kernel — scanning from both ends of the line list and
+    trimming ONLY the two surviving lines, where the r6 relational plan
+    split + interpreted-trimmed EVERY line of every document (and, on the
+    single-row-group fixture layout, did so in one scan task). The kernel
+    emits each doc's distinct {first, last} pair, so the corpus aggregate
+    is a plain count. Trim is str.strip(' ') — the same spaces-only
+    semantics as the SQL trim() it replaces."""
+    import pandas as pd
+
     from pdf_parse_bench_spark.operators.skew import spread_for_kernel
 
-    # spread first: the single-row-group fixture layout would run the
-    # split+explode in ONE scan task (no-op on a multi-file layout). The
-    # lines array sits behind a Generate barrier so the edges projection's
-    # two element_at's don't each re-inline the split+trim+filter chain
-    # (CollapseProject would otherwise double the per-row work).
-    lines = spread_for_kernel(md_df.select("doc_id", "markdown")).select(
-        "doc_id",
-        F.explode(F.array(
-            F.filter(
-                F.transform(F.split("markdown", "\n"), lambda l: F.trim(l)),
-                lambda l: l != "",
-            )
-        )).alias("lines"),
-    )
-    edges = lines.select(
-        "doc_id",
-        F.array_distinct(
-            F.array(F.element_at("lines", 1), F.element_at("lines", -1))
-        ).alias("edge"),
-    ).select("doc_id", F.explode("edge").alias("line"))
+    def edge_lines(batches):
+        for pdf in batches:
+            out = []
+            for md in pdf["markdown"]:
+                first = last = None
+                for line in md.split("\n"):
+                    line = line.strip(" ")
+                    if line:
+                        if first is None:
+                            first = line
+                        last = line
+                if first is not None:
+                    out.append(first)
+                    if last != first:
+                        out.append(last)
+            yield pd.DataFrame({"line": out})
+
+    edges = spread_for_kernel(md_df.select("doc_id", "markdown")).select(
+        "doc_id", "markdown").mapInPandas(edge_lines, schema="line string")
     return (
         edges.groupBy("line")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .agg(F.count("*").alias("n_docs"))  # kernel rows are per-doc distinct
         .where(F.col("n_docs") >= min_docs)
         .select("line")
     )
@@ -427,7 +436,12 @@ def align_extractions(md_df: DataFrame, golden_df: DataFrame,
     # shuffle shape as the previous cogroup, without applyInPandas's
     # per-group pandas overhead (docs absent from either side contribute
     # nothing, exactly like the old empty-group early-return).
-    packed = golden_df.groupBy("doc_id").agg(
+    from pdf_parse_bench_spark.operators.skew import spread_for_kernel
+
+    # pre-spread on the groupBy key (replaces, not adds to, the aggregation
+    # exchange): the single-row-group golden table otherwise builds its
+    # collect_list partials in the 2-task scan stage
+    packed = spread_for_kernel(golden_df).groupBy("doc_id").agg(
         F.array_sort(F.collect_list(
             F.struct("offset", "kind", "text", "media_ref"))).alias("gt"))
     joined = md_df.select("doc_id", "markdown").join(packed, "doc_id")

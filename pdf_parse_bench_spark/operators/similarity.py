@@ -53,7 +53,14 @@ def _as_double(col: str = "embedding"):
 
 
 def _with_norm(df: DataFrame, out: str = "v") -> DataFrame:
-    return df.select(
+    from pdf_parse_bench_spark.operators.skew import spread_for_kernel
+
+    # spread: the single-row-group embeddings file would evaluate every
+    # interpreted fold (norms, plane/centroid dots) in ONE scan task;
+    # per-row arithmetic is order-independent, so rows are unchanged
+    return spread_for_kernel(
+        df.select("vec_id", "embedding"), key="vec_id"
+    ).select(
         "vec_id", _as_double().alias(out)
     ).withColumn(
         "norm", F.sqrt(F.aggregate(out, F.lit(0.0), lambda a, x: a + x * x))
