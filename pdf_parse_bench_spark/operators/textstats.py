@@ -780,6 +780,10 @@ def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN,
     if buckets is None:
         buckets = int(spark.conf.get("spark.sql.shuffle.partitions",
                                      "200"))
+    # NOT spread: the n-subtree is evaluated by three consumers (the
+    # split-point sample, the per-bucket window and the bucket totals), so
+    # an upstream shuffle would be paid three times — measured slower than
+    # letting each consumer run the cheap codegen word-count in the scan
     n = (docs.select("doc_id", F.size(_words()).alias("n"))
          .where(F.col("n") > 0))
     splits = _range_split_points(n, buckets)
