@@ -247,9 +247,23 @@ def _sorted_template(template: int, at: list[tuple[int, int]]):
     return sorted(pix, key=lambda p: (p[1], p[0]))
 
 
+JBIG2_MQ_MAX_PIXELS = 1 << 22  # ~4.2M px MQ-decode budget (ADVICE r6)
+
+
 def _decode_generic(data: bytes, w: int, h: int, template: int,
                     at: list[tuple[int, int]], tpgdon: bool) -> np.ndarray:
-    """MQ-coded generic region decode → (h, w) uint8 {0,1} bitmap."""
+    """MQ-coded generic region decode → (h, w) uint8 {0,1} bitmap.
+
+    Budget guard (ADVICE r6): the MQ arithmetic decoder is a per-pixel
+    Python loop (~13-16 context reads + one MQ decode per pixel), so a
+    300-dpi scanned page (~8M px) would take minutes inside a corpus
+    kernel. Regions above JBIG2_MQ_MAX_PIXELS raise ValueError — the
+    kernels' documented degradation contract (decoded=False with real
+    dims), never a stalled task. MMR-coded regions decode through the
+    vectorized CCITT kernel and are not capped."""
+    if w * h > JBIG2_MQ_MAX_PIXELS:
+        raise ValueError(
+            f"jbig2 generic region {w}x{h} exceeds the MQ decode budget")
     pix = _sorted_template(template, at)
     nbits = len(pix)
     cx_index = [0] * (1 << 16)
@@ -437,6 +451,10 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
         else:
             bm = _decode_generic(body, w, h, template, at, tpgdon)
         tgt = page[y:y + h, x:x + w]
+        if tgt.shape != bm.shape:
+            # T.88 permits regions extending past the page: clip (ADVICE
+            # r6 — the unclipped broadcast raised and degraded the image)
+            bm = bm[:tgt.shape[0], :tgt.shape[1]]
         if comb_op == 0:  # OR
             tgt |= bm
         elif comb_op == 4:  # REPLACE

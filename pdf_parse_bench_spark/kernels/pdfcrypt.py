@@ -419,6 +419,11 @@ class StandardDecrypter:
             if len(u) < 48:
                 return
             key = None
+            # ISO 32000-2 Algorithm 2.A: the UTF-8 password is truncated
+            # to 127 bytes before hashing (ADVICE r6; full SASLprep is
+            # documented out of scope — registry passwords here are
+            # ASCII, and a conforming writer applies the same prep)
+            pwds = [pw[:127] for pw in pwds]
             for pw in pwds:
                 # USER route (Algorithm 2.A): /Perms integrity (one AES
                 # block) validates the derived key cheaply when present,
@@ -597,6 +602,8 @@ class _Encrypter:
             upw = (b"reader-%d" % seed) if variant == "aes-256-owner" \
                 else user_password
             opw = user_password  # empty unless password-locked
+            # conforming-writer side of ISO 32000-2 Algorithm 2.A prep
+            upw, opw = upw[:127], opw[:127]
             self.key = rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
             vs = rng.integers(0, 256, 8, dtype=np.uint8).tobytes()
             ks = rng.integers(0, 256, 8, dtype=np.uint8).tobytes()

@@ -151,3 +151,35 @@ def test_embedded_jpx_degrades_with_true_dims():
         assert not r["decoded"]
         assert (r["px_w"], r["px_h"]) == (80, 64), jp2
         assert r["mean_intensity"] is None
+
+
+def test_jbig2_offpage_region_clips():
+    """T.88 permits a region extending past the page: the composite must
+    clip instead of raising (ADVICE r6)."""
+    import numpy as np
+    import struct
+    from pdf_parse_bench_spark.kernels import jbig2 as J
+
+    img = np.full((8, 8), 255, dtype=np.uint8)
+    img[1::2, ::2] = 0
+    data = J.jbig2_encode(img, mmr=True)
+    # shrink the page-info dims so the 8x8 region overhangs a 6x5 page:
+    # page info payload starts right after the 11-byte segment header of
+    # segment 1 (the page-information segment, type 48)
+    idx = data.index(struct.pack(">II", 8, 8))
+    patched = data[:idx] + struct.pack(">II", 5, 6) + data[idx + 8:]
+    out = J.jbig2_decode(patched)
+    assert out.shape == (6, 5)
+    ref = ((1 - (img[:6, :5] == 0).astype(np.uint8)) * 255).astype(np.uint8)
+    assert (out == ref).all()
+
+
+def test_jbig2_mq_budget_guard():
+    """Generic regions above the MQ pixel budget degrade via ValueError
+    (dims-only rows downstream), never a minutes-long per-pixel loop."""
+    import pytest
+    from pdf_parse_bench_spark.kernels import jbig2 as J
+
+    with pytest.raises(ValueError, match="MQ decode budget"):
+        J._decode_generic(b"", 4096, 4096, 0, [(3, -1), (-3, -1), (2, -2),
+                                               (-2, -2)], False)

@@ -279,3 +279,25 @@ def test_openssl_and_pure_python_paths_agree():
             s[i], s[j] = s[j], s[i]
             ref[k] = c ^ s[(s[i] + s[j]) & 0xFF]
         assert pc.rc4(key, data) == bytes(ref)
+
+
+def test_r6_password_truncated_to_127_bytes():
+    """ISO 32000-2 Algorithm 2.A: R6 passwords hash over at most 127
+    UTF-8 bytes, so a >127-byte registry password validates identically
+    to its 127-byte prefix (ADVICE r6)."""
+    from pdf_parse_bench_spark.kernels.pdfcrypt import (
+        encrypt_pdf, sniff_encryption)
+
+    base = (b"%PDF-1.7\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" >>\nendobj\ntrailer\n<< /Root 1 0 R >>\n")
+    long_pw = b"x" * 150
+    enc = encrypt_pdf(base, variant="aes-256", seed=3,
+                      user_password=long_pw)
+    scheme, ok_full = sniff_encryption(enc, password=long_pw)
+    assert scheme == "aes-256" and ok_full
+    _, ok_prefix = sniff_encryption(enc, password=long_pw[:127])
+    assert ok_prefix
+    _, ok_wrong = sniff_encryption(enc, password=b"y" * 150)
+    assert not ok_wrong
