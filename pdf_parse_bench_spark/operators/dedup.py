@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from pdf_parse_bench_spark.functions import round_half_up
-from pdf_parse_bench_spark.operators.skew import spread_for_kernel
+from pdf_parse_bench_spark.operators.skew import (
+    HEAVY_KERNEL_MIN_BYTES as HEAVY_MIN,
+    spread_for_kernel,
+)
 
 MINHASH_K = 16
 LSH_BANDS = 4
@@ -105,7 +108,8 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "signature": sigs})
 
     id_t = docs.schema["doc_id"].dataType.simpleString()
-    return spread_for_kernel(docs.select("doc_id", "text")).mapInPandas(
+    return spread_for_kernel(docs.select("doc_id", "text"),
+                             min_bytes=HEAVY_MIN).mapInPandas(
         run, schema=f"doc_id {id_t}, signature array<long>")
 
 
@@ -142,7 +146,8 @@ def _minhash_band_rows(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
             })
 
     id_t = docs.schema["doc_id"].dataType.simpleString()
-    return spread_for_kernel(docs.select("doc_id", "text")).mapInPandas(
+    return spread_for_kernel(docs.select("doc_id", "text"),
+                             min_bytes=HEAVY_MIN).mapInPandas(
         run, schema=f"doc_id {id_t}, band int, band_key string")
 
 
@@ -188,7 +193,8 @@ def _shingle_sets_df(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "sh": sets_})
 
     id_t = docs.schema["doc_id"].dataType.simpleString()
-    return spread_for_kernel(docs.select("doc_id", "text")).mapInPandas(
+    return spread_for_kernel(docs.select("doc_id", "text"),
+                             min_bytes=HEAVY_MIN).mapInPandas(
         run, schema=f"doc_id {id_t}, sh array<string>")
 
 
@@ -392,7 +398,8 @@ def simhash64_blocks(docs: DataFrame) -> DataFrame:
             })
 
     id_t = docs.schema["doc_id"].dataType.simpleString()
-    return spread_for_kernel(docs.select("doc_id", "text")).mapInPandas(
+    return spread_for_kernel(docs.select("doc_id", "text"),
+                             min_bytes=HEAVY_MIN).mapInPandas(
         run, schema=f"doc_id {id_t}, b0 int, b1 int, b2 int, b3 int")
 
 
@@ -503,7 +510,8 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.4,
             })
 
     exploded = spread_for_kernel(
-        emb.select("vec_id", "embedding"), key="vec_id").mapInPandas(
+        emb.select("vec_id", "embedding"), key="vec_id",
+        min_bytes=HEAVY_MIN).mapInPandas(
         explode_bands,
         schema="vec_id long, band int, band_key int, v array<double>")
 
@@ -589,7 +597,8 @@ def duplicate_ngram_pairs(docs: DataFrame, n: int = NGRAM_DUP_N,
             yield pd.DataFrame({"doc_id": ids, "sh": digs})
 
     id_t = docs.schema["doc_id"].dataType.simpleString()
-    g = spread_for_kernel(docs.select("doc_id", "text")).mapInPandas(
+    g = spread_for_kernel(docs.select("doc_id", "text"),
+                             min_bytes=HEAVY_MIN).mapInPandas(
         run, schema=f"doc_id {id_t}, sh binary")
     rare = (g.groupBy("sh")
             .agg(F.count("*").alias("df"))  # kernel rows are per-doc distinct

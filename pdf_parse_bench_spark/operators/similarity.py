@@ -53,13 +53,17 @@ def _as_double(col: str = "embedding"):
 
 
 def _with_norm(df: DataFrame, out: str = "v") -> DataFrame:
-    from pdf_parse_bench_spark.operators.skew import spread_for_kernel
+    from pdf_parse_bench_spark.operators.skew import (
+        HEAVY_KERNEL_MIN_BYTES,
+        spread_for_kernel,
+    )
 
     # spread: the single-row-group embeddings file would evaluate every
     # interpreted fold (norms, plane/centroid dots) in ONE scan task;
     # per-row arithmetic is order-independent, so rows are unchanged
     return spread_for_kernel(
-        df.select("vec_id", "embedding"), key="vec_id"
+        df.select("vec_id", "embedding"), key="vec_id",
+        min_bytes=HEAVY_KERNEL_MIN_BYTES,
     ).select(
         "vec_id", _as_double().alias(out)
     ).withColumn(
@@ -509,10 +513,14 @@ def semantic_dedup(emb: DataFrame, cells: int = IVF_CELLS,
                 "v": list(mat),
             })
 
-    from pdf_parse_bench_spark.operators.skew import spread_for_kernel
+    from pdf_parse_bench_spark.operators.skew import (
+        HEAVY_KERNEL_MIN_BYTES,
+        spread_for_kernel,
+    )
 
     assigned = spread_for_kernel(
-        emb.select("vec_id", "embedding"), key="vec_id").mapInPandas(
+        emb.select("vec_id", "embedding"), key="vec_id",
+        min_bytes=HEAVY_KERNEL_MIN_BYTES).mapInPandas(
         assign, schema="vec_id long, cell int, v array<double>")
     sizes = assigned.groupBy("cell").agg(F.count("*").alias("_csize"))
     assigned = (

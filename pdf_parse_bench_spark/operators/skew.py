@@ -60,7 +60,8 @@ def rebalance_by_size(df: DataFrame, size_col: Column,
     )
 
 
-def spread_for_kernel(df: DataFrame, key: str = "doc_id") -> DataFrame:
+def spread_for_kernel(df: DataFrame, key: str = "doc_id",
+                      min_bytes: int | None = None) -> DataFrame:
     """Ensure a per-row kernel stage engages every core (guide §2.5 "input
     skew": one huge unsplittable file).
 
@@ -72,11 +73,34 @@ def spread_for_kernel(df: DataFrame, key: str = "doc_id") -> DataFrame:
     no-op — no exchange is added; otherwise one hash repartition on `key`
     spreads the rows. Partition count derives from defaultParallelism, not
     a local constant, and the hash key is a stable column (replay-safe
-    under task retry, unlike round-robin of nondeterministic input)."""
+    under task retry, unlike round-robin of nondeterministic input).
+
+    Inputs below `min_bytes` (catalyst size estimate; default
+    MIN_SPREAD_BYTES) are also left alone: for a few MB the shuffle +
+    many-task python overhead exceeds the parallelism win (measured at
+    sf0.1), and a single task finishes in well under a second anyway —
+    the gate derives from input size, never from a fixed core count.
+    Call sites whose kernels do heavy per-row CPU (md5 shingling,
+    trigram counting, plane folds) pass HEAVY_KERNEL_MIN_BYTES: for
+    those, compressed bytes understate the work by orders of
+    magnitude."""
+    if min_bytes is None:
+        min_bytes = MIN_SPREAD_BYTES
     n = df.sparkSession.sparkContext.defaultParallelism * 2
     if df.rdd.getNumPartitions() >= n:
         return df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        size = min_bytes
+    if size < min_bytes:
+        return df
     return df.repartition(n, key)
+
+
+MIN_SPREAD_BYTES = 4 * 1024 * 1024
+HEAVY_KERNEL_MIN_BYTES = 1024 * 1024
 
 
 def salted_repartition(df: DataFrame, key: str = "doc_id", n_salts: int = 8,

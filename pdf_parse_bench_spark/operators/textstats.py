@@ -10,7 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from pdf_parse_bench_spark.functions import round_half_up
-from pdf_parse_bench_spark.operators.skew import spread_for_kernel
+from pdf_parse_bench_spark.operators.skew import (
+    HEAVY_KERNEL_MIN_BYTES as HEAVY_MIN,
+    spread_for_kernel,
+)
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 LANG_MARKERS = {
@@ -198,7 +201,8 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     # otherwise run the whole word explode + partial aggregation in ONE
     # scan task (guide §2.5 input skew; no-op when the scan is already
     # parallel)
-    w = spread_for_kernel(docs.select("doc_id", "text")).select(
+    w = spread_for_kernel(docs.select("doc_id", "text"),
+                      min_bytes=HEAVY_MIN).select(
         "doc_id", F.explode(_words()).alias("word"))
     tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_tbl = tf.groupBy("word").agg(F.count("*").alias("df"))
@@ -285,7 +289,8 @@ def winnowing_fingerprints(docs: DataFrame, k: int = WINNOW_K,
             })
 
     id_t = docs.schema["doc_id"].dataType.simpleString()
-    return spread_for_kernel(docs.select("doc_id", "text")).mapInPandas(
+    return spread_for_kernel(docs.select("doc_id", "text"),
+                             min_bytes=HEAVY_MIN).mapInPandas(
         run, schema=f"doc_id {id_t}, fp long")
 
 
@@ -521,7 +526,8 @@ def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "sh": digs})
 
     id_t = docs.schema["doc_id"].dataType.simpleString()
-    return spread_for_kernel(docs.select("doc_id", "text")).mapInPandas(
+    return spread_for_kernel(docs.select("doc_id", "text"),
+                             min_bytes=HEAVY_MIN).mapInPandas(
         run, schema=f"doc_id {id_t}, sh binary")
 
 
@@ -695,7 +701,8 @@ def lm_score(docs: DataFrame) -> DataFrame:
 
     id_t = docs.schema["doc_id"].dataType.simpleString()
     g = spread_for_kernel(
-        docs.where(F.length("text") >= 3).select("doc_id", "text")
+        docs.where(F.length("text") >= 3).select("doc_id", "text"),
+        min_bytes=HEAVY_MIN,
     ).mapInPandas(tri_counts, schema=f"doc_id {id_t}, key long, k long")
     model = g.groupBy("key").agg(F.sum("k").alias("c"))
     total = model.agg(F.sum("c").alias("total"))
