@@ -29,8 +29,9 @@ PICKS = {
                "condition; two-phase top-k (partial per (query_id, _pid) "
                "with WindowGroupLimit, final window over <=k*P rows).",
     "minhash_signatures": "ONE md5 per shingle (Kirsch-Mitzenmacher "
-                          "double hashing); groupBy(doc_id) min with "
-                          "map-side partial aggregation.",
+                          "double hashing); r7: whole signature computed "
+                          "per doc inside one Arrow kernel — zero "
+                          "shuffles.",
     "thumbnail_media": "size-rebalanced mapInPandas decode+resize; scan "
                        "reads only the media columns.",
     "revenue_by_region": "dimension tables broadcast; fact scans stay "
@@ -51,11 +52,14 @@ PICKS = {
     "tfidf_top_terms": "per-word DF table shuffle-joined on word (NOT "
                        "force-broadcast — 10^8 rows at 100 TB); only the "
                        "1-row corpus count is broadcast.",
-    "embedding_near_dups": "banded random-projection LSH — band self-join "
-                           "on (band, band_key) with a ReusedExchange, "
-                           "exact cosine only on candidate pairs.",
+    "embedding_near_dups": "banded random-projection LSH — r7: one "
+                           "(band, band_key) groupBy feeding a NumPy "
+                           "pair-matrix kernel (no self-join, no per-pair "
+                           "interpreted fold); distinct on survivors.",
     "simhash_near_dups": "64-bit SimHash block banding (Hamming<=3 "
-                         "pigeonhole); popcount(xor) verify on candidates.",
+                         "pigeonhole); r7: band rows carry the signature "
+                         "blocks so popcount(xor) evaluates inline in the "
+                         "self-join; distinct AFTER the filter.",
     "extracted_complexity_cube": "parse-time complexity classification in "
                                  "codegen + one Expand/grouping-sets "
                                  "aggregation.",
@@ -67,14 +71,16 @@ PICKS = {
                      "window; no full-row shuffles.",
     "pii_scrub": "four regexp_count + four chained regexp_replace in ONE "
                  "codegen projection over a pruned scan; zero shuffles.",
-    "duplicate_ngram_pairs": "distinct shingle hashes -> DF filter BELOW "
-                             "the self-join (boilerplate shingles never "
-                             "reach the pair space), ReusedExchange.",
+    "duplicate_ngram_pairs": "per-doc distinct shingle digests from one "
+                             "Arrow kernel (r7) -> DF filter BELOW the "
+                             "self-join (boilerplate shingles never reach "
+                             "the pair space), ReusedExchange.",
     "pdf_spans": "mapInPandas over size-rebalanced PDF batches; all "
                  "classification inside the Arrow batch, no driver loops.",
     "doc_stats_rollup": "one Expand (N+1 groupings) + one aggregation "
-                        "exchange; features computed in the scan "
-                        "projection.",
+                        "exchange; r7: per-doc features in one Arrow "
+                        "kernel (the fused interpreted Expand stage blew "
+                        "the codegen method limit).",
     "repetition_stats": "Gopher repetition metrics as array_sort + "
                         "higher-order aggregate folds: ZERO Exchanges — "
                         "the explode+groupBy alternative would shuffle "
