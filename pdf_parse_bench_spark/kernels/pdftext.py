@@ -379,6 +379,7 @@ class _PdfDoc:
         self._cache: dict[int, tuple] = {}
         self._objstm_cache: dict[int, list] = {}
         self._img_cache: dict[int, object] = {}
+        self._font_cache: dict[int, tuple] = {}  # Ref -> (dec, math, adv)
         self._crypt = None  # must exist before any get_object call
         self._encrypt_num = -1
         try:
@@ -953,12 +954,23 @@ class _PdfDoc:
         if not isinstance(fdict, dict):
             return fonts
         for name, ref in fdict.items():
+            # r7: decoder/metrics construction is pure in the font OBJECT,
+            # and documents reuse the same font refs across pages — cache
+            # per indirect ref so a 100-page doc builds each decoder once
+            if isinstance(ref, _Ref):
+                cached = self._font_cache.get(int(ref))
+                if cached is not None:
+                    fonts[name] = cached
+                    continue
             font = self.resolve(ref)
             if isinstance(font, dict):
                 base = str(font.get("BaseFont", ""))
-                fonts[name] = (self._font_decoder(font),
-                               bool(_MATH_FONT_RE.search(base)),
-                               self._font_advance(font))
+                entry = (self._font_decoder(font),
+                         bool(_MATH_FONT_RE.search(base)),
+                         self._font_advance(font))
+                fonts[name] = entry
+                if isinstance(ref, _Ref):
+                    self._font_cache[int(ref)] = entry
         return fonts
 
     def _font_advance(self, font: dict):
