@@ -404,3 +404,56 @@ def test_pdf_image_stats_plan_shape(spark, fx_smoke):
     tree = formatted_plan(out).split("\n\n")[0]  # the plan tree section
     assert tree.count("MapInPandas") == 1, tree
     assert tree.count("Exchange") == 1, tree  # size rebalance, nothing else
+
+
+def test_embedding_near_dups_kernel_no_join(spark):
+    """r7 pin: the pair stage is a grouped kernel, not a self-join — the
+    plan must contain a FlatMapGroupsInPandas and ZERO join operators
+    (the r6 shape evaluated an interpreted cosine fold per candidate
+    pair inside three joins)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = formatted_plan(dd.embedding_near_dups(emb))
+    assert "FlatMapGroupsInPandas" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
+
+
+def test_pending_scores_one_aggregation_no_join(spark, fx_smoke):
+    """r7 pin: pending_scores collapses distinct+distinct+left_anti over
+    the same table into ONE map-side-partial aggregation — no join, a
+    single exchange."""
+    from pdf_parse_bench_spark.operators import aggregates as agg
+
+    import re
+
+    scores = spark.read.parquet(str(fx_smoke / "extraction_scores.parquet"))
+    plan = formatted_plan(agg.pending_scores(scores))
+    assert "Join" not in plan, plan
+    # one physical Exchange (formatted plans repeat each operator as a
+    # numbered detail block — count those headers, not raw substrings)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_simhash_near_dups_single_self_join(spark):
+    """r7 pin: band rows carry the signature blocks, so the plan has ONE
+    self-join (reused exchange) and no follow-up signature joins; the
+    survivors-only distinct sits ABOVE the Hamming filter."""
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the self-join shape (identical band
+        # subtrees -> one reused shuffle) is what gets pinned
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = dd.simhash_near_dups(_docs(spark))
+        plan = formatted_plan(out)
+        n_joins = len(re.findall(
+            r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            plan))
+        assert n_joins == 1, plan
+        out.collect()  # AQE finalizes exchange reuse
+        executed = out._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in executed, executed
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
