@@ -40,40 +40,30 @@ def compute_boilerplate(md_df: DataFrame, min_docs: int = 5) -> DataFrame:
     documents. The result is tiny and meant to be broadcast into the
     extraction kernel.
 
-    r7 (guide §4.2): the per-doc edge-line extraction runs in one
-    Arrow-batched kernel — scanning from both ends of the line list and
-    trimming ONLY the two surviving lines, where the r6 relational plan
-    split + interpreted-trimmed EVERY line of every document (and, on the
-    single-row-group fixture layout, did so in one scan task). The kernel
-    emits each doc's distinct {first, last} pair, so the corpus aggregate
-    is a plain count. Trim is str.strip(' ') — the same spaces-only
-    semantics as the SQL trim() it replaces."""
-    import pandas as pd
-
+    r7 (guide §2.3 — shuffle/ship only what the decision needs): only the
+    FIRST and LAST non-empty line of each doc matter, so the edge lines
+    come from two anchored codegen regexes instead of splitting (r6) or
+    shipping (mid-r7) every line of every document. The pattern skips
+    spaces-only lines from the string's start; the LAST line reuses the
+    same pattern on reverse(markdown) and reverses the capture back. trim
+    (spaces-only, matching the kernel-side strip) canonicalizes both.
+    No Python boundary, no full-line materialization; the one exchange
+    carries two short lines per doc into the count."""
     from pdf_parse_bench_spark.operators.skew import spread_for_kernel
 
-    def edge_lines(batches):
-        for pdf in batches:
-            out = []
-            for md in pdf["markdown"]:
-                first = last = None
-                for line in md.split("\n"):
-                    line = line.strip(" ")
-                    if line:
-                        if first is None:
-                            first = line
-                        last = line
-                if first is not None:
-                    out.append(first)
-                    if last != first:
-                        out.append(last)
-            yield pd.DataFrame({"line": out})
-
-    edges = spread_for_kernel(md_df.select("doc_id", "markdown")).select(
-        "doc_id", "markdown").mapInPandas(edge_lines, schema="line string")
+    pat = r"\A(?:[ ]*\n)*[ ]*([^\n]*)"
+    first = F.trim(F.regexp_extract("markdown", pat, 1))
+    last = F.trim(F.reverse(
+        F.regexp_extract(F.reverse(F.col("markdown")), pat, 1)))
+    edges = (
+        spread_for_kernel(md_df.select("doc_id", "markdown"))
+        .select("doc_id",
+                F.explode(F.array_distinct(F.array(first, last))).alias("line"))
+        .where(F.col("line") != "")
+    )
     return (
         edges.groupBy("line")
-        .agg(F.count("*").alias("n_docs"))  # kernel rows are per-doc distinct
+        .agg(F.count("*").alias("n_docs"))  # edge rows are per-doc distinct
         .where(F.col("n_docs") >= min_docs)
         .select("line")
     )
