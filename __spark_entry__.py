@@ -161,7 +161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         md = docs.select(
             "doc_id", F.array_join(pieces, "\n\n").alias("markdown")
         )
-        return extract_spans(md, boilerplate=frozenset())
+        # rebalance=False: the input is already hash-spread above, and the
+        # size rebalance would re-shuffle the freshly assembled markdown a
+        # second time for no balance gain (uniform synthetic docs)
+        return extract_spans(md, boilerplate=frozenset(), rebalance=False)
     q["nested_pipeline"] = nested_pipeline
     q["align_noisy"] = lambda s, d: align_extractions(
         _f(s, d, "noisy_markdown"),
